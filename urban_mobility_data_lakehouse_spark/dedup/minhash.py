@@ -1,0 +1,132 @@
+"""MinHash + LSH near-duplicate detection over word-shingle sets.
+
+Pipeline (each stage a separate oracle-checkable DataFrame):
+  1. shingle: word 3-grams per doc (row-local, codegen transform())
+  2. minhash: K independent permutations approximated by md5(seed||shingle);
+     the per-doc signature is the lexicographic MIN hex digest per seed —
+     engine-portable (no 64-bit int hashing needed) and uniform.
+  3. LSH bands: signature split into B bands of R rows; band key =
+     md5(concat of its R minhashes).  Docs sharing any band key become
+     candidate pairs (P[candidate] = 1-(1-j^R)^B).
+  4. verify: exact shingle-set Jaccard on candidates only.
+
+Scale: the shingle explode is the only fan-out (≈n_tokens rows/doc); the
+band self-join joins on high-entropy 128-bit keys → uniform shuffle, and
+the verify join touches only candidate pairs, never the n² cross join.
+Band-bucket skew (a degenerate shingle shared by everything) is bounded
+because band keys hash the *whole* R-row signature slice.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+N_HASHES = 8
+BAND_ROWS = 4  # → 2 bands of 4 rows: candidates need jaccard^4 band hit
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams; docs shorter than n words yield the whole
+    text as a single shingle."""
+    toks = F.split(text, " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(text))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    return documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """doc_id + m0..m{K-1} minhash columns, one aggregation pass."""
+    exploded = doc_shingles(documents)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
+        for s in range(n_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Unpivot signatures into (doc_id, band_id, band_key)."""
+    n = len([c for c in sig.columns if c.startswith("m")])
+    bands = []
+    for b in range(n // band_rows):
+        cols = [F.col(f"m{b * band_rows + r}") for r in range(band_rows)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def candidate_pairs(documents: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
+    bands = band_keys(minhash_signatures(documents))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def near_duplicates(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold."""
+    sh = doc_shingles(documents).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    cand = candidate_pairs(documents)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sz_b = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    jaccard = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .filter(jaccard >= threshold)  # filter BEFORE rounding (oracle parity)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,133 @@
+"""Deduplication queries with DuckDB oracles.
+
+The md5-string minhash (lexicographic min of hex digests) was chosen
+precisely because it is engine-portable: both sides hash the same
+seed-prefixed shingle strings, so the full LSH pipeline — signatures,
+band keys, candidate pairs, verified Jaccard — is oracle-checkable
+end-to-end.  SimHash (bit-vote semantics) is Spark-only → rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dedup import exact, minhash, simhash
+from ..sources.testdata import load_table
+from . import register
+
+# shared SQL fragments -----------------------------------------------------
+
+_SHINGLES = r"""
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+             ELSE [text] END)) AS shingle
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+"""
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{s}:' || shingle)) AS m{s}" for s in range(minhash.N_HASHES)
+)
+
+_SIG = f"SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
+
+_BANDS = """
+    SELECT doc_id, 0 AS band_id,
+           md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
+    FROM sig
+    UNION ALL
+    SELECT doc_id, 1,
+           md5(m4 || '|' || m5 || '|' || m6 || '|' || m7)
+    FROM sig
+"""
+
+
+@register(
+    "exact_dup_groups",
+    oracle=r"""
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               AS fingerprint,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM all_docs
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demonstrated on a corpus with planted duplicates
+    (the corpus unioned with an id-shifted copy of itself)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    return exact.duplicate_groups(doubled)
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES})
+    {_SIG}
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.minhash_signatures(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+@register(
+    "near_dup_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS ({_SIG}),
+    bands AS ({_BANDS}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id
+                    AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (za.n + zb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+    WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    bench=True,
+)
+def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash.near_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash_candidates",
+    oracle=None,  # bit-vote fingerprint not portably SQL-expressible
+    tags=("dedup", "simhash"),
+)
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash.near_duplicate_candidates(
+        load_table(spark, sf_dir, "documents")
+    )

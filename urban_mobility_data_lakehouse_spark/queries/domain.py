@@ -1,0 +1,276 @@
+"""Domain analytics queries — the reference's gold layer re-expressed
+over the synthetic star schema (nations play the role of mobility zones,
+customer→supplier flows play origin→destination trips).
+
+Covers: gravity-model infrastructure gaps (mobility_ingestion_pipeline.py
+:817-852 + notebook v3 richer schema), haversine distance matrix,
+bbox-filtered consultation top-k (mobility_consultations.py:126-167),
+and the typical-day KMeans pipeline (U1–U4, rows-only check — clustering
+is not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from ..functions.spatial import (
+    haversine_km,
+    haversine_km_sql,
+    point_in_bbox,
+    synthetic_centroid_lat,
+    synthetic_centroid_lon,
+    synthetic_centroid_sql,
+)
+from ..sources.testdata import load_table
+from . import register
+
+# Shared SQL fragments so the DuckDB oracle and any spark.sql variant are
+# generated from one source of truth.
+_LON_O, _LAT_O = synthetic_centroid_sql("z1.n_nationkey")
+_LON_D, _LAT_D = synthetic_centroid_sql("z2.n_nationkey")
+_DIST_SQL = haversine_km_sql(_LAT_O, _LON_O, _LAT_D, _LON_D)
+# trig functions differ by ulps between the JVM and libm — round the
+# distance to 4 decimals BEFORE it feeds any downstream formula so both
+# engines compute from identical inputs
+_DIST_R = f"round({_DIST_SQL}, 4)"
+
+_GRAVITY_ORACLE = f"""
+WITH od_pairs AS (
+    SELECT c_nationkey AS org_zone_id, s_nationkey AS dest_zone_id,
+           CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_actual_trips
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    GROUP BY 1, 2
+), zone_metrics AS (
+    SELECT c_nationkey AS zone_id,
+           count(*) AS population,
+           -- no intermediate rounding: the decimal sum already makes this
+           -- deterministic, and round() at a half-boundary differs between
+           -- engines (BigDecimal HALF_UP vs scaled-double rounding)
+           CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE)
+               / count(c_acctbal) AS rent
+    FROM customer GROUP BY 1
+)
+SELECT CAST(p.org_zone_id AS BIGINT) AS org_zone_id,
+       CAST(p.dest_zone_id AS BIGINT) AS dest_zone_id,
+       round(p.total_actual_trips, 2) AS total_actual_trips,
+       {_DIST_R} AS geographic_distance_km,
+       round((mo.population * md.population * ((mo.rent + md.rent) / 2))
+             / pow(greatest(0.5, {_DIST_R}), 2), 6)
+           AS estimated_potential_trips,
+       round(p.total_actual_trips /
+             nullif((mo.population * md.population * ((mo.rent + md.rent) / 2))
+                    / pow(greatest(0.5, {_DIST_R}), 2), 0), 6)
+           AS mismatch_ratio
+FROM od_pairs p
+JOIN zone_metrics mo ON p.org_zone_id  = mo.zone_id
+JOIN zone_metrics md ON p.dest_zone_id = md.zone_id
+JOIN nation z1 ON p.org_zone_id  = z1.n_nationkey
+JOIN nation z2 ON p.dest_zone_id = z2.n_nationkey
+ORDER BY org_zone_id, dest_zone_id
+"""
+
+
+def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity model as a DataFrame plan.
+
+    Scale shape (deliberate, per SURVEY §4 'pre-aggregation before join'):
+    the fact is aggregated to OD pairs FIRST (zones² rows at most), then
+    enriched with broadcast dim joins — Catalyst will not push an agg
+    through a join on its own, so the plan is authored pre-aggregated.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    od_pairs = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("org_zone_id"),
+            F.col("s_nationkey").alias("dest_zone_id"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_actual_trips")
+        )
+    )
+    zone_metrics = customer.groupBy(
+        F.col("c_nationkey").alias("zone_id")
+    ).agg(
+        F.count(F.lit(1)).alias("population"),
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("rent"),
+    )
+    mo = zone_metrics.select(
+        F.col("zone_id").alias("mo_zone"),
+        F.col("population").alias("pop_o"),
+        F.col("rent").alias("rent_o"),
+    )
+    md = zone_metrics.select(
+        F.col("zone_id").alias("md_zone"),
+        F.col("population").alias("pop_d"),
+        F.col("rent").alias("rent_d"),
+    )
+    zones = nation.select(
+        F.col("n_nationkey").alias("zkey"),
+        synthetic_centroid_lon(F.col("n_nationkey")).alias("lon"),
+        synthetic_centroid_lat(F.col("n_nationkey")).alias("lat"),
+    )
+    z1 = zones.select(
+        F.col("zkey").alias("z1_key"),
+        F.col("lon").alias("lon_o"),
+        F.col("lat").alias("lat_o"),
+    )
+    z2 = zones.select(
+        F.col("zkey").alias("z2_key"),
+        F.col("lon").alias("lon_d"),
+        F.col("lat").alias("lat_d"),
+    )
+
+    # round the distance before any downstream use — JVM vs libm trig
+    # differ in the last ulps, and pow() amplifies that past round(…, 6)
+    dist = F.round(
+        haversine_km(
+            F.col("lat_o"), F.col("lon_o"), F.col("lat_d"), F.col("lon_d")
+        ),
+        4,
+    )
+    # identical association order to the oracle: (pop_o * pop_d * avg_rent)
+    potential = (
+        F.col("pop_o") * F.col("pop_d") * ((F.col("rent_o") + F.col("rent_d")) / 2)
+    ) / F.pow(F.greatest(F.lit(0.5), dist), 2)
+
+    return (
+        od_pairs.join(broadcast(mo), F.col("org_zone_id") == F.col("mo_zone"))
+        .join(broadcast(md), F.col("dest_zone_id") == F.col("md_zone"))
+        .join(broadcast(z1), F.col("org_zone_id") == F.col("z1_key"))
+        .join(broadcast(z2), F.col("dest_zone_id") == F.col("z2_key"))
+        .select(
+            F.col("org_zone_id").cast("long").alias("org_zone_id"),
+            F.col("dest_zone_id").cast("long").alias("dest_zone_id"),
+            F.round(F.col("total_actual_trips"), 2).alias("total_actual_trips"),
+            dist.alias("geographic_distance_km"),
+            F.round(potential, 6).alias("estimated_potential_trips"),
+            F.round(
+                F.col("total_actual_trips")
+                / F.nullif(potential, F.lit(0)), 6
+            ).alias("mismatch_ratio"),
+        )
+    )
+
+
+@register(
+    "gravity_gaps",
+    oracle=_GRAVITY_ORACLE,
+    tags=("J7", "A10", "spatial", "gold"),
+    bench=True,
+)
+def gravity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gravity_frame(spark, sf_dir).orderBy("org_zone_id", "dest_zone_id")
+
+
+_BBOX = (-8.0, 36.5, 0.5, 41.0)  # fixed consultation parameter
+
+@register(
+    "consult_gaps_bbox",
+    oracle=f"""
+    WITH gaps AS ({_GRAVITY_ORACLE.replace("ORDER BY org_zone_id, dest_zone_id", "")})
+    SELECT g.org_zone_id, g.dest_zone_id, g.total_actual_trips,
+           g.geographic_distance_km, g.estimated_potential_trips,
+           g.mismatch_ratio
+    FROM gaps g JOIN nation z1 ON g.org_zone_id = z1.n_nationkey
+    WHERE {_LON_O} BETWEEN {_BBOX[0]} AND {_BBOX[2]}
+      AND {_LAT_O} BETWEEN {_BBOX[1]} AND {_BBOX[3]}
+      AND g.mismatch_ratio IS NOT NULL
+    ORDER BY g.mismatch_ratio ASC, g.org_zone_id, g.dest_zone_id
+    LIMIT 10
+    """,
+    tags=("J9", "O2", "consultation"),
+)
+def consult_gaps_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving-side consultation (mobility_consultations.py:126-167):
+    worst infrastructure gaps whose origin centroid falls inside the
+    caller's polygon — bbox variant, oracle-checkable.  Ascending
+    mismatch = most-underserved first, as in the reference."""
+    gaps = _gravity_frame(spark, sf_dir)
+    key = F.col("org_zone_id").cast("int")
+    in_box = point_in_bbox(
+        synthetic_centroid_lon(key), synthetic_centroid_lat(key), *_BBOX
+    )
+    return (
+        gaps.filter(in_box & F.col("mismatch_ratio").isNotNull())
+        .orderBy(
+            F.col("mismatch_ratio").asc(), "org_zone_id", "dest_zone_id"
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "haversine_pairs",
+    oracle=f"""
+    SELECT CAST(z1.n_nationkey AS BIGINT) AS zone_a,
+           CAST(z2.n_nationkey AS BIGINT) AS zone_b,
+           round({_DIST_SQL}, 4) AS distance_km
+    FROM nation z1 JOIN nation z2 ON z1.n_nationkey < z2.n_nationkey
+    ORDER BY zone_a, zone_b
+    """,
+    tags=("spatial", "J5"),
+)
+def haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-centroid distance matrix — st_distance_spheroid parity unit
+    (upper triangle only; the theta-join exercises range predicates)."""
+    nation = load_table(spark, sf_dir, "nation")
+    z1 = nation.select(
+        F.col("n_nationkey").alias("ka"),
+        synthetic_centroid_lon(F.col("n_nationkey")).alias("lon_a"),
+        synthetic_centroid_lat(F.col("n_nationkey")).alias("lat_a"),
+    )
+    z2 = nation.select(
+        F.col("n_nationkey").alias("kb"),
+        synthetic_centroid_lon(F.col("n_nationkey")).alias("lon_b"),
+        synthetic_centroid_lat(F.col("n_nationkey")).alias("lat_b"),
+    )
+    return (
+        z1.join(z2, F.col("ka") < F.col("kb"))
+        .select(
+            F.col("ka").cast("long").alias("zone_a"),
+            F.col("kb").cast("long").alias("zone_b"),
+            F.round(
+                haversine_km(
+                    F.col("lat_a"), F.col("lon_a"),
+                    F.col("lat_b"), F.col("lon_b"),
+                ),
+                4,
+            ).alias("distance_km"),
+        )
+        .orderBy("zone_a", "zone_b")
+    )
+
+
+@register(
+    "typical_day_clusters",
+    oracle=None,  # KMeans is not SQL-expressible → rows-only check
+    tags=("U1", "U2", "U3", "U4", "gold"),
+    bench=True,
+)
+def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold.typical_day_by_cluster parity (k×24 rows, deterministic row
+    count; cluster labels deterministically re-mapped by size)."""
+    from ..ml.clustering import typical_day_clustering
+
+    events = load_table(spark, sf_dir, "events")
+    _, gold = typical_day_clustering(events, k=3, seed=42)
+    return gold

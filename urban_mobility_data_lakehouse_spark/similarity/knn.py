@@ -1,0 +1,156 @@
+"""Embedding similarity search over an array<float> column.
+
+Two tiers (the ANN ladder required for 100 TB similarity workloads):
+  * brute-force cosine top-k — exact baseline; dot products computed by
+    zip_with/aggregate entirely inside codegen (no UDF, no collect).
+  * LSH-bucketed variant — random-hyperplane signatures shrink the
+    candidate set; hyperplanes are seed-derived so results are
+    deterministic.  This is the scale path: the cross product only
+    happens within matching sign-buckets.
+
+Scale: brute force is O(Q×N) — fine when Q is small and N is sharded
+(each partition scores its rows independently; top-k via
+TakeOrderedAndProject, never a global sort).  For N large AND Q large,
+the LSH tier bounds work per query.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first `n_queries` vectors."""
+    base = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("emb_b"),
+    )
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("emb_q"),
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("emb_q"), F.col("emb_b")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side constants)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signatures(
+    embeddings: DataFrame, n_planes: int = 16, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """Sign-bit signature per vector: bit i = (v · plane_i) >= 0."""
+    planes = hyperplanes(dim, n_planes, seed)
+    emb = _as_double(F.col("embedding"))
+    bits = [
+        F.when(
+            dot(emb, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0)).cast("long")
+        for plane in planes
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = F.shiftleft(sig, 1).bitwiseOR(b)
+    return embeddings.select("vec_id", sig.alias("lsh_sig"))
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket (or differ in
+    the last bit-band), then exact cosine re-rank within candidates."""
+    sigs = lsh_signatures(embeddings, n_planes, seed)
+    with_sig = embeddings.join(sigs, "vec_id")
+    # coarse bucket: top 8 of 16 sign bits → 256 buckets
+    bucket = F.shiftrightunsigned(F.col("lsh_sig"), n_planes // 2)
+    base = with_sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("emb_b"),
+        bucket.alias("bucket"),
+    )
+    queries = with_sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("emb_q"),
+        bucket.alias("q_bucket"),
+    )
+    scored = (
+        base.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("emb_q"), F.col("emb_b")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
