@@ -1,0 +1,82 @@
+"""Physical-plan property tests: lock in broadcast strategy, filter
+pushdown, column pruning, and partition pruning — the 100 TB concerns
+(SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.plans.explain import (
+    assert_broadcast_join,
+    formatted_plan,
+    partition_filters,
+    pushed_filters,
+    scan_columns,
+)
+from urban_mobility_data_lakehouse_spark.queries import REGISTRY, _load_all
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+
+_load_all()
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    """J1: the dim-lookup join chain must be broadcast, not shuffle."""
+    df = REGISTRY["sales_by_nation"].builder(spark, sf_dir)
+    assert_broadcast_join(df, at_least=2)
+    # and no sort-merge join anywhere in the plan
+    assert "SortMergeJoin" not in formatted_plan(df)
+
+
+def test_roleplay_joins_are_broadcast(spark, sf_dir):
+    df = REGISTRY["roleplay_nations"].builder(spark, sf_dir)
+    assert_broadcast_join(df, at_least=4)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """P-series predicates must reach the parquet scan as PushedFilters."""
+    df = REGISTRY["pricing_summary"].builder(spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 2-column projection must not scan all 11 lineitem columns."""
+    df = REGISTRY["min_dedup_map"].builder(spark, sf_dir)
+    for cols in scan_columns(df):
+        assert set(cols) <= {"l_partkey", "l_suppkey"}, cols
+
+
+def test_partition_pruning_on_lakehouse_fact(spark, tmp_path):
+    """A partition_date filter on the partitioned silver fact must prune
+    at the directory level (PartitionFilters), not post-scan."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    fact = events.select(
+        "event_id", "value", F.to_date("ts").alias("partition_date")
+    )
+    lake.overwrite_partitions(
+        fact, "silver", "fact_events", partition_col="partition_date"
+    )
+    read = lake.read(spark, "silver", "fact_events").filter(
+        F.col("partition_date") == "2024-01-05"
+    )
+    parts = partition_filters(read)
+    assert parts and any("partition_date" in p for p in parts), parts
+    # pruned read returns exactly that day's rows
+    expected = fact.filter(F.col("partition_date") == "2024-01-05").count()
+    assert read.count() == expected
+
+
+def test_no_python_udfs_in_registry_plans(spark, sf_dir):
+    """Hot-path queries must stay JVM-side: no BatchEvalPython /
+    ArrowEvalPython stages in any registered oracle-checked plan."""
+    for name, spec in sorted(REGISTRY.items()):
+        if name == "typical_day_clusters":
+            continue  # MLlib pipeline materializes via its own path
+        plan = formatted_plan(spec.builder(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} plan contains Python UDF"

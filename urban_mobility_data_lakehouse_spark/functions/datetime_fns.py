@@ -23,15 +23,24 @@ def parse_ddmmyyyy(col: Column) -> Column:
 
 
 def period_timestamp(date_col: Column, hour_col: Column) -> Column:
-    """date + hour-interval → TIMESTAMP (…:549-558).
+    """date + hour → TIMESTAMP (…:549-558), wall-clock semantics.
 
-    With spark.sql.session.timeZone=Europe/Madrid this reproduces the
-    reference's AT TIME ZONE semantics including DST days (23/25-hour
-    days appear naturally because the timestamp is built from wall-clock
-    date+hour in the session zone).
+    The source's `periodo` is a wall-clock hour, so the timestamp is
+    built from the formatted local date+hour string — NOT by adding a
+    physical hour interval, which would shift wall hours across a DST
+    boundary (on the Europe/Madrid fall-back day, midnight + 23 physical
+    hours lands at wall-hour 22).  Ambiguous local times (the repeated
+    02:xx on fall-back) resolve to the earlier offset; nonexistent
+    spring-forward times resolve forward.  Run under
+    spark.sql.session.timeZone=Europe/Madrid for reference parity.
     """
-    return F.to_timestamp(date_col) + F.make_interval(
-        hours=hour_col.cast("int")
+    return F.to_timestamp(
+        F.concat(
+            F.date_format(date_col, "yyyy-MM-dd"),
+            F.lit(" "),
+            hour_col.cast("int").cast("string"),
+        ),
+        "yyyy-MM-dd H",
     )
 
 

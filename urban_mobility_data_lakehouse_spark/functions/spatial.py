@@ -65,6 +65,34 @@ def synthetic_centroid_sql(key: str) -> tuple[str, str]:
     return SYNTH_LON_SQL.format(k=key), SYNTH_LAT_SQL.format(k=key)
 
 
+def _wkt_ring_coords(wkt: Column, group: int) -> Column:
+    """All x (group=1) or y (group=2) coordinates of a WKT polygon ring."""
+    pat = r"(-?[0-9][0-9.]*) (-?[0-9][0-9.]*)"
+    return F.transform(
+        F.regexp_extract_all(wkt, F.lit(pat), F.lit(group)),
+        lambda s: s.cast("double"),
+    )
+
+
+def _vertex_mean(coords: Column) -> Column:
+    # drop the closing vertex (WKT rings repeat the first point)
+    ring = F.slice(coords, 1, F.size(coords) - 1)
+    return F.aggregate(ring, F.lit(0.0), lambda a, x: a + x) / F.size(ring)
+
+
+def wkt_centroid_lon(wkt: Column) -> Column:
+    """Vertex-mean centroid of a WKT POLYGON — the ST_Centroid stand-in
+    (mobility_ingestion_pipeline.py:838).  Exact for the regular convex
+    rings the zone fixtures use; for production-grade geometry plug in
+    Apache Sedona's ST_Centroid (same column contract).  Pure Catalyst
+    expressions: regexp + array fold, no UDF."""
+    return _vertex_mean(_wkt_ring_coords(wkt, 1))
+
+
+def wkt_centroid_lat(wkt: Column) -> Column:
+    return _vertex_mean(_wkt_ring_coords(wkt, 2))
+
+
 def point_in_bbox(
     lon: Column, lat: Column,
     min_lon: float, min_lat: float, max_lon: float, max_lat: float,
@@ -99,5 +127,6 @@ def point_in_polygon(lon: Column, lat: Column, polygon: list[tuple[float, float]
                 + F.lit(x1)
             )
         )
-        crossings = cond if crossings is None else crossings ^ cond
+        # boolean XOR: != on booleans (PySpark Columns have no ^)
+        crossings = cond if crossings is None else crossings != cond
     return crossings if crossings is not None else F.lit(False)

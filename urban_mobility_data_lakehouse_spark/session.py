@@ -29,6 +29,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few pandas crossings (KMeans profiles, reporting edge).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bronze tables are partitioned by raw string dates (fecha=YYYYMMDD);
+    # inference would silently read them back as INT, breaking the
+    # all-varchar schema-on-read contract.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

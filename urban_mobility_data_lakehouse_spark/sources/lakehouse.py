@@ -1,0 +1,172 @@
+"""Partitioned lakehouse tables: the DuckLake capability surface
+(SURVEY.md §2.1 S8-S13) on partitioned Parquet.
+
+Delta Lake is the production answer (SURVEY §1.3 maps DuckLake →
+Delta); it is not installable in this environment, so this module
+implements the same *semantics* on plain Parquet + Spark's dynamic
+partition overwrite, behind an interface a Delta backend could drop
+into:
+
+  - `overwrite_partitions` — the idempotent per-day upsert: replaces
+    exactly the partitions present in the incoming frame, atomically
+    per partition directory (the replaceWhere / DELETE+INSERT analog,
+    mobility_ingestion_pipeline.py:519-533,544-567)
+  - `append` — append-only sinks (the quality log)
+  - a JSONL snapshot log per table recording every commit
+    (version/op/partitions/rows) — the `lakehouse.snapshots()` /
+    DESCRIBE HISTORY analog (1_sprint3...ipynb:6274 cell 84)
+  - catalog helpers (list_tables / table_schema) — information_schema
+    analog (S12)
+
+Scale notes: partition granularity is the reference's own (one DATE
+per partition ≈ 10M rows/day at production scale — healthy parquet
+partition size); dynamic overwrite touches only the partitions being
+replaced, so re-running a day never rewrites the table; writes never
+funnel through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_LOG = "_snapshots.jsonl"
+
+
+@dataclass
+class Lakehouse:
+    """A directory-per-table catalog with medallion schema prefixes
+    (bronze/silver/gold → subdirectories, the CREATE SCHEMA analog)."""
+
+    root: str
+
+    def _table_dir(self, schema: str, name: str) -> str:
+        return os.path.join(self.root, schema, name)
+
+    # -- DDL (S8) ----------------------------------------------------------
+
+    def create_schemas(self, *schemas: str) -> None:
+        for s in schemas:
+            os.makedirs(os.path.join(self.root, s), exist_ok=True)
+
+    # -- writes (S9/S10/S11/S13) ------------------------------------------
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        schema: str,
+        name: str,
+        partition_col: str,
+    ) -> None:
+        """Idempotent partition upsert: only partitions present in `df`
+        are replaced; everything else is untouched."""
+        path = self._table_dir(schema, name)
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                df.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        parts = [
+            str(r[0])
+            for r in df.select(partition_col).distinct().collect()
+        ]
+        self._log_snapshot(
+            path, op="overwrite_partitions",
+            partitions=sorted(parts), partition_col=partition_col,
+        )
+
+    def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
+        path = self._table_dir(schema, name)
+        df.write.mode("overwrite").parquet(path)
+        self._log_snapshot(path, op="overwrite")
+
+    def append(self, df: DataFrame, schema: str, name: str) -> None:
+        path = self._table_dir(schema, name)
+        df.write.mode("append").parquet(path)
+        self._log_snapshot(path, op="append")
+
+    # -- reads -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, schema: str, name: str) -> DataFrame:
+        return spark.read.parquet(self._table_dir(schema, name))
+
+    # -- catalog / snapshots (S12) ----------------------------------------
+
+    def list_tables(self, schema: str) -> list[str]:
+        d = os.path.join(self.root, schema)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d)
+            if os.path.isdir(os.path.join(d, n))
+        )
+
+    def snapshots(self, schema: str, name: str) -> list[dict]:
+        """Commit history for a table (DESCRIBE HISTORY analog)."""
+        log = os.path.join(self._table_dir(schema, name), SNAPSHOT_LOG)
+        if not os.path.exists(log):
+            return []
+        with open(log) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _log_snapshot(self, path: str, op: str, **extra) -> None:
+        os.makedirs(path, exist_ok=True)
+        log = os.path.join(path, SNAPSHOT_LOG)
+        version = len(self.snapshots(*_schema_name_from(path, self.root)))
+        entry = {
+            "version": version,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "operation": op,
+            **extra,
+        }
+        with open(log, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+
+def _schema_name_from(path: str, root: str) -> tuple[str, str]:
+    rel = os.path.relpath(path, root)
+    schema, name = rel.split(os.sep)[:2]
+    return schema, name
+
+
+# -- data-quality log (S13 + §5 audits) ------------------------------------
+
+QUALITY_LOG_SCHEMA = (
+    "check_timestamp timestamp, table_name string, metric_name string, "
+    "metric_value double, notes string"
+)
+
+
+def log_metric(
+    lake: Lakehouse,
+    spark: SparkSession,
+    table_name: str,
+    metric_name: str,
+    metric_value: float,
+    notes: str = "",
+) -> None:
+    """Append one audit metric row (silver.data_quality_log,
+    mobility_ingestion_pipeline.py:76-80,362-369)."""
+    row = spark.createDataFrame(
+        [(None, table_name, metric_name, float(metric_value), notes)],
+        QUALITY_LOG_SCHEMA,
+    ).withColumn("check_timestamp", F.current_timestamp())
+    lake.append(
+        row.select(
+            "check_timestamp", "table_name", "metric_name",
+            "metric_value", "notes",
+        ),
+        "silver",
+        "data_quality_log",
+    )

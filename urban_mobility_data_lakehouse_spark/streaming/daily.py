@@ -1,0 +1,97 @@
+"""Structured Streaming analogs of the reference's incremental loop.
+
+The reference is batch-only: its "incremental" behavior is the per-day
+partition upsert driven by Airflow dynamic task mapping (SURVEY.md
+§2.9).  The idiomatic Spark translation:
+
+  * `daily_file_ingest` — readStream over the landing directory with
+    Trigger.AvailableNow + foreachBatch → idempotent partition
+    overwrite.  New daily files are picked up exactly once (checkpoint
+    tracks them); re-running the trigger is a no-op.  This is the
+    streaming version of process_single_day.
+  * `hourly_rollup_stream` — watermarked windowed aggregation of the
+    event stream: the always-on variant of the hourly-demand flagship,
+    tolerating late events up to the watermark.
+
+Scale: AvailableNow processes the backlog in bounded micro-batches
+(maxFilesPerTrigger) without an always-on cluster; state for the
+windowed agg is bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..sources.csv import all_string_schema
+from ..sources.lakehouse import Lakehouse
+
+TRIPS_COLUMNS = [
+    "fecha", "periodo", "origen", "destino", "distancia",
+    "actividad_origen", "actividad_destino", "residencia", "renta",
+    "edad", "sexo", "viajes", "viajes_km",
+]
+
+
+def daily_file_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    lake: Lakehouse,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 8,
+) -> StreamingQuery:
+    """Exactly-once bronze ingest of daily CSV drops via AvailableNow +
+    foreachBatch partition overwrite."""
+    stream = (
+        spark.readStream.schema(all_string_schema(TRIPS_COLUMNS))
+        .option("header", "true")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .csv(landing_dir)
+        .select(
+            "*",
+            F.current_timestamp().alias("ingestion_timestamp"),
+            F.lit(landing_dir).alias("source_url"),
+            F.input_file_name().alias("filename"),
+        )
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("fecha").isNotNull())
+        if batch.isEmpty():
+            return
+        lake.overwrite_partitions(
+            batch, "bronze", "mobility_data_stream", partition_col="fecha"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def hourly_rollup_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked 1-hour windowed rollup of a streaming event frame
+    (pass `spark.readStream…` input; unit tests drive it with
+    availableNow over the parquet events table)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "total_value",
+            "n_events",
+        )
+    )
