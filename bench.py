@@ -27,8 +27,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
-    # warm the JVM + file listing once so per-query numbers measure the
-    # query, not session bootstrap (the driver compares steady-state).
+    # warm the JVM (codegen, shuffle machinery, parquet footer cache) so
+    # per-query numbers measure the query, not session bootstrap
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+
     specs_items = sorted(specs.items())
     timings: dict[str, float] = {}
     total = 0.0

@@ -26,10 +26,15 @@ N_HASHES = 8
 BAND_ROWS = 4  # → 2 bands of 4 rows: candidates need jaccard^4 band hit
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams; docs shorter than n words yield the whole
-    text as a single shingle."""
-    toks = F.split(text, " ")
+def shingles(toks: Column, text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a *materialized* token-array column;
+    docs shorter than n words yield the whole text as a single shingle.
+
+    `toks` must be a bound column (not an inline split(...) expression):
+    Catalyst does not do common-subexpression elimination inside
+    higher-order-function lambdas, so an inline split would re-tokenize
+    the document for every element_at call — observed 4× slowdown.
+    """
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -43,21 +48,31 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    return documents.select(
-        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    toked = documents.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.explode(shingles(F.col("toks"), F.col("text"), n)).alias("shingle"),
     )
 
 
-def minhash_signatures(
-    documents: DataFrame, n_hashes: int = N_HASHES
+def signatures_from_shingles(
+    exploded: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """doc_id + m0..m{K-1} minhash columns, one aggregation pass."""
-    exploded = doc_shingles(documents)
+    """doc_id + m0..m{K-1} minhash columns from an exploded
+    (doc_id, shingle) frame — one aggregation pass."""
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
         for s in range(n_hashes)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(
+    documents: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    return signatures_from_shingles(doc_shingles(documents), n_hashes)
 
 
 def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
@@ -77,9 +92,17 @@ def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.band_key")
 
 
-def candidate_pairs(documents: DataFrame) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band."""
-    bands = band_keys(minhash_signatures(documents))
+def candidate_pairs(
+    documents: DataFrame, exploded: DataFrame | None = None
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
+    Pass a cached exploded-shingle frame to avoid re-shingling."""
+    sig = (
+        signatures_from_shingles(exploded)
+        if exploded is not None
+        else minhash_signatures(documents)
+    )
+    bands = band_keys(sig)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -101,7 +124,7 @@ def near_duplicates(
     sh = doc_shingles(documents).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    cand = candidate_pairs(documents)
+    cand = candidate_pairs(documents, exploded=sh)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

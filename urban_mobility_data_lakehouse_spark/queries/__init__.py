@@ -66,6 +66,7 @@ def _load_all() -> None:
         return
     from . import core  # noqa: F401
     from . import domain  # noqa: F401
+    from . import functions_suite  # noqa: F401
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401

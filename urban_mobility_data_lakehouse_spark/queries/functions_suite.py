@@ -1,0 +1,318 @@
+"""Scalar-function coverage queries (SURVEY.md §2.8) + the remaining
+operator gaps: pivot (U1), derived-key join (J2), lateral-alias filter
+(P8), bare limit (O3), approx distinct, date spine, and the BASELINE
+day-equivalent silver batch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast
+
+from ..operators.relational import dsum
+from ..sources.testdata import load_table
+from . import register
+
+
+@register(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           trim(c_name) AS name_trim,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, 'Customer', 'Cust') AS name_replaced,
+           split_part(c_name, '#', 2) AS name_number,
+           regexp_extract(c_name, '([1-9][0-9]*)', 1) AS first_digits,
+           c_mktsegment || '-' || c_name AS tagged,
+           upper(c_mktsegment) AS seg_upper,
+           lower(c_mktsegment) AS seg_lower,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           CASE WHEN c_name LIKE '%00' THEN 'round' ELSE 'other' END
+               AS name_class
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    tags=("strings", "P3"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIM/SUBSTR/REPLACE/split_part/REGEXP_EXTRACT/||/LIKE — the full
+    §2.8 string list (mobility_ingestion_pipeline.py:226-305,763)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace("c_name", F.lit("Customer"), F.lit("Cust")).alias(
+            "name_replaced"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias(
+            "name_number"
+        ),
+        F.regexp_extract("c_name", "([1-9][0-9]*)", 1).alias("first_digits"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("tagged"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.when(F.col("c_name").like("%00"), "round")
+        .otherwise("other")
+        .alias("name_class"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           dayname(o_orderdate) AS order_dayname,
+           CAST(isodow(o_orderdate) AS BIGINT) AS order_isodow,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_str,
+           strftime(make_date(2023, month(o_orderdate), day(o_orderdate)),
+                    '%Y-%m-%d') AS shifted_2023,
+           strftime(CAST(o_orderdate + INTERVAL 7 DAY AS DATE), '%Y-%m-%d')
+               AS plus_week,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE),
+                    '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS days_since_epoch_95
+    FROM orders
+    WHERE o_orderkey < 200
+    ORDER BY o_orderkey
+    """,
+    tags=("datetime",),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/dayname/isodow/strftime/make_date/interval/trunc/
+    last_day/datediff — §2.8 date list.  Spark weekday() is Mon=0, so
+    ISODOW = weekday()+1."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.year(d).cast("long").alias("order_year"),
+            F.month(d).cast("long").alias("order_month"),
+            F.dayofmonth(d).cast("long").alias("order_day"),
+            F.date_format(d, "EEEE").alias("order_dayname"),
+            (F.weekday(d) + 1).cast("long").alias("order_isodow"),
+            F.date_format(d, "yyyy-MM-dd").alias("order_date_str"),
+            F.date_format(
+                F.make_date(F.lit(2023), F.month(d), F.dayofmonth(d)),
+                "yyyy-MM-dd",
+            ).alias("shifted_2023"),
+            F.date_format(F.date_add(d, 7), "yyyy-MM-dd").alias("plus_week"),
+            F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(d, F.lit("1995-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since_epoch_95"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "date_spine",
+    oracle="""
+    SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS spine_date,
+           CAST(isodow(CAST(d AS DATE)) AS BIGINT) AS spine_isodow
+    FROM generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                         INTERVAL 1 DAY) t(d)
+    ORDER BY 1
+    """,
+    tags=("datetime", "J5"),
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence()+explode date spine — replaces the reference's
+    driver-side pd.date_range→XCom hop (mobility_ingestion_pipeline.py
+    :403-411) with a fully distributed spine."""
+    from ..functions.datetime_fns import date_sequence
+
+    return (
+        spark.range(1)
+        .select(
+            F.explode(date_sequence("2024-01-01", "2024-01-31")).alias("d")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("spine_date"),
+            (F.weekday("d") + 1).cast("long").alias("spine_isodow"),
+        )
+        .orderBy("spine_date")
+    )
+
+
+_PIVOT_HOURS = list(range(24))
+
+@register(
+    "pivot_day_profile",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+    """ + ",\n".join(
+        f"       coalesce(round(CAST(sum(CAST(value AS DECIMAL(25,6)))"
+        f" FILTER (WHERE hour(ts) = {h}) AS DOUBLE), 4), 0.0) AS h{h}"
+        for h in _PIVOT_HOURS
+    ) + """
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("U1",),
+)
+def pivot_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 long→wide pivot with a pre-declared pivot domain (no extra
+    distinct-values scan) — the clustering feature matrix."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "hh", F.hour("ts")
+    )
+    wide = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("hh", _PIVOT_HOURS)
+        .agg(F.round(dsum("value"), 4))
+        .na.fill(0.0)
+    )
+    renamed = wide.select(
+        "event_date",
+        *[F.col(str(h)).alias(f"h{h}") for h in _PIVOT_HOURS],
+    )
+    return renamed.orderBy("event_date")
+
+
+@register(
+    "derived_key_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders
+    JOIN customer
+      ON CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    tags=("J2",),
+)
+def derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: equi-join on a derived (computed) key — the reference's
+    split_part/LEFT(…,5) join conditions (…:229-230,305)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    key = F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long")
+    return (
+        orders.join(broadcast(customer), key == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "alias_filter",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice * 0.05, 4) AS fee
+    FROM orders
+    WHERE round(o_totalprice * 0.05, 4) > 20000.0
+    ORDER BY o_orderkey
+    """,
+    tags=("P8",),
+)
+def alias_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 lateral-alias filtering: the DataFrame-native form — project
+    the alias, then filter on it (select→filter chaining is exactly the
+    lateral column alias semantic)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 0.05, 4).alias("fee"),
+        )
+        .filter(F.col("fee") > 20000.0)
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "limit_preview",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3
+    """,
+    tags=("O3",),
+)
+def limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 bare-LIMIT preview (deterministic: ordered first)."""
+    return (
+        load_table(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+        .limit(3)
+    )
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,  # approximate by definition → rows-only check
+    tags=("A3", "scale"),
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of COUNT(DISTINCT): HyperLogLog++ sketch —
+    the reference's own SUMMARIZE uses approx_unique
+    (1_sprint3...ipynb:1862 cell 21)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "silver_batch_audit",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE), 2)
+               AS total_qty,
+           count(DISTINCT strftime(l_shipdate, '%Y-%m-%d')) AS n_days,
+           count(DISTINCT p_brand) AS n_brands,
+           count(DISTINCT s_nationkey) AS n_supp_nations
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE TRY_CAST(l_quantity AS DOUBLE) IS NOT NULL
+    """,
+    tags=("S10", "BASELINE"),
+    bench=True,
+)
+def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.md's day-equivalent batch shape: full fact scan + typed
+    cast cleaning + two broadcast dim joins + batch audit — the workload
+    whose per-day latency must stay flat as the table grows."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lineitem.filter(
+            F.col("l_quantity").cast("double").isNotNull()
+        )
+        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(dsum("l_quantity"), 2).alias("total_qty"),
+            F.countDistinct(
+                F.date_format("l_shipdate", "yyyy-MM-dd")
+            ).alias("n_days"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.countDistinct("s_nationkey").alias("n_supp_nations"),
+        )
+    )
