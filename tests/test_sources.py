@@ -1,0 +1,58 @@
+"""Source-layer tests: pandas ingest (S5), HTTP prefetch with encoding
+repair (S7, driven offline via file:// URLs), bronze CSV contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.sources.csv import (
+    fetch_url,
+    read_bronze_csv,
+)
+
+
+def test_pandas_ingest_arrow(spark):
+    """S5: con.register(pandas_df) analog — spark.createDataFrame over
+    Arrow, then joinable like any table (the geo-API and KMeans-result
+    ingestion path)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"zone": ["01001", "01002"], "wkt": ["POLYGON((0 0,1 0,1 1,0 1,0 0))"] * 2}
+    )
+    df = spark.createDataFrame(pdf)
+    assert df.count() == 2
+    assert dict(df.dtypes) == {"zone": "string", "wkt": "string"}
+    joined = df.alias("a").join(
+        df.alias("b"), F.col("a.zone") == F.col("b.zone")
+    )
+    assert joined.count() == 2
+
+
+def test_fetch_url_encoding_repair(tmp_path):
+    """S7: BOM strip + encoding fallback, driven through a file:// URL."""
+    raw = tmp_path / "raw.csv"
+    # ISO-8859-1 content with accented chars + a BOM-less header
+    raw.write_bytes("Municipio;Año\nCastellón;2023\n".encode("ISO-8859-1"))
+    out = fetch_url(raw.as_uri(), str(tmp_path / "fixed.csv"))
+    text = open(out, encoding="utf-8").read()
+    assert "Castellón" in text and "Año" in text
+
+    bom = tmp_path / "bom.csv"
+    bom.write_bytes("﻿ID|name\n01001|Zona\n".encode("utf-8"))
+    out2 = fetch_url(bom.as_uri(), str(tmp_path / "fixed2.csv"))
+    assert open(out2, encoding="utf-8").read().startswith("ID|name")
+
+
+def test_bronze_csv_audit_columns(spark, tmp_path):
+    src = tmp_path / "t.csv"
+    src.write_text("a,b\n1,x\n2,y\n")
+    df = read_bronze_csv(spark, str(src), source_url="https://example/t.csv")
+    rows = df.collect()
+    assert {"a", "b", "ingestion_timestamp", "source_url", "filename"} <= set(
+        df.columns
+    )
+    assert all(r["source_url"] == "https://example/t.csv" for r in rows)
+    assert all(r["filename"].endswith("t.csv") for r in rows)
+    # all data columns arrive as strings (schema-on-read contract)
+    assert dict(df.dtypes)["a"] == "string"

@@ -316,3 +316,34 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_nationkey").alias("n_supp_nations"),
         )
     )
+
+
+@register(
+    "any_value_lookup",
+    oracle="""
+    SELECT o_custkey,
+           any_value(c_name) AS customer_name,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    tags=("A6",),
+)
+def any_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 ANY_VALUE (1_sprint1...ipynb:2706-2708 cell 31): deterministic
+    here because the picked value is functionally dependent on the group
+    key — the only sound way to oracle-check ANY_VALUE."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.any_value("c_name").alias("customer_name"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )

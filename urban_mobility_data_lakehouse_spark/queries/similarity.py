@@ -7,6 +7,7 @@ The LSH variant depends on seed-derived hyperplane constants → rows-only.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..similarity import knn
@@ -63,4 +64,57 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.knn_lsh(
         load_table(spark, sf_dir, "embeddings"), n_queries=10, k=3
+    )
+
+
+@register(
+    "embedding_near_dups",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_reduce(
+                   list_transform(generate_series(1, len(a.e)),
+                                  i -> a.e[i] * b.e[i]),
+                   (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
+                                   (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.e, x -> x * x),
+                                     (x, y) -> x + y))) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS cosine_sim
+    FROM pairs
+    WHERE cos >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("similarity", "dedup", "embedding"),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the last dedup modality):
+    exact all-pairs at oracle scale; the LSH-bucketed path (knn_lsh)
+    is the 100 TB candidate-generation strategy for the same check."""
+    from ..similarity.knn import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        _as_double(F.col("embedding")).alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        _as_double(F.col("embedding")).alias("eb"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.45)  # filter before rounding (oracle parity)
+        .select(
+            "vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim")
+        )
+        .orderBy("vec_a", "vec_b")
     )
