@@ -92,3 +92,54 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     for k, v in got.items():
         assert expected[k] == v
     assert len(got) >= len(expected) - 25  # tail windows may be open
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: a single availableNow
+    batch must reproduce the batch gaps-and-islands operator exactly
+    (same sessions, bounds, counts, value sums)."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        sessionize,
+        sessionize_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "sess_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    stream_in = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(str(stream_dir))
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    )
+    q = (
+        sessionize_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start"], r["session_end"],
+            r["n_events"], round(r["total_value"], 4),
+        )
+        for r in spark.sql("select * from sessions_stream").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start"], r["session_end"],
+            r["n_events"], r["total_value"],
+        )
+        for r in sessionize(events).collect()
+    }
+    assert got == expected

@@ -527,3 +527,42 @@ def set_ops(customer: DataFrame, supplier: DataFrame) -> DataFrame:
     c_only = c.exceptAll(s).withColumn("membership", F.lit("customer_only"))
     s_only = s.exceptAll(c).withColumn("membership", F.lit("supplier_only"))
     return both.unionByName(c_only).unionByName(s_only).orderBy("nkey", "membership")
+
+
+def salted_agg(
+    events: DataFrame,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe two-stage aggregation (salting): partial aggregate on
+    (key, salt), then final merge on key.
+
+    `event_type` has a handful of distinct values over millions of rows
+    — the textbook hot-key shape where a single-stage groupBy funnels
+    every row of one key through one reducer.  Salting bounds any
+    reducer's share to 1/n_salts of a hot key; at 100 TB this (or AQE
+    skew handling) is the difference between a 5-minute and a 5-hour
+    stage.  The salt is crc32 of a high-cardinality column — NOT
+    rand(), so retried tasks re-derive identical partials (required
+    for exactly-once under task retry).
+
+    Partials stay DECIMAL through both stages (see dsum) so the result
+    is bit-identical to the unsalted plan — which is exactly how the
+    oracle checks it: same GROUP BY, no salt, in plain SQL.
+    """
+    salt = F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salts))
+    partial = (
+        events.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
+            F.count(F.lit(1)).alias("pc"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
+            F.sum("pc").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

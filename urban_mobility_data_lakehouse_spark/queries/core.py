@@ -544,3 +544,65 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.set_ops(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
     )
+
+
+@register(
+    "salted_agg",
+    oracle="""
+    SELECT event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+               AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("A1", "skew", "scale"),
+)
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted two-stage aggregation; the oracle is the plain
+    unsalted GROUP BY — salting must be result-invariant."""
+    return R.salted_agg(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_events",
+    oracle=None,  # set below (shared template with the streaming tests)
+    tags=("sessionization", "window", "streaming-analog"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): the batch form of
+    the stateful streaming operator in streaming/sessions.py."""
+    import pyspark.sql.functions as F
+
+    from ..streaming.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        "user_id",
+        "session_no",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+        "total_value",
+    )
+
+
+def _set_sessionize_oracle() -> None:
+    from ..streaming.sessions import SESSIONIZE_ORACLE
+    from . import REGISTRY, QuerySpec
+
+    spec = REGISTRY["sessionize_events"]
+    REGISTRY["sessionize_events"] = QuerySpec(
+        spec.name,
+        spec.builder,
+        SESSIONIZE_ORACLE.format(gap_us=30 * 60 * 1_000_000),
+        spec.tags,
+        spec.bench,
+    )
+
+
+_set_sessionize_oracle()

@@ -118,3 +118,23 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "knn_ivf",
+    oracle=None,  # approximate by construction (k-means cells); recall
+    # vs the exact brute-force baseline is asserted in tests instead
+    tags=("similarity", "ann", "ivf", "scale"),
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN (similarity/ivf.py): the bucketed scale path —
+    each query scores only n_probe of n_cells index cells."""
+    from ..similarity import ivf
+
+    return ivf.knn_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=10,
+        k=3,
+        n_cells=16,
+        n_probe=4,
+    )
