@@ -51,20 +51,57 @@ def day_profiles(hourly: DataFrame) -> DataFrame:
     )
 
 
-def typical_day_clustering(
-    events: DataFrame, k: int = 3, seed: int = 42
-) -> tuple[DataFrame, DataFrame]:
-    """U3+U4: returns (assignments[event_date, cluster_id],
-    gold_profile[cluster_id, hour, avg_trips, total_trips_sample]).
+def _kmeans_driver(
+    profiles: DataFrame, k: int, seed: int, n_init: int = 10
+) -> DataFrame:
+    """Driver-side seeded Lloyd's over the collected profile matrix.
 
-    Gold schema parity: gold.typical_day_by_cluster
-    (mobility_ingestion_pipeline.py:708-727).
+    The profile table is bounded by |distinct days| — a few thousand
+    rows even at 100 TB of events — so after the *distributed* agg +
+    pivot, clustering its k×24 matrix on the driver is the honest scale
+    design (and what the reference does with sklearn:
+    mobility_ingestion_pipeline.py:692-693, KMeans(n_clusters=3,
+    random_state=42, n_init=10)).  Best-of-n_init by inertia, all
+    seeded → bit-deterministic, no MLlib job storm.
     """
+    import numpy as np
+
+    spark = profiles.sparkSession
+    rows = profiles.orderBy("event_date").collect()
+    x = np.array([[r[f"h{h}"] for h in HOURS] for r in rows])
+    rng = np.random.RandomState(seed)
+    best_assign, best_inertia = None, np.inf
+    kk = min(k, len(x))
+    for _ in range(n_init):
+        cents = x[rng.choice(len(x), size=kk, replace=False)]
+        for _ in range(50):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = np.array(
+                [
+                    x[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+                    for c in range(kk)
+                ]
+            )
+            if np.allclose(new, cents):
+                break
+            cents = new
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        inertia = d2.min(axis=1).sum()
+        if inertia < best_inertia - 1e-12:
+            best_inertia, best_assign = inertia, assign
+    return spark.createDataFrame(
+        [(r["event_date"], int(c)) for r, c in zip(rows, best_assign)],
+        "event_date date, raw_cluster int",
+    )
+
+
+def _kmeans_mllib(profiles: DataFrame, k: int, seed: int) -> DataFrame:
+    """MLlib backend — the fully-distributed path, for feature matrices
+    that outgrow the driver (not the case for day-profiles)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import VectorAssembler
-
-    hourly = hourly_totals(events)
-    profiles = day_profiles(hourly).cache()
 
     assembler = VectorAssembler(
         inputCols=[f"h{h}" for h in HOURS], outputCol="features"
@@ -72,9 +109,30 @@ def typical_day_clustering(
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(
         assembler.transform(profiles)
     )
-    raw = model.transform(assembler.transform(profiles)).select(
+    return model.transform(assembler.transform(profiles)).select(
         "event_date", F.col("prediction").alias("raw_cluster")
     )
+
+
+def typical_day_clustering(
+    events: DataFrame, k: int = 3, seed: int = 42, backend: str = "driver"
+) -> tuple[DataFrame, DataFrame]:
+    """U3+U4: returns (assignments[event_date, cluster_id],
+    gold_profile[cluster_id, hour, avg_trips, total_trips_sample]).
+
+    Gold schema parity: gold.typical_day_by_cluster
+    (mobility_ingestion_pipeline.py:708-727).
+    """
+    # hourly is tiny (days × 24 rows) and feeds BOTH the profile pivot
+    # and the gold re-aggregation — cache it so the events scan+shuffle
+    # runs once, not twice.
+    hourly = hourly_totals(events).cache()
+    profiles = day_profiles(hourly)
+
+    if backend == "mllib":
+        raw = _kmeans_mllib(profiles, k, seed)
+    else:
+        raw = _kmeans_driver(profiles, k, seed)
 
     # Deterministic relabel: biggest cluster → 0, ties by earliest date.
     sizes = raw.groupBy("raw_cluster").agg(

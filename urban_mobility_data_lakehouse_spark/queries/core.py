@@ -558,6 +558,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY event_type
     """,
     tags=("A1", "skew", "scale"),
+    bench=True,
 )
 def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe salted two-stage aggregation; the oracle is the plain
@@ -569,6 +570,7 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     oracle=None,  # set below (shared template with the streaming tests)
     tags=("sessionization", "window", "streaming-analog"),
+    bench=True,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (gaps-and-islands): the batch form of

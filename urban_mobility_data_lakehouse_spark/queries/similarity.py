@@ -125,6 +125,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate by construction (k-means cells); recall
     # vs the exact brute-force baseline is asserted in tests instead
     tags=("similarity", "ann", "ivf", "scale"),
+    bench=True,
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN (similarity/ivf.py): the bucketed scale path —

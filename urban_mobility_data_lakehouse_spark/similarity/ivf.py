@@ -7,10 +7,14 @@ The third rung of the ANN ladder (after brute-force and LSH in
      deterministic sample of the corpus (FAISS trains IVF on a sample
      too; at 100 TB the sample is still a driver-sized array).
   2. *Assign*: every vector goes to its nearest centroid's cell.  The
-     assignment is a pure codegen expression (one zip_with/aggregate
-     per centroid — centroids are literals broadcast in the plan), so
-     the 100 TB pass is a single narrow map with no shuffle; in a real
-     deployment the cell id becomes a partition/bucket column.
+     centroid table rides along as ONE broadcast array-of-structs
+     column (a single-row cross join), and the per-vector cell ranking
+     is computed row-locally with higher-order functions — a pure map
+     with NO shuffle and no giant literal tree in the plan.  (Literal
+     centroids were tried first: 16 cells × 64 dims of literals made
+     codegen compile for seconds; a groupBy/min_by variant paid a
+     corpus-wide shuffle.  This form pays neither.)  In a real
+     deployment `cell` becomes a partition/bucket column at ingest.
   3. *Probe*: each query scores only the `n_probe` nearest cells —
      work per query is bounded by n_probe/n_cells of the corpus
      instead of all of it.
@@ -25,7 +29,7 @@ brute-force baseline is asserted in tests.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from .knn import _as_double, cosine
 
@@ -68,38 +72,65 @@ def train_centroids(
     return cents.tolist()
 
 
-def _l2sq(emb: Column, centroid: list[float]) -> Column:
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
+def centroid_table(
+    spark: SparkSession, centroids: list[list[float]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(
-        F.zip_with(emb, lit, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
-def cell_ranking(emb: Column, centroids: list[list[float]]) -> Column:
-    """Array of cell ids ordered nearest-first (codegen-only)."""
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(
-                    _l2sq(emb, c).alias("d"), F.lit(i).alias("cell")
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
+def with_ranked_cells(
+    embeddings: DataFrame, centroids: list[list[float]], n_probe: int
+) -> DataFrame:
+    """(vec_id, emb, probe[n_probe]) with probe = nearest cells first.
+
+    The centroid table is folded to one array-of-structs row and
+    broadcast-cross-joined onto every vector; ranking happens inside
+    transform/array_sort — row-local, shuffle-free, tie-broken by
+    (distance, cell id) so results are deterministic.
+    """
+    cents_row = centroid_table(embeddings.sparkSession, centroids).agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents")
     )
-    return F.transform(ranked, lambda s: s["cell"])
+    emb = F.col("emb")
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _l2sq(emb, c["centroid"]).alias("_d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        ),
+        lambda s: s["cell"],
+    )
+    return (
+        embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("emb")
+        )
+        .join(F.broadcast(cents_row))
+        .select("vec_id", "emb", F.slice(ranked, 1, n_probe).alias("probe"))
+    )
 
 
 def assign_cells(
     embeddings: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
-    """IVF assignment pass: adds the `cell` column (the bucketing key a
-    100 TB deployment would partition the index by)."""
-    emb = _as_double(F.col("embedding"))
-    return embeddings.withColumn(
-        "cell", cell_ranking(emb, centroids)[0].cast("int")
+    """IVF assignment pass: (vec_id, emb, cell) — the bucketing key a
+    100 TB deployment would partition the index by."""
+    return with_ranked_cells(embeddings, centroids, 1).select(
+        "vec_id", "emb", F.col("probe")[0].alias("cell")
     )
 
 
@@ -114,17 +145,17 @@ def knn_ivf(
     """Approximate top-k cosine: probe the n_probe nearest cells per
     query, exact re-rank inside the probed candidate set."""
     centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
-    emb = _as_double(F.col("embedding"))
 
-    base = assign_cells(embeddings, centroids).select(
+    cells = with_ranked_cells(embeddings, centroids, n_probe)
+    base = cells.select(
         F.col("vec_id").alias("neighbor_id"),
-        emb.alias("emb_b"),
-        "cell",
+        F.col("emb").alias("emb_b"),
+        F.col("probe")[0].alias("cell"),
     )
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+    queries = cells.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        emb.alias("emb_q"),
-        F.slice(cell_ranking(emb, centroids), 1, n_probe).alias("probe"),
+        F.col("emb").alias("emb_q"),
+        "probe",
     )
     scored = base.join(
         F.broadcast(queries),
