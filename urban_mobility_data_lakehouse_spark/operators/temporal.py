@@ -1,0 +1,120 @@
+"""Temporal join operators Spark lacks natively (SURVEY.md §2.3 notes
+the reference has none either — these are the beyond-reference ops a
+time-series/training-data pipeline needs).
+
+`asof_join` — "most recent right row at or before each left row" — is
+built as union → single window fill → filter, NOT as an inequality
+join.  Why: a range/theta join in Spark plans as a broadcast nested
+loop (right side must fit in memory) or an exploded sort-merge; the
+union form costs exactly ONE shuffle on the join keys, streams through
+a single sort per partition, and never materializes candidate pairs.
+That is the plan you want when both sides are 100 TB-scale: shuffle
+volume = |left| + |right|, state = one row of carried payload.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row gains the payload of the
+    latest right row with right_ts <= left_ts (per `on` key group),
+    or NULLs when no prior right row exists.
+
+    Ties at equal timestamps match (>= semantics, like DuckDB
+    `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`).  Right rows
+    should be unique per (on, right_ts); pre-aggregate if not.
+    """
+    on = list(on)
+    payload = list(
+        payload
+        if payload is not None
+        else [c for c in right.columns if c not in on and c != right_ts]
+    )
+    left_cols = left.columns
+
+    r_types = dict(right.dtypes)
+    l = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_ts"),
+        F.lit(True).alias("_is_left"),
+        *[F.lit(None).cast(r_types[p]).alias(p) for p in payload],
+    )
+    l_types = dict(left.dtypes)
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(False).alias("_is_left"),
+        *payload,
+        *[
+            F.lit(None).cast(l_types[c]).alias(c)
+            for c in left_cols
+            if c not in on
+        ],
+    )
+
+    # rights sort before lefts at equal _ts so ">=" ties are visible to
+    # the fill; left rows carry NULL payload so last(ignorenulls) can
+    # only ever pick up right-row values.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        *left_cols,
+        "_is_left",
+        *[
+            F.last(p, ignorenulls=True).over(w).alias(f"_f_{p}")
+            for p in payload
+        ],
+    )
+    return (
+        filled.filter(F.col("_is_left"))
+        .select(
+            *left_cols,
+            *[F.col(f"_f_{p}").alias(p) for p in payload],
+        )
+    )
+
+
+def range_join_agg(
+    facts: DataFrame,
+    tiers: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/range join: facts matched to the tier whose [lo, hi) range
+    contains `value_col`, then aggregated per tier.
+
+    The tier table is tiny and broadcast → BroadcastNestedLoopJoin with
+    the range predicate evaluated in codegen; at 100 TB this is a pure
+    map-side lookup (no shuffle until the final small agg).
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    return (
+        facts.join(F.broadcast(tiers), cond, "inner")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("tier")
+    )

@@ -70,4 +70,5 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import dedup  # noqa: F401
     from . import similarity  # noqa: F401
+    from . import temporal_suite  # noqa: F401
     _loaded = True
