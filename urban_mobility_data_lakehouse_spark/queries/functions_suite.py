@@ -347,3 +347,37 @@ def any_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("percentile", "A-family"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group — Spark's percentile()
+    and DuckDB's quantile_cont share linear-interpolation semantics
+    bit-for-bit.  The 100 TB path is approx_percentile (t-digest,
+    mergeable, single pass); the exact form is the oracle-checkable
+    baseline the approximate one is validated against."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            *[
+                F.round(F.percentile("value", p), 4).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in (0.5, 0.9, 0.99)
+            ]
+        )
+        .orderBy("event_type")
+    )
