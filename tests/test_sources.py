@@ -56,3 +56,30 @@ def test_bronze_csv_audit_columns(spark, tmp_path):
     assert all(r["filename"].endswith("t.csv") for r in rows)
     # all data columns arrive as strings (schema-on-read contract)
     assert dict(df.dtypes)["a"] == "string"
+
+
+def test_sql_repl_surface(spark, tmp_path):
+    """§3.3 interactive-session parity: register the synthetic tables as
+    views, then drive everything through spark.sql — ad-hoc joins,
+    DESCRIBE, catalog listing (the notebook's con.execute(...).df()
+    loop becomes spark.sql(...).toPandas())."""
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        TESTDATA_TABLES,
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    listed = {t.name for t in spark.catalog.listTables()}
+    assert set(TESTDATA_TABLES) <= listed
+
+    top = spark.sql("""
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC, n_name LIMIT 5
+    """).collect()
+    assert len(top) == 5 and top[0]["n_customers"] >= top[-1]["n_customers"]
+
+    desc = {r["col_name"]: r["data_type"] for r in spark.sql("DESCRIBE events").collect()}
+    assert desc["event_type"] == "string"
+    # SUMMARIZE analog (A12): df.summary() runs over the view
+    assert spark.table("orders").select("o_totalprice").summary("count", "min", "max").count() == 3
