@@ -80,3 +80,31 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
             continue  # MLlib pipeline materializes via its own path
         plan = formatted_plan(spec.builder(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python UDF"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed on the join key → the join
+    must plan with ZERO exchanges (the write-once-shuffle-never
+    contract bucketing exists for)."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        save_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    save_bucketed(orders, "b_orders", "o_custkey", 8)
+    save_bucketed(customer, "b_customer", "c_custkey", 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_orderkey", "c_name")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

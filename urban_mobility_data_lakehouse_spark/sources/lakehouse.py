@@ -170,3 +170,23 @@ def log_metric(
         "silver",
         "data_quality_log",
     )
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed catalog table (CLUSTERED BY ... INTO n BUCKETS).
+
+    Bucketing is the lakehouse answer to repeated fact×fact joins at
+    100 TB: both sides pre-hashed into matching bucket files, so the
+    join plans as a SortMergeJoin with NO Exchange on either side —
+    the shuffle happened once at write time, not on every query.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)
