@@ -171,3 +171,45 @@ def test_gold_gaps_and_consultation(pipeline):
     )
     rows = profile.collect()
     assert len(rows) == 3 * 24
+
+
+def test_run_pipeline_orchestration(spark, tmp_path):
+    """The single-call orchestration (reference DAG order) must run
+    end-to-end and return the audit metrics."""
+    from urban_mobility_data_lakehouse_spark.pipeline.fixtures import (
+        DATES,
+        write_fixtures,
+    )
+    from urban_mobility_data_lakehouse_spark.pipeline.orchestration import (
+        run_pipeline,
+    )
+
+    fixtures = write_fixtures(str(tmp_path / "src"))
+    audits = run_pipeline(
+        spark, str(tmp_path / "lake"), fixtures, DATES[:7]
+    )
+    assert audits["dimensions"]["zones_missing_ine_code"] == 0
+    assert audits["batch"]["batch_days_loaded"] == 7
+
+
+def test_reporting_degrades_without_matplotlib(spark):
+    import importlib
+
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark import reporting
+
+    has_mpl = importlib.util.find_spec("matplotlib") is not None
+    gold = spark.createDataFrame(
+        [(0, h, float(h)) for h in range(24)],
+        "cluster_id int, hour int, avg_trips double",
+    )
+    if has_mpl:
+        import tempfile, os
+        out = reporting.plot_cluster_profiles(
+            gold, os.path.join(tempfile.mkdtemp(), "c.png")
+        )
+        assert os.path.exists(out)
+    else:
+        with _pytest.raises(ImportError, match="matplotlib"):
+            reporting.plot_cluster_profiles(gold, "/tmp/never.png")
