@@ -50,3 +50,25 @@ def test_frame_sample_fanout(spark):
     )
     frames = frame_sample(media, every_n=10).collect()
     assert [r["frame_index"] for r in frames] == list(range(0, 95, 10))
+
+
+def test_resize_stub_plumbing(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        documents_as_media,
+        resize_image,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = resize_image(media.limit(20), 8, 6, fake=True)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(r["payload"]) == 8 * 6 * 3 for r in rows)
+    assert all((r["width"], r["height"]) == (8, 6) for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="resize"):
+        resize_image(media, 8, 6).collect()

@@ -130,3 +130,49 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             ).alias("frame_index"),
         )
     )
+
+
+def resize_image(
+    media: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Image resize step — STUB decode (no codecs here), real plumbing:
+    binary-in → binary-out mapInPandas with the target dims stamped
+    into the typed metadata.  A PIL-backed implementation swaps only
+    the body of `_resize`; batching, schema, and the no-collect
+    contract are already exactly right.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires PIL/libvips — not available here; "
+            "call with fake=True for the deterministic test double"
+        )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            # deterministic fake: payload truncated/padded to w*h*3 so
+            # downstream size accounting is exercised for real
+            target = width * height * 3
+            payload = pdf["payload"].map(
+                lambda b: (bytes(b) * (target // max(len(bytes(b)), 1) + 1))[
+                    :target
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payload,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema=(
+            "media_id long, kind string, payload binary, "
+            "width int, height int"
+        ),
+    )
