@@ -143,3 +143,44 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         for r in sessionize(events).collect()
     }
     assert got == expected
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir, tmp_path):
+    """Duplicated input files → dropDuplicatesWithinWatermark must emit
+    each event_id exactly once (the at-least-once → exactly-once
+    repair)."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.streaming.daily import (
+        dedup_stream,
+    )
+
+    stream_dir = tmp_path / "dup_stream"
+    stream_dir.mkdir()
+    # same file twice = every event duplicated at the source
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
+    stream_in = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(str(stream_dir))
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    )
+    q = (
+        dedup_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) c, count(distinct event_id) d from dedup_stream_t"
+    ).collect()[0]
+    n = load_table(spark, sf_dir, "events").count()
+    assert got["c"] == got["d"] == n

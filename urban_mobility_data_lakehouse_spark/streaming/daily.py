@@ -95,3 +95,21 @@ def hourly_rollup_stream(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (replayed files,
+    Kafka redeliveries) become exactly-once rows downstream.
+
+    dropDuplicatesWithinWatermark keeps one row per key and bounds the
+    dedup state by the watermark horizon — at 100 TB/day the state
+    table holds only the horizon's keys, not history.  (The batch
+    analog is dropDuplicates/exact_dup_groups in dedup/exact.py.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
