@@ -83,3 +83,41 @@ def test_sql_repl_surface(spark, tmp_path):
     assert desc["event_type"] == "string"
     # SUMMARIZE analog (A12): df.summary() runs over the view
     assert spark.table("orders").select("o_totalprice").summary("count", "min", "max").count() == 3
+
+
+def test_lakehouse_compact(spark, tmp_path):
+    """OPTIMIZE analog: many small files per partition → one; data
+    identical; snapshot history records the compaction."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+        _count_data_files,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value", F.to_date("ts").alias("partition_date")
+    )
+    # deliberately fragment: ~8 files per daily partition
+    lake.overwrite_partitions(
+        events.repartition(8), "silver", "frag", partition_col="partition_date"
+    )
+    path = str(tmp_path / "lake" / "silver" / "frag")
+    before_rows = sorted(
+        (r["event_id"], r["value"]) for r in lake.read(spark, "silver", "frag").collect()
+    )
+    n_parts = events.select("partition_date").distinct().count()
+    assert _count_data_files(path) > n_parts
+
+    stats = lake.compact(spark, "silver", "frag", partition_col="partition_date")
+    assert stats["files_after"] == n_parts < stats["files_before"]
+    after_rows = sorted(
+        (r["event_id"], r["value"]) for r in lake.read(spark, "silver", "frag").collect()
+    )
+    assert after_rows == before_rows
+    assert lake.snapshots("silver", "frag")[-1]["operation"] == "compact"

@@ -96,6 +96,62 @@ class Lakehouse:
         df.write.mode("append").parquet(path)
         self._log_snapshot(path, op="append")
 
+    def compact(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        partition_col: str | None = None,
+        target_files_per_partition: int = 1,
+    ) -> dict:
+        """OPTIMIZE analog: rewrite each partition's many small files
+        into `target_files_per_partition` right-sized ones.
+
+        The small-files problem is the canonical lakehouse failure mode
+        at 100 TB — a streaming/daily writer leaves thousands of KB-
+        scale files per partition and scan task-scheduling overhead
+        swamps I/O.  Compaction reads+rewrites data only (coalesce per
+        partition), appends a snapshot entry, and is idempotent.
+        Returns {files_before, files_after}.
+        """
+        path = self._table_dir(schema, name)
+        before = _count_data_files(path)
+        df = spark.read.parquet(path)
+        if partition_col is not None:
+            # hash-repartition by the partition column: every value's
+            # rows land in ONE task → exactly one file per partition
+            # directory after the write (one shuffle total)
+            tmp = path + "._compact"
+            (
+                df.repartition(F.col(partition_col))
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(tmp)
+            )
+        else:
+            tmp = path + "._compact"
+            df.coalesce(target_files_per_partition).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        # atomic-ish swap: preserve the snapshot log across the rewrite
+        log_src = os.path.join(path, SNAPSHOT_LOG)
+        log_tmp = None
+        if os.path.exists(log_src):
+            with open(log_src) as f:
+                log_tmp = f.read()
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        if log_tmp is not None:
+            with open(log_src, "w") as f:
+                f.write(log_tmp)
+        after = _count_data_files(path)
+        self._log_snapshot(
+            path, op="compact", files_before=before, files_after=after
+        )
+        return {"files_before": before, "files_after": after}
+
     # -- reads -------------------------------------------------------------
 
     def read(self, spark: SparkSession, schema: str, name: str) -> DataFrame:
@@ -190,3 +246,12 @@ def save_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table_name)
+
+
+def _count_data_files(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(
+            1 for f in files if f.endswith(".parquet") and not f.startswith("_")
+        )
+    return n
