@@ -124,7 +124,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_candidates",
-    oracle=None,  # bit-vote fingerprint not portably SQL-expressible
+    oracle=simhash.SIMHASH_ORACLE,  # md5-60bit hash is engine-portable
     tags=("dedup", "simhash"),
 )
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
