@@ -56,9 +56,75 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _lsh_oracle(n_queries: int = 10, k: int = 3, n_planes: int = 16,
+                seed: int = 42, dim: int = 64) -> str:
+    """Generate the DuckDB oracle for knn_lsh: the seed-derived
+    hyperplanes are embedded as float literals (repr() round-trips
+    doubles exactly; both engines then compute bit-identical dot
+    products — sequential fold, same order — so sign bits, buckets,
+    and the re-rank all agree)."""
+    from ..similarity.knn import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    values = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    dot = ("list_reduce(list_transform(generate_series(1, {n}), "
+           "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    qb_dot = dot.format(n=dim, a="q.e", b="b.e")
+    norm = ("sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            "(x, y) -> x + y))")
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    planes(pid, p) AS (VALUES
+        {values}
+    ),
+    bits AS (
+        SELECT v.vec_id, pl.pid,
+               CASE WHEN {dot.format(n=dim, a="v.e", b="pl.p")} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM v, planes pl
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(bit AS BIGINT) << ({n_planes - 1} - pid))
+                    AS BIGINT) AS sig
+        FROM bits GROUP BY vec_id
+    ),
+    side AS (
+        SELECT s.vec_id, v.e, s.sig >> {n_planes // 2} AS bucket
+        FROM sigs s JOIN v USING (vec_id)
+    ),
+    cands AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {qb_dot} / ({norm.format(a="q.e")} * {norm.format(a="b.e")})
+                   AS cos
+        FROM side q JOIN side b
+          ON q.bucket = b.bucket AND q.vec_id != b.vec_id
+        WHERE q.vec_id < {n_queries}
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
 @register(
     "knn_lsh",
-    oracle=None,  # hyperplane constants are driver-side → rows-only check
+    oracle=_lsh_oracle(),  # seed-derived planes inlined as literals
     tags=("similarity", "knn", "lsh"),
 )
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
