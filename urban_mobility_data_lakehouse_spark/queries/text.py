@@ -117,3 +117,68 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           levenshtein(a.n_name, b.n_name) AS edit_distance
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    ORDER BY key_a, key_b
+    """,
+    tags=("text", "fuzzy", "levenshtein"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match dedup primitive: pairwise edit distances over a
+    (small, broadcast) name dimension — Spark's levenshtein and
+    DuckDB's agree exactly.  At 100 TB you never run this on a fact
+    table; fuzzy joins go through blocking (phonetic key / q-gram
+    prefilter) and this exact check runs per candidate pair."""
+    import pyspark.sql.functions as F
+
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(
+        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("na")
+    )
+    b = nation.select(
+        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("nb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("na", "nb").alias("edit_distance"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+@register(
+    "token_positions",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks))) - 1 AS pos,
+           unnest(toks) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 5)
+    ORDER BY doc_id, pos
+    """,
+    tags=("text", "posexplode", "unnest"),
+)
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode / UNNEST WITH ORDINALITY): the
+    fan-out primitive every tokenizer-at-scale is built on — position
+    is computed during the explode, not by a window after it."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )
