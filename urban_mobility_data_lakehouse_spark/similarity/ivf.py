@@ -50,13 +50,13 @@ def train_centroids(
     """
     import numpy as np
 
-    rows = (
+    pdf = (
         embeddings.orderBy("vec_id")
         .limit(sample_size)
         .select(_as_double(F.col("embedding")).alias("e"))
-        .collect()
+        .toPandas()  # Arrow path: array columns collect ~5× faster than Row conversion
     )
-    x = np.array([r["e"] for r in rows], dtype=np.float64)
+    x = np.array(pdf["e"].tolist(), dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(n_iter):
