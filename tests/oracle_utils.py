@@ -71,11 +71,30 @@ def assert_frames_match(spark_df, oracle_sql: str, sf_dir: str, name: str):
             )
 
 
+def _type_class(v) -> str:
+    """Numeric type class for driver-strict comparison.  The driver
+    hashes exact typed values, so DECIMAL vs DOUBLE or HUGEINT-shaped
+    Decimal vs BIGINT must FAIL locally even though Python compares
+    them numerically equal."""
+    import decimal
+
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    return type(v).__name__
+
+
 def _val_eq(a, b) -> bool:
-    if isinstance(a, float) and isinstance(b, float):
+    if a is None or b is None:
+        return a is None and b is None
+    ca, cb = _type_class(a), _type_class(b)
+    if ca != cb:
+        return False  # e.g. Decimal(100.0) vs 100.0 — driver hash-fails
+    if ca == "float":
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
-    if isinstance(a, float) and isinstance(b, int):
-        return a == b
-    if isinstance(a, int) and isinstance(b, float):
-        return a == b
     return a == b

@@ -53,7 +53,7 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
         )
         .parquet(str(stream_dir))
         .withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     )
     rolled = hourly_rollup_stream(stream_in)
@@ -115,7 +115,7 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         )
         .parquet(str(stream_dir))
         .withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     )
     q = (
@@ -166,7 +166,7 @@ def test_stream_dedup_exactly_once(spark, sf_dir, tmp_path):
         )
         .parquet(str(stream_dir))
         .withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     )
     q = (

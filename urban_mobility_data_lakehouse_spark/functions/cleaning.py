@@ -28,8 +28,13 @@ def spanish_number(col: Column) -> Column:
 
 def zero_trap_bigint(col: Column) -> Column:
     """"50.0" → 50 as BIGINT via the double-hop
-    CAST(TRY_CAST(x AS DOUBLE) AS BIGINT) (Sprint-2.md:93-95)."""
-    return col.try_cast("double").cast("bigint")
+    CAST(TRY_CAST(x AS DOUBLE) AS BIGINT) (Sprint-2.md:93-95).
+
+    Rounds before the bigint cast: DuckDB's double→bigint cast rounds
+    to nearest while Spark's truncates, so "50.7" must land as 51 on
+    both sides.
+    """
+    return F.round(col.try_cast("double"), 0).cast("bigint")
 
 
 def is_garbage_numeric(col: Column) -> Column:

@@ -44,19 +44,27 @@ def asof_join(
     )
     left_cols = left.columns
 
+    # All payload columns ride in ONE struct so the fill picks them up
+    # atomically from the same matched right row — filling each column
+    # independently would mix values across right rows whenever a
+    # payload value is legitimately NULL (DuckDB ASOF JOIN semantics:
+    # the whole right row matches, NULLs included).
     r_types = dict(right.dtypes)
+    payload_ddl = "struct<" + ",".join(
+        f"`{p}`:{r_types[p]}" for p in payload
+    ) + ">"
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("_ts"),
         F.lit(True).alias("_is_left"),
-        *[F.lit(None).cast(r_types[p]).alias(p) for p in payload],
+        F.lit(None).cast(payload_ddl).alias("_payload"),
     )
     l_types = dict(left.dtypes)
     r = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(False).alias("_is_left"),
-        *payload,
+        F.struct(*payload).alias("_payload"),
         *[
             F.lit(None).cast(l_types[c]).alias(c)
             for c in left_cols
@@ -65,8 +73,8 @@ def asof_join(
     )
 
     # rights sort before lefts at equal _ts so ">=" ties are visible to
-    # the fill; left rows carry NULL payload so last(ignorenulls) can
-    # only ever pick up right-row values.
+    # the fill; left rows carry a NULL payload struct so
+    # last(ignorenulls) can only ever pick up right-row structs.
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
@@ -75,16 +83,13 @@ def asof_join(
     filled = l.unionByName(r).select(
         *left_cols,
         "_is_left",
-        *[
-            F.last(p, ignorenulls=True).over(w).alias(f"_f_{p}")
-            for p in payload
-        ],
+        F.last("_payload", ignorenulls=True).over(w).alias("_f"),
     )
     return (
         filled.filter(F.col("_is_left"))
         .select(
             *left_cols,
-            *[F.col(f"_f_{p}").alias(p) for p in payload],
+            *[F.col(f"_f.{p}").alias(p) for p in payload],
         )
     )
 

@@ -215,8 +215,9 @@ def summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT (SELECT count(DISTINCT c_nationkey) FROM customer) AS nations_with_customers,
            (SELECT count(*) FROM nation) AS n_nations,
-           round((SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
-                 / nullif((SELECT count(*) FROM nation), 0), 4) AS coverage_pct
+           CAST(round((SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
+                 / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
+               AS coverage_pct
     """,
     tags=("A9",),
 )
@@ -227,8 +228,9 @@ def scalar_subquery_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (SELECT count(DISTINCT c_nationkey) FROM customer)
                    AS nations_with_customers,
                (SELECT count(*) FROM nation) AS n_nations,
-               round((SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
-                     / nullif((SELECT count(*) FROM nation), 0), 4)
+               CAST(round(
+                   (SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
+                     / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
                    AS coverage_pct
     """)
 

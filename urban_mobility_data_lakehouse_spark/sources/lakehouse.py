@@ -133,7 +133,11 @@ class Lakehouse:
             df.coalesce(target_files_per_partition).write.mode(
                 "overwrite"
             ).parquet(tmp)
-        # atomic-ish swap: preserve the snapshot log across the rewrite
+        # swap via rename-aside: the live directory is only ever absent
+        # between two cheap renames, and a crash mid-swap leaves the old
+        # data recoverable at `<path>._old` (never deleted before the
+        # new copy is in place).  Preserve the snapshot log across the
+        # rewrite.
         log_src = os.path.join(path, SNAPSHOT_LOG)
         log_tmp = None
         if os.path.exists(log_src):
@@ -141,11 +145,15 @@ class Lakehouse:
                 log_tmp = f.read()
         import shutil
 
-        shutil.rmtree(path)
+        old = path + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(tmp, path)
         if log_tmp is not None:
             with open(log_src, "w") as f:
                 f.write(log_tmp)
+        shutil.rmtree(old)
         after = _count_data_files(path)
         self._log_snapshot(
             path, op="compact", files_before=before, files_after=after

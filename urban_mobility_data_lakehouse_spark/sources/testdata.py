@@ -37,11 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros; losing sub-microsecond precision matches DuckDB,
-        # which also truncates nanos to micros on read.
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # nanos → micros via integer division; losing sub-microsecond
+        # precision matches DuckDB, which also truncates nanos to micros
+        # on read.  (Double division would round-trip through a 53-bit
+        # mantissa and perturb ~13% of 2023-era nanos by 1 µs.)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

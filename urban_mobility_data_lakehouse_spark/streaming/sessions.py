@@ -99,7 +99,7 @@ numbered AS (
                           ROWS UNBOUNDED PRECEDING) AS session_no
     FROM flagged
 )
-SELECT user_id, session_no,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
        count(*) AS n_events,
