@@ -41,7 +41,11 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
 
 def test_column_pruning(spark, sf_dir):
     """A 2-column projection must not scan all 11 lineitem columns."""
-    df = REGISTRY["min_dedup_map"].builder(spark, sf_dir)
+    from urban_mobility_data_lakehouse_spark.operators.relational import (
+        min_dedup_map,
+    )
+
+    df = min_dedup_map(load_table(spark, sf_dir, "lineitem"))
     for cols in scan_columns(df):
         assert set(cols) <= {"l_partkey", "l_suppkey"}, cols
 

@@ -92,22 +92,38 @@ def global_stats(events: DataFrame) -> DataFrame:
 
     Parity: audit_batch_results (mobility_ingestion_pipeline.py:600-609).
     Scale: COUNT(DISTINCT) expands to a two-stage partial-distinct plan;
-    for 100 TB the approx_count_distinct variant (see approx_distinct_users)
-    is the right tool — the reference itself uses approx_unique in SUMMARIZE.
+    for 100 TB the approx_count_distinct (HLL++) column is the right
+    tool — the reference itself uses approx_unique in SUMMARIZE.  The
+    sketch is checked as a bounded-error assertion (within 5% of exact),
+    which is the only oracle-portable contract an approximation has.
     """
+    exact_users = F.countDistinct("user_id")
+    approx_users = F.approx_count_distinct("user_id", rsd=0.02)
     return events.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.round(dsum("value"), 4).alias("sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
+        exact_users.alias("n_users"),
         F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        (
+            F.abs(approx_users - exact_users)
+            <= 0.05 * exact_users
+        ).alias("approx_users_ok"),
     )
 
 
 def conditional_agg(orders: DataFrame) -> DataFrame:
     """A4: FILTER-clause conditional aggregation (bad-row audit shape,
-    mobility_ingestion_pipeline.py:606) as sum(when(cond,1))."""
+    mobility_ingestion_pipeline.py:606) as sum(when(cond,1)).
+
+    Also carries the P5/P6 predicate family: a BETWEEN-on-dates FILTER
+    column and an IN-list flag on the group key (the consultation DAG's
+    date-range filters, mobility_consultations.py:52,65)."""
+    in_window = F.col("o_orderdate").between(
+        F.lit("1996-01-01").cast("timestamp"),
+        F.lit("1997-12-31").cast("timestamp"),
+    )
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -118,10 +134,17 @@ def conditional_agg(orders: DataFrame) -> DataFrame:
             F.coalesce(
                 F.sum(F.when(F.col("o_totalprice") > 300000.0, 1)), F.lit(0)
             ).alias("n_high_value"),
+            F.coalesce(F.sum(F.when(in_window, 1)), F.lit(0)).alias(
+                "n_in_96_97"
+            ),
             F.round(
                 davg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))),
                 4,
             ).alias("avg_finished_price"),
+        )
+        .withColumn(
+            "is_high_priority",
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
         )
         .orderBy("o_orderpriority")
     )
@@ -451,7 +474,9 @@ def topk(orders: DataFrame, k: int = 10) -> DataFrame:
 
 def filter_suite(part: DataFrame) -> DataFrame:
     """P3/P4/P6/P7 composite: LIKE, NOT LIKE, IN-list, regex, inequality —
-    the bronze cleaning predicate family."""
+    the bronze cleaning predicate family.  The trailing select→filter
+    chain on the computed `fee` alias is P8 (lateral column alias):
+    project the alias, then filter on it."""
     return (
         part.filter(
             F.col("p_name").like("%widget%")
@@ -460,8 +485,12 @@ def filter_suite(part: DataFrame) -> DataFrame:
             & F.col("p_brand").rlike(r"#\d{2}$")
             & (F.col("p_size") != 0)
         )
-        .select("p_partkey", "p_name", "p_brand", "p_type",
-                F.col("p_size").cast("long").alias("p_size"))
+        .select(
+            "p_partkey", "p_name", "p_brand", "p_type",
+            F.col("p_size").cast("long").alias("p_size"),
+            F.round(F.col("p_retailprice") * 0.05, 4).alias("fee"),
+        )
+        .filter(F.col("fee") > 10.0)
         .orderBy("p_partkey")
     )
 

@@ -69,12 +69,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
-           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+           TRUE AS approx_users_ok
     FROM events
     """,
-    tags=("A2", "A3"),
+    tags=("A2", "A3", "scale"),
 )
 def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 global agg + A3 exact and approximate COUNT(DISTINCT).  The
+    HLL++ sketch column is oracle-checked as a bounded-error assertion
+    (|approx − exact| ≤ 5%·exact must hold → TRUE on both sides)."""
     return R.global_stats(_t(spark, sf_dir, "events"))
 
 
@@ -86,34 +90,64 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(count(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS n_open,
            coalesce(count(*) FILTER (WHERE o_totalprice > 300000.0), 0)
                AS n_high_value,
+           coalesce(count(*) FILTER (
+               WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                     AND TIMESTAMP '1997-12-31'), 0)
+               AS n_in_96_97,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6)))
                       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
                  / count(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4)
-               AS avg_finished_price
+               AS avg_finished_price,
+           o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high_priority
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
     """,
-    tags=("A4",),
+    tags=("A4", "P5", "P6"),
 )
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 FILTER-clause aggregation + P5 BETWEEN-on-dates (as a FILTER
+    column) + P6 IN-list (as a flag on the group key)."""
     return R.conditional_agg(_t(spark, sf_dir, "orders"))
 
 
 @register(
-    "min_dedup_map",
+    "representative_agg",
     oracle="""
-    SELECT l_partkey AS part_key,
-           min(l_suppkey) AS canonical_suppkey,
-           count(*) AS n_lines
-    FROM lineitem
-    GROUP BY 1
-    ORDER BY 1
+    SELECT o_custkey,
+           any_value(c_name) AS customer_name,
+           min(o_orderkey) AS first_orderkey,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    ORDER BY o_custkey
     """,
-    tags=("A5",),
+    tags=("A5", "A6"),
 )
-def min_dedup_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.min_dedup_map(_t(spark, sf_dir, "lineitem"))
+def representative_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 MIN-as-representative dedup + A6 ANY_VALUE in one grouped
+    pass (1_sprint1...ipynb:2706-2708 cell 31).  ANY_VALUE is
+    deterministic (hence oracle-checkable) because c_name is
+    functionally dependent on the group key — the only sound way to
+    check ANY_VALUE.  The lineitem-wide MIN-dedup operator itself is
+    R.min_dedup_map (plan-tested for column pruning)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.any_value("c_name").alias("customer_name"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
 
 
 @register(
@@ -139,7 +173,7 @@ def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "modal_event_type",
+    "user_event_profile",
     oracle="""
     WITH counts AS (
         SELECT user_id, event_type, count(*) AS cnt
@@ -149,32 +183,32 @@ def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY cnt DESC, event_type ASC) AS rn
         FROM counts
+    ), modal AS (
+        SELECT user_id, event_type AS modal_type, cnt AS modal_count
+        FROM ranked WHERE rn = 1
+    ), lists AS (
+        SELECT user_id,
+               array_to_string(
+                   array_agg(DISTINCT event_type ORDER BY event_type),
+                   ',') AS event_types,
+               count(DISTINCT event_type) AS n_types
+        FROM events GROUP BY user_id
     )
-    SELECT user_id, event_type AS modal_type, cnt AS modal_count
-    FROM ranked WHERE rn = 1
-    ORDER BY user_id
+    SELECT m.user_id, m.modal_type, m.modal_count,
+           l.event_types, l.n_types
+    FROM modal m JOIN lists l ON m.user_id = l.user_id
+    ORDER BY m.user_id
     """,
-    tags=("A7",),
+    tags=("A7", "A8"),
 )
-def modal_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.modal_event_type(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "ordered_set_agg",
-    oracle="""
-    SELECT user_id,
-           array_to_string(array_agg(DISTINCT event_type ORDER BY event_type),
-                           ',') AS event_types,
-           count(DISTINCT event_type) AS n_types
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-    tags=("A8",),
-)
-def ordered_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.ordered_set_agg(_t(spark, sf_dir, "events"))
+def user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 MODE-with-tie-break + A8 ordered list agg, joined per user.
+    Both sides shuffle only on user_id; at scale AQE picks the join
+    strategy for the two user-keyed aggregates."""
+    events = _t(spark, sf_dir, "events")
+    modal = R.modal_event_type(events)
+    lists = R.ordered_set_agg(events)
+    return modal.join(lists, "user_id").orderBy("user_id")
 
 
 @register(
@@ -312,7 +346,7 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "compound_key_join",
+    "keyed_join_suite",
     oracle="""
     WITH daily AS (
         SELECT o_custkey AS d_custkey, o_orderdate AS d_orderdate,
@@ -321,100 +355,102 @@ def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderkey, o_custkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           orders_that_day
+           orders_that_day,
+           c_mktsegment
     FROM orders
     JOIN daily ON o_custkey = d_custkey AND o_orderdate = d_orderdate
+    JOIN customer
+      ON CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
     WHERE orders_that_day > 1
     ORDER BY o_orderkey
     """,
-    tags=("J4",),
+    tags=("J2", "J4"),
 )
-def compound_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.compound_key_join(_t(spark, sf_dir, "orders"))
+def keyed_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 compound-key self-join (R.compound_key_join) chained with a
+    J2 equi-join on a derived key — split_part(c_name)::BIGINT, the
+    reference's computed join-condition idiom
+    (mobility_ingestion_pipeline.py:229-230,305)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import broadcast
 
-
-@register(
-    "cross_join_bridge",
-    oracle="""
-    SELECT r_name, o_orderpriority
-    FROM region
-    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
-    ORDER BY r_name, o_orderpriority
-    """,
-    tags=("J5",),
-)
-def cross_join_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.cross_join_bridge(
-        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "orders")
+    compound = R.compound_key_join(_t(spark, sf_dir, "orders"))
+    customer = _t(spark, sf_dir, "customer")
+    key = F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long")
+    return (
+        compound.join(broadcast(customer), key == F.col("o_custkey"))
+        .select(
+            "o_orderkey", "o_custkey", "order_date", "orders_that_day",
+            "c_mktsegment",
+        )
+        .orderBy("o_orderkey")
     )
 
 
 @register(
-    "anti_join_orphans",
+    "semi_anti_membership",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment
+    SELECT c_custkey, c_name, 'orphan' AS membership
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    ORDER BY c_custkey
-    """,
-    tags=("J6",),
-)
-def anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.anti_join_orphans(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
-    )
-
-
-@register(
-    "semi_join_active",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT c_custkey, c_name, 'active_open' AS membership
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
-    ORDER BY c_custkey
+    ORDER BY c_custkey, membership
     """,
     tags=("J6",),
 )
-def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.semi_join_active(
-        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+def semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 left-anti (orphan audit) + left-semi (active filter) in one
+    labeled union — both plan as broadcast hash joins on the dim."""
+    import pyspark.sql.functions as F
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = R.anti_join_orphans(customer, orders).select(
+        "c_custkey", "c_name", F.lit("orphan").alias("membership")
     )
+    active = R.semi_join_active(customer, orders).select(
+        "c_custkey", "c_name", F.lit("active_open").alias("membership")
+    )
+    return orphans.unionByName(active).orderBy("c_custkey", "membership")
 
 
 # --- Windows, sorts, top-k ------------------------------------------------
 
 @register(
-    "surrogate_keys",
+    "window_keys_tiers",
     oracle="""
     SELECT row_number() OVER (ORDER BY n_name) AS zone_id,
            n_name AS zone_name,
-           CAST(n_regionkey AS BIGINT) AS region_key
+           CAST(n_regionkey AS BIGINT) AS region_key,
+           CAST(ntile(4) OVER (ORDER BY n_name) AS BIGINT) AS name_tier
     FROM nation
     ORDER BY zone_id
     """,
-    tags=("W1",),
+    tags=("W1", "W2"),
 )
-def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.surrogate_keys(_t(spark, sf_dir, "nation"))
+def window_keys_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ROW_NUMBER surrogate keys + W2 NTILE bucketing over one
+    window pass on the dim (R.surrogate_keys / R.ntile_tiers are the
+    fact-side operators; the shared ORDER BY lets both functions ride
+    a single sort)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
 
-
-@register(
-    "ntile_tiers",
-    oracle="""
-    WITH tiers AS (
-        SELECT c_custkey,
-               ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
-                   AS balance_tier
-        FROM customer
+    w = Window.orderBy("n_name")
+    return (
+        _t(spark, sf_dir, "nation")
+        .select(
+            F.row_number().over(w).cast("long").alias("zone_id"),
+            F.col("n_name").alias("zone_name"),
+            F.col("n_regionkey").cast("long").alias("region_key"),
+            F.ntile(4).over(w).cast("long").alias("name_tier"),
+        )
+        .orderBy("zone_id")
     )
-    SELECT balance_tier, count(*) AS n_customers
-    FROM tiers GROUP BY 1 ORDER BY 1
-    """,
-    tags=("W2",),
-)
-def ntile_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.ntile_tiers(_t(spark, sf_dir, "customer"))
 
 
 @register(
@@ -459,36 +495,25 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "filter_suite",
     oracle="""
-    SELECT p_partkey, p_name, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
-    FROM part
-    WHERE p_name LIKE '%widget%'
-      AND p_brand NOT LIKE '%#1'
-      AND p_type IN ('ECONOMY', 'PROMO', 'LARGE')
-      AND regexp_matches(p_brand, '#\\d{2}$')
-      AND p_size != 0
+    SELECT * FROM (
+        SELECT p_partkey, p_name, p_brand, p_type,
+               CAST(p_size AS BIGINT) AS p_size,
+               round(p_retailprice * 0.05, 4) AS fee
+        FROM part
+        WHERE p_name LIKE '%widget%'
+          AND p_brand NOT LIKE '%#1'
+          AND p_type IN ('ECONOMY', 'PROMO', 'LARGE')
+          AND regexp_matches(p_brand, '#\\d{2}$')
+          AND p_size != 0
+    ) WHERE fee > 10.0
     ORDER BY p_partkey
     """,
-    tags=("P3", "P4", "P6", "P7"),
+    tags=("P3", "P4", "P6", "P7", "P8"),
 )
 def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/P6/P7 predicate family + P8 lateral-alias filter (the
+    trailing select→filter chain on the computed `fee` alias)."""
     return R.filter_suite(_t(spark, sf_dir, "part"))
-
-
-@register(
-    "between_and_in",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2) AS total_price
-    FROM orders
-    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("P5", "P6"),
-)
-def between_and_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.between_and_in(_t(spark, sf_dir, "orders"))
 
 
 @register(
@@ -510,15 +535,17 @@ def try_cast_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_days",
+    "distinct_limit_preview",
     oracle="""
     SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
-    FROM events ORDER BY 1
+    FROM events ORDER BY 1 LIMIT 5
     """,
-    tags=("P9",),
+    tags=("P9", "O3"),
 )
-def distinct_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.distinct_days(_t(spark, sf_dir, "events"))
+def distinct_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 SELECT DISTINCT + O3 bare LIMIT (deterministic: ordered
+    first) in one preview query."""
+    return R.distinct_days(_t(spark, sf_dir, "events")).limit(5)
 
 
 @register(

@@ -123,21 +123,25 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_spine",
     oracle="""
-    SELECT strftime(CAST(d AS DATE), '%Y-%m-%d') AS spine_date,
+    SELECT r_name,
+           strftime(CAST(d AS DATE), '%Y-%m-%d') AS spine_date,
            CAST(isodow(CAST(d AS DATE)) AS BIGINT) AS spine_isodow
-    FROM generate_series(DATE '2024-01-01', DATE '2024-01-31',
-                         INTERVAL 1 DAY) t(d)
-    ORDER BY 1
+    FROM region
+    CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                               INTERVAL 1 DAY) t(d)
+    ORDER BY 1, 2
     """,
     tags=("datetime", "J5"),
 )
 def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sequence()+explode date spine — replaces the reference's
     driver-side pd.date_range→XCom hop (mobility_ingestion_pipeline.py
-    :403-411) with a fully distributed spine."""
+    :403-411) with a fully distributed spine.  The region crossJoin is
+    J5: the dim×spine bridge every calendar densification needs (same
+    shape as the holiday bridge in pipeline/mobility.py)."""
     from ..functions.datetime_fns import date_sequence
 
-    return (
+    spine = (
         spark.range(1)
         .select(
             F.explode(date_sequence("2024-01-01", "2024-01-31")).alias("d")
@@ -146,7 +150,10 @@ def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("d", "yyyy-MM-dd").alias("spine_date"),
             (F.weekday("d") + 1).cast("long").alias("spine_isodow"),
         )
-        .orderBy("spine_date")
+    )
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    return region.crossJoin(broadcast(spine)).orderBy(
+        "r_name", "spine_date"
     )
 
 
@@ -184,96 +191,6 @@ def pivot_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(str(h)).alias(f"h{h}") for h in _PIVOT_HOURS],
     )
     return renamed.orderBy("event_date")
-
-
-@register(
-    "derived_key_join",
-    oracle="""
-    SELECT c_mktsegment,
-           count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE), 2)
-               AS total_price
-    FROM orders
-    JOIN customer
-      ON CAST(split_part(c_name, '#', 2) AS BIGINT) = o_custkey
-    GROUP BY 1
-    ORDER BY 1
-    """,
-    tags=("J2",),
-)
-def derived_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2: equi-join on a derived (computed) key — the reference's
-    split_part/LEFT(…,5) join conditions (…:229-230,305)."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    key = F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).cast("long")
-    return (
-        orders.join(broadcast(customer), key == F.col("o_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(dsum("o_totalprice"), 2).alias("total_price"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-@register(
-    "alias_filter",
-    oracle="""
-    SELECT o_orderkey, round(o_totalprice * 0.05, 4) AS fee
-    FROM orders
-    WHERE round(o_totalprice * 0.05, 4) > 20000.0
-    ORDER BY o_orderkey
-    """,
-    tags=("P8",),
-)
-def alias_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P8 lateral-alias filtering: the DataFrame-native form — project
-    the alias, then filter on it (select→filter chaining is exactly the
-    lateral column alias semantic)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.round(F.col("o_totalprice") * 0.05, 4).alias("fee"),
-        )
-        .filter(F.col("fee") > 20000.0)
-        .orderBy("o_orderkey")
-    )
-
-
-@register(
-    "limit_preview",
-    oracle="""
-    SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3
-    """,
-    tags=("O3",),
-)
-def limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 bare-LIMIT preview (deterministic: ordered first)."""
-    return (
-        load_table(spark, sf_dir, "region")
-        .select("r_regionkey", "r_name")
-        .orderBy("r_regionkey")
-        .limit(3)
-    )
-
-
-@register(
-    "approx_distinct_users",
-    oracle=None,  # approximate by definition → rows-only check
-    tags=("A3", "scale"),
-)
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB variant of COUNT(DISTINCT): HyperLogLog++ sketch —
-    the reference's own SUMMARIZE uses approx_unique
-    (1_sprint3...ipynb:1862 cell 21)."""
-    events = load_table(spark, sf_dir, "events")
-    return events.agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
 
 
 @register(
@@ -319,74 +236,12 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "any_value_lookup",
-    oracle="""
-    SELECT o_custkey,
-           any_value(c_name) AS customer_name,
-           count(*) AS n_orders
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY o_custkey
-    ORDER BY o_custkey
-    """,
-    tags=("A6",),
-)
-def any_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6 ANY_VALUE (1_sprint1...ipynb:2706-2708 cell 31): deterministic
-    here because the picked value is functionally dependent on the group
-    key — the only sound way to oracle-check ANY_VALUE."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    return (
-        orders.join(
-            broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .groupBy("o_custkey")
-        .agg(
-            F.any_value("c_name").alias("customer_name"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
-        .orderBy("o_custkey")
-    )
-
-
-@register(
-    "value_percentiles",
+    "event_type_stats",
     oracle="""
     SELECT event_type,
            round(quantile_cont(value, 0.5), 4) AS p50,
            round(quantile_cont(value, 0.9), 4) AS p90,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events
-    GROUP BY event_type
-    ORDER BY event_type
-    """,
-    tags=("percentile", "A-family"),
-)
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles per group — Spark's percentile()
-    and DuckDB's quantile_cont share linear-interpolation semantics
-    bit-for-bit.  The 100 TB path is approx_percentile (t-digest,
-    mergeable, single pass); the exact form is the oracle-checkable
-    baseline the approximate one is validated against."""
-    events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            *[
-                F.round(F.percentile("value", p), 4).alias(
-                    f"p{int(p * 100)}"
-                )
-                for p in (0.5, 0.9, 0.99)
-            ]
-        )
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "json_props_stats",
-    oracle="""
-    SELECT event_type,
+           round(quantile_cont(value, 0.99), 4) AS p99,
            count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
                AS sum_k,
@@ -396,19 +251,30 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     ORDER BY event_type
     """,
-    tags=("json", "semi-structured"),
+    tags=("percentile", "json", "semi-structured", "A-family"),
 )
-def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured column handling: JSON path extraction from the
-    event props payload, typed and aggregated — get_json_object stays
-    in the JVM (Jackson), no schema inference pass over 100 TB (use
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles + JSON path-extraction stats in one
+    grouped pass.
+
+    Percentiles: Spark's percentile() and DuckDB's quantile_cont share
+    linear-interpolation semantics bit-for-bit; the 100 TB path is
+    approx_percentile (t-digest, mergeable, single pass) validated
+    against this exact baseline.  JSON: get_json_object stays in the
+    JVM (Jackson) — no schema-inference pass over 100 TB (use
     from_json with an explicit schema when the shape is known)."""
     events = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
-        events.select("event_type", k.alias("k"))
+        events.select("event_type", "value", k.alias("k"))
         .groupBy("event_type")
         .agg(
+            *[
+                F.round(F.percentile("value", p), 4).alias(
+                    f"p{int(p * 100)}"
+                )
+                for p in (0.5, 0.9, 0.99)
+            ],
             F.count("k").alias("n_with_k"),
             F.sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),

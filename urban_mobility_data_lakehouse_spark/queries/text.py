@@ -16,37 +16,23 @@ _EN = "'the','and','of','to','a'"
 
 
 @register(
-    "doc_token_stats",
-    oracle=r"""
-    SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS n_chars,
-           CAST(length(text) AS BIGINT) AS n_chars_actual,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text,
-                '([a-z]+|[A-Z][a-z]*|[0-9]+|\S)', 1)) AS BIGINT)
-               AS n_subtokens,
-           round(length(replace(text, ' ', '')) * 1.0
-                 / len(string_split(text, ' ')), 4) AS avg_token_len
-    FROM documents ORDER BY doc_id
-    """,
-    tags=("text",),
-    bench=True,
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.token_stats(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "doc_quality",
-    oracle=f"""
+    "doc_profile",
+    oracle=rf"""
     WITH t AS (
-        SELECT doc_id, text,
+        SELECT doc_id, text, n_chars,
                string_split(text, ' ') AS toks,
                length(text) AS nc
         FROM documents
     )
     SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(nc AS BIGINT) AS n_chars_actual,
            CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+                '([a-z]+|[A-Z][a-z]*|[0-9]+|\S)', 1)) AS BIGINT)
+               AS n_subtokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(toks), 4) AS avg_token_len,
            round((nc - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
                  * 1.0 / nc, 4) AS punct_ratio,
            round((nc - length(regexp_replace(text, '[0-9]', '', 'g')))
@@ -63,10 +49,18 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         THEN 0.2 ELSE 0.0 END, 4) AS quality_score
     FROM t ORDER BY doc_id
     """,
-    tags=("text",),
+    tags=("text", "tokens", "quality"),
+    bench=True,
 )
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.quality_features(load_table(spark, sf_dir, "documents"))
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stats + quality features in one row-local
+    pass (token counting, BPE-ish subtoken split, punctuation/digit/
+    stopword ratios, composite quality score).  Row-local exprs — no
+    shuffle; joins the two operator outputs on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.token_stats(docs)
+    quality = T.quality_features(docs).drop("n_tokens")
+    return stats.join(quality, "doc_id").orderBy("doc_id")
 
 
 def _hits_sql(lang: str) -> str:
@@ -106,79 +100,69 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "doc_fingerprints",
-    oracle=r"""
-    SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-               AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
-    tags=("text", "dedup"),
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.fingerprints(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "fuzzy_name_pairs",
+    "text_pairs_suite",
     oracle="""
-    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
-           levenshtein(a.n_name, b.n_name) AS edit_distance
+    SELECT 'levenshtein' AS part,
+           CAST(a.n_nationkey AS BIGINT) AS k1,
+           CAST(b.n_nationkey AS BIGINT) AS k2,
+           CAST(NULL AS VARCHAR) AS token,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS n
     FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-    ORDER BY key_a, key_b
+    UNION ALL
+    SELECT 'posexplode',
+           CAST(doc_id AS BIGINT),
+           unnest(generate_series(1, len(toks))) - 1,
+           unnest(toks),
+           CAST(NULL AS BIGINT)
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 5)
+    ORDER BY part, k1, k2
     """,
-    tags=("text", "fuzzy", "levenshtein"),
+    tags=("text", "fuzzy", "levenshtein", "posexplode", "unnest"),
 )
-def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-match dedup primitive: pairwise edit distances over a
-    (small, broadcast) name dimension — Spark's levenshtein and
-    DuckDB's agree exactly.  At 100 TB you never run this on a fact
-    table; fuzzy joins go through blocking (phonetic key / q-gram
-    prefilter) and this exact check runs per candidate pair."""
+def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tokenizer-at-scale primitives in one labeled union.
+
+    `levenshtein`: pairwise edit distances over a (small, broadcast)
+    name dimension — at 100 TB fuzzy joins go through blocking
+    (phonetic key / q-gram prefilter) and this exact check runs per
+    candidate pair.  `posexplode`: positional explode (UNNEST WITH
+    ORDINALITY) — position computed during the explode, not by a
+    window after it.  Per-document fingerprints (md5) are driver-
+    checked inside exact_dup_groups' fingerprint column."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
     a = nation.select(
-        F.col("n_nationkey").alias("key_a"), F.col("n_name").alias("na")
+        F.col("n_nationkey").cast("long").alias("k1"),
+        F.col("n_name").alias("na"),
     )
     b = nation.select(
-        F.col("n_nationkey").alias("key_b"), F.col("n_name").alias("nb")
+        F.col("n_nationkey").cast("long").alias("k2"),
+        F.col("n_name").alias("nb"),
     )
-    return (
-        a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    fuzzy = (
+        a.join(F.broadcast(b), F.col("k1") < F.col("k2"))
         .select(
-            "key_a",
-            "key_b",
-            F.levenshtein("na", "nb").alias("edit_distance"),
+            F.lit("levenshtein").alias("part"),
+            "k1",
+            "k2",
+            F.lit(None).cast("string").alias("token"),
+            F.levenshtein("na", "nb").cast("long").alias("n"),
         )
-        .orderBy("key_a", "key_b")
     )
-
-
-@register(
-    "token_positions",
-    oracle="""
-    SELECT doc_id,
-           unnest(generate_series(1, len(toks))) - 1 AS pos,
-           unnest(toks) AS token
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks
-          FROM documents WHERE doc_id < 5)
-    ORDER BY doc_id, pos
-    """,
-    tags=("text", "posexplode", "unnest"),
-)
-def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional explode (posexplode / UNNEST WITH ORDINALITY): the
-    fan-out primitive every tokenizer-at-scale is built on — position
-    is computed during the explode, not by a window after it."""
-    import pyspark.sql.functions as F
-
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
-    return (
+    tokpos = (
         docs.select(
             "doc_id",
             F.posexplode(F.split("text", " ")).alias("pos", "token"),
         )
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
-        .orderBy("doc_id", "pos")
+        .select(
+            F.lit("posexplode").alias("part"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("pos").cast("long").alias("k2"),
+            "token",
+            F.lit(None).cast("long").alias("n"),
+        )
     )
+    return fuzzy.unionByName(tokpos).orderBy("part", "k1", "k2")
