@@ -86,6 +86,17 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} plan contains Python UDF"
 
 
+def test_bucketed_fact_join_query_no_join_key_exchange(spark, sf_dir):
+    """The registered bucketed_fact_join query must read both bucketed
+    sides without re-shuffling on the join key — the only exchanges
+    allowed are the final groupBy and the presentation sort."""
+    df = REGISTRY["bucketed_fact_join"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-located join: both sides bucketed on the join key → the join
     must plan with ZERO exchanges (the write-once-shuffle-never

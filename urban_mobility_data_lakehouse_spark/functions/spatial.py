@@ -105,6 +105,187 @@ def point_in_bbox(
     )
 
 
+def point_in_wkt_polygon(px: Column, py: Column, xs: Column, ys: Column) -> Column:
+    """Ray-cast point-in-polygon where the polygon is DATA (coordinate
+    arrays parsed from a WKT column), not a Python constant.
+
+    Count-based parity test (crossings % 2 == 1) over the ring edges
+    i → i+1, expressed with higher-order array functions — stays in
+    whole-stage codegen, no UDF.  The DuckDB oracle twin
+    (`point_in_wkt_polygon_sql`) emits the identical formula, so the
+    branch decisions are bit-aligned.
+    """
+    def crossing(i: Column) -> Column:
+        y1, y2 = F.element_at(ys, i), F.element_at(ys, i + F.lit(1))
+        x1, x2 = F.element_at(xs, i), F.element_at(xs, i + F.lit(1))
+        return ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+
+    n_edges = F.size(xs) - 1  # ring repeats the first vertex
+    crossings = F.size(F.filter(F.sequence(F.lit(1), n_edges), crossing))
+    return crossings % 2 == F.lit(1)
+
+
+def _orient_sql(ax, ay, bx, by, cx, cy) -> str:
+    return (
+        f"(({bx}) - ({ax})) * (({cy}) - ({ay}))"
+        f" - (({by}) - ({ay})) * (({cx}) - ({ax}))"
+    )
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> Column:
+    """Signed cross product: >0 left turn, <0 right turn, 0 collinear."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def polygon_intersects_wkt(
+    wkt: Column, query_poly: list[tuple[float, float]]
+) -> Column:
+    """True ST_Intersects for a WKT POLYGON column vs a constant simple
+    polygon (the consultation parameter) — replaces the centroid-only
+    approximation for border zones (mobility_consultations.py:66-68,
+    153-154 filters zone POLYGONS, not centroids).
+
+    Three-part test, all pure Column exprs:
+      (a) any zone vertex inside the query polygon,
+      (b) any query vertex inside the zone polygon,
+      (c) any zone edge properly crossing any query edge.
+    (a)∨(b) covers containment either way; (c) covers edge-through-edge
+    overlap with no vertex containment.  Proper-crossing uses strict
+    orientation signs; exact vertex-on-edge touching is out of contract
+    (the synthetic fixtures never produce it).
+    """
+    xs, ys = _wkt_ring_coords(wkt, 1), _wkt_ring_coords(wkt, 2)
+    n_edges = F.size(xs) - 1
+    idx = F.sequence(F.lit(1), n_edges)
+
+    # (a) any zone vertex in the constant query polygon
+    any_zone_vertex_in = F.exists(
+        idx,
+        lambda i: point_in_polygon(
+            F.element_at(xs, i), F.element_at(ys, i), query_poly
+        ),
+    )
+
+    # (b) any query vertex in the zone polygon
+    any_query_vertex_in = None
+    for qx, qy in query_poly:
+        t = point_in_wkt_polygon(F.lit(qx), F.lit(qy), xs, ys)
+        any_query_vertex_in = (
+            t if any_query_vertex_in is None else any_query_vertex_in | t
+        )
+
+    # (c) any zone edge × any query edge proper crossing
+    def edge_cross(qx1, qy1, qx2, qy2):
+        def cross(i: Column) -> Column:
+            ax, ay = F.element_at(xs, i), F.element_at(ys, i)
+            bx = F.element_at(xs, i + F.lit(1))
+            by = F.element_at(ys, i + F.lit(1))
+            d1 = _orient(ax, ay, bx, by, F.lit(qx1), F.lit(qy1))
+            d2 = _orient(ax, ay, bx, by, F.lit(qx2), F.lit(qy2))
+            d3 = _orient(
+                F.lit(qx1), F.lit(qy1), F.lit(qx2), F.lit(qy2), ax, ay
+            )
+            d4 = _orient(
+                F.lit(qx1), F.lit(qy1), F.lit(qx2), F.lit(qy2), bx, by
+            )
+            return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+        return F.exists(idx, cross)
+
+    any_edge_cross = None
+    nq = len(query_poly)
+    for j in range(nq):
+        qx1, qy1 = query_poly[j]
+        qx2, qy2 = query_poly[(j + 1) % nq]
+        t = edge_cross(qx1, qy1, qx2, qy2)
+        any_edge_cross = t if any_edge_cross is None else any_edge_cross | t
+
+    return any_zone_vertex_in | any_query_vertex_in | any_edge_cross
+
+
+_WKT_PAIR_PAT = r"(-?[0-9][0-9.]*) (-?[0-9][0-9.]*)"
+
+
+def wkt_coords_sql(wkt_expr: str, group: int) -> str:
+    """DuckDB twin of _wkt_ring_coords."""
+    return (
+        f"list_transform(regexp_extract_all({wkt_expr}, "
+        f"'{_WKT_PAIR_PAT}', {group}), s -> CAST(s AS DOUBLE))"
+    )
+
+
+def point_in_wkt_polygon_sql(px: str, py: str, xs: str, ys: str) -> str:
+    """DuckDB twin of point_in_wkt_polygon (same count-based parity)."""
+    crossing = (
+        f"(({ys}[i] > ({py})) != ({ys}[i+1] > ({py}))) AND "
+        f"(({px}) < ({xs}[i+1] - {xs}[i]) * (({py}) - {ys}[i])"
+        f" / ({ys}[i+1] - {ys}[i]) + {xs}[i])"
+    )
+    return (
+        f"(len(list_filter(range(1, len({xs})), i -> {crossing})) % 2 = 1)"
+    )
+
+
+def polygon_intersects_wkt_sql(
+    xs_col: str, ys_col: str, query_poly: list[tuple[float, float]]
+) -> str:
+    """DuckDB twin of polygon_intersects_wkt — identical three-part
+    test so the oracle's branch decisions match the Spark plan's.
+
+    `xs_col`/`ys_col` name list-typed columns the caller computes once
+    (via wkt_coords_sql in a CTE) — keeps the emitted SQL readable
+    instead of inlining the regexp parse into every term."""
+
+    # (a) any zone vertex in the constant query polygon (count parity)
+    nq = len(query_poly)
+    terms = []
+    for j in range(nq):
+        x1, y1 = query_poly[j]
+        x2, y2 = query_poly[(j + 1) % nq]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CASE WHEN (({y1} > YY[i]) != ({y2} > YY[i])) AND "
+            f"(XX[i] < ({x2} - {x1}) * (YY[i] - {y1}) / ({y2} - {y1})"
+            f" + {x1}) THEN 1 ELSE 0 END"
+        )
+    const_count = " + ".join(terms)
+    vertex_in_const = (
+        f"list_bool_or(list_transform(range(1, len(XX)), "
+        f"i -> ({const_count}) % 2 = 1))"
+    )
+
+    # (b) any query vertex in the zone polygon
+    q_vertex_terms = " OR ".join(
+        point_in_wkt_polygon_sql(str(qx), str(qy), "XX", "YY")
+        for qx, qy in query_poly
+    )
+
+    # (c) any zone edge × any query edge proper crossing
+    cross_terms = []
+    for j in range(nq):
+        qx1, qy1 = query_poly[j]
+        qx2, qy2 = query_poly[(j + 1) % nq]
+        d1 = _orient_sql("XX[i]", "YY[i]", "XX[i+1]", "YY[i+1]",
+                         str(qx1), str(qy1))
+        d2 = _orient_sql("XX[i]", "YY[i]", "XX[i+1]", "YY[i+1]",
+                         str(qx2), str(qy2))
+        d3 = _orient_sql(str(qx1), str(qy1), str(qx2), str(qy2),
+                         "XX[i]", "YY[i]")
+        d4 = _orient_sql(str(qx1), str(qy1), str(qx2), str(qy2),
+                         "XX[i+1]", "YY[i+1]")
+        cross_terms.append(
+            f"list_bool_or(list_transform(range(1, len(XX)), "
+            f"i -> (({d1}) * ({d2}) < 0) AND (({d3}) * ({d4}) < 0)))"
+        )
+    edge_cross = " OR ".join(cross_terms)
+
+    body = f"({vertex_in_const}) OR ({q_vertex_terms}) OR ({edge_cross})"
+    return body.replace("XX", xs_col).replace("YY", ys_col)
+
+
 def point_in_polygon(lon: Column, lat: Column, polygon: list[tuple[float, float]]) -> Column:
     """Ray-casting point-in-polygon as a pure Column expression.
 

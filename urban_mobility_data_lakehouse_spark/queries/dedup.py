@@ -126,6 +126,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_candidates",
     oracle=simhash.SIMHASH_ORACLE,  # md5-60bit hash is engine-portable
     tags=("dedup", "simhash"),
+    bench=True,
 )
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash.near_duplicate_candidates(

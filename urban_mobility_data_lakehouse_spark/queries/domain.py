@@ -19,9 +19,13 @@ from ..functions.spatial import (
     haversine_km,
     haversine_km_sql,
     point_in_bbox,
+    point_in_polygon,
+    polygon_intersects_wkt,
+    polygon_intersects_wkt_sql,
     synthetic_centroid_lat,
     synthetic_centroid_lon,
     synthetic_centroid_sql,
+    wkt_coords_sql,
 )
 from ..sources.testdata import load_table
 from . import register
@@ -257,6 +261,147 @@ def haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("distance_km"),
         )
         .orderBy("zone_a", "zone_b")
+    )
+
+
+# --- polygon × polygon ST_Intersects consultation -------------------------
+
+def _zone_wkt(key: int) -> str:
+    """Deterministic hexagonal zone polygon around the synthetic
+    centroid (radius varies by key so some zones straddle the query
+    polygon's border).  Coordinates are formatted to 6 decimals so the
+    Spark side and the DuckDB oracle parse byte-identical WKT."""
+    import math
+
+    cx = -9.5 + (key % 10) * 1.3
+    cy = 36.0 + (key // 10) * 1.7 + (key % 3) * 0.4
+    r = 0.45 + (key % 4) * 0.35
+    pts = [
+        (cx + r * math.cos(math.radians(a)),
+         cy + r * math.sin(math.radians(a)))
+        for a in range(0, 360, 60)
+    ]
+    pts.append(pts[0])
+    body = ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts)
+    return f"POLYGON(({body}))"
+
+
+# the consultation parameter: a simple (non-convex) pentagon over the
+# synthetic zone grid — chosen so several zones intersect only through
+# an edge (centroid outside), which is exactly the border-zone case the
+# centroid approximation gets wrong
+_QUERY_POLY = [
+    (-6.0, 36.2),
+    (-1.0, 35.8),
+    (0.8, 38.5),
+    (-2.5, 40.2),
+    (-5.5, 39.0),
+]
+
+_ZONE_WKTS = [(k, _zone_wkt(k)) for k in range(25)]
+
+
+def _point_in_const_sql() -> str:
+    """Centroid-in-query-polygon as SQL (count-parity ray cast against
+    the constant polygon; same branch math as point_in_polygon)."""
+    lon, lat = synthetic_centroid_sql("zone_key")
+    nq = len(_QUERY_POLY)
+    terms = []
+    for j in range(nq):
+        x1, y1 = _QUERY_POLY[j]
+        x2, y2 = _QUERY_POLY[(j + 1) % nq]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"CASE WHEN (({y1} > {lat}) != ({y2} > {lat})) AND "
+            f"({lon} < ({x2} - ({x1})) * ({lat} - ({y1})) / "
+            f"({y2} - ({y1})) + ({x1})) THEN 1 ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ") % 2 = 1"
+
+
+@register(
+    "consult_polygon_intersects",
+    oracle=f"""
+    WITH zones(zone_key, wkt) AS (VALUES {", ".join(
+        f"({k}, '{w}')" for k, w in _ZONE_WKTS
+    )}),
+    parsed AS (
+        SELECT zone_key, wkt,
+               {wkt_coords_sql('wkt', 1)} AS xx,
+               {wkt_coords_sql('wkt', 2)} AS yy
+        FROM zones
+    ),
+    flags AS (
+        SELECT zone_key,
+               ({polygon_intersects_wkt_sql('xx', 'yy', _QUERY_POLY)})
+                   AS intersects,
+               ({_point_in_const_sql()}) AS centroid_inside
+        FROM parsed
+    )
+    SELECT CAST(f.zone_key AS BIGINT) AS zone_id,
+           n.n_name AS zone_name,
+           f.intersects,
+           f.centroid_inside,
+           (f.intersects AND NOT f.centroid_inside) AS border_zone,
+           coalesce(c.n_customers, 0) AS n_customers
+    FROM flags f
+    JOIN nation n ON f.zone_key = n.n_nationkey
+    LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers
+               FROM customer GROUP BY 1) c
+      ON c.c_nationkey = f.zone_key
+    ORDER BY zone_id
+    """,
+    tags=("J9", "spatial", "consultation"),
+)
+def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True polygon×polygon ST_Intersects consultation
+    (mobility_consultations.py:66-68,153-154 filters zone POLYGONS
+    against the query polygon): every zone is flagged with the full
+    intersection test AND the centroid approximation, exposing the
+    border zones where the two disagree.  All pure Column exprs —
+    WKT parse via regexp, ray-cast + edge-crossing via higher-order
+    array functions; the zone dim is broadcast."""
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    zones = spark.createDataFrame(
+        _ZONE_WKTS, "zone_key int, wkt string"
+    )
+    key = F.col("zone_key")
+    flags = zones.select(
+        key.cast("long").alias("zone_id"),
+        polygon_intersects_wkt(F.col("wkt"), _QUERY_POLY).alias(
+            "intersects"
+        ),
+        point_in_polygon(
+            synthetic_centroid_lon(key),
+            synthetic_centroid_lat(key),
+            _QUERY_POLY,
+        ).alias("centroid_inside"),
+    )
+    per_zone = customer.groupBy(
+        F.col("c_nationkey").alias("ckey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        broadcast(flags)
+        .join(
+            broadcast(nation),
+            F.col("zone_id") == F.col("n_nationkey"),
+        )
+        .join(per_zone, F.col("zone_id") == F.col("ckey"), "left")
+        .select(
+            "zone_id",
+            F.col("n_name").alias("zone_name"),
+            "intersects",
+            "centroid_inside",
+            (F.col("intersects") & ~F.col("centroid_inside")).alias(
+                "border_zone"
+            ),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias(
+                "n_customers"
+            ),
+        )
+        .orderBy("zone_id")
     )
 
 

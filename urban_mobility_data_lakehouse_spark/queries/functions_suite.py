@@ -6,6 +6,8 @@ day-equivalent silver batch.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
@@ -232,6 +234,77 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_brand").alias("n_brands"),
             F.countDistinct("s_nationkey").alias("n_supp_nations"),
         )
+    )
+
+
+@register(
+    "bucketed_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "bucketing", "scale"),
+    bench=True,
+)
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact×fact join done the 100 TB way: both sides bucketed on
+    the join key at write time (CLUSTERED BY ... INTO 16 BUCKETS), so
+    the join plans as a SortMergeJoin with NO Exchange on either side —
+    the shuffle happened once at write time, not on every query
+    (tests/test_plans.py proves the zero-exchange property).  The
+    oracle is the plain unbucketed join: bucketing must be
+    result-invariant."""
+    import hashlib
+
+    from ..sources.lakehouse import save_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tables = {
+        f"bf_lineitem_{tag}": (
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+        ),
+        f"bf_orders_{tag}": (
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+        ),
+    }
+    for name, (df, key) in tables.items():
+        if not spark.catalog.tableExists(name):
+            # a stale warehouse dir from a previous session blocks
+            # saveAsTable (LOCATION_ALREADY_EXISTS) — clear it first
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(
+                spark.conf.get("spark.sql.warehouse.dir")
+            ).path
+            stale = os.path.join(wh, name)
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            save_bucketed(df, name, key, 16, sort_col=key)
+    li = spark.table(f"bf_lineitem_{tag}")
+    o = spark.table(f"bf_orders_{tag}")
+    return (
+        li.hint("MERGE")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

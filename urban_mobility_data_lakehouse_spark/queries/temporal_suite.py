@@ -38,6 +38,7 @@ from . import register
     ORDER BY c.user_id, c.ts, c.event_id
     """,
     tags=("asof", "temporal", "join"),
+    bench=True,
 )
 def asof_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/temporal.asof_join): every click event
