@@ -34,12 +34,159 @@ def test_byte_features(spark, sf_dir):
 
 
 def test_decode_stub_gating(spark, sf_dir):
+    """Compressed/unknown payloads still raise (text bytes are neither
+    PPM nor BMP); fake=True keeps the plumbing testable."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(NotImplementedError):
-        decode_image(media, fake=False)
+    with pytest.raises(Exception, match="compressed image codecs"):
+        decode_image(media.limit(2), fake=False).collect()
     decoded = decode_image(media.limit(5), fake=True).collect()
     assert len(decoded) == 5
     assert all(r["n_channels"] == 3 for r in decoded)
+
+
+def _gradient_image(w, h):
+    import numpy as np
+
+    x = np.arange(w, dtype=np.uint8)[None, :, None]
+    y = np.arange(h, dtype=np.uint8)[:, None, None]
+    return np.concatenate(
+        [
+            np.broadcast_to(x % 256, (h, w, 1)),
+            np.broadcast_to(y % 256, (h, w, 1)),
+            np.broadcast_to((x + y) % 256, (h, w, 1)),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _bmp_bytes(arr):
+    """Minimal uncompressed 24-bit BMP writer (bottom-up, BGR,
+    4-byte row padding) — test-side twin of decode_bmp."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    pixel_data = rows.tobytes()
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + pixel_data
+
+
+def _wav_bytes(rate, samples):
+    """Minimal PCM16 WAV writer — test-side twin of decode_wav."""
+    data = samples.astype("<i2").tobytes()
+    n_ch = samples.shape[1]
+    byte_rate = rate * n_ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, kind, bytearray(payload), (None, None, None, None))
+            for i, (kind, payload) in enumerate(rows)
+        ],
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+
+
+def test_real_image_decode(spark):
+    """PPM and BMP payloads decode to actual pixels (dims + channel
+    means match the numpy reference) with no codec libraries."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        encode_ppm,
+    )
+
+    img = _gradient_image(13, 7)  # odd dims exercise BMP row padding
+    media = _media_df(
+        spark,
+        [("image/x-ppm", encode_ppm(img)), ("image/bmp", _bmp_bytes(img))],
+    )
+    rows = {r["media_id"]: r for r in decode_image(media).collect()}
+    means = img.reshape(-1, 3).mean(axis=0)
+    for r in rows.values():
+        assert (r["width"], r["height"], r["n_channels"]) == (13, 7, 3)
+        np.testing.assert_allclose(
+            [r["mean_r"], r["mean_g"], r["mean_b"]], means, atol=1e-4
+        )
+
+
+def test_real_audio_decode(spark):
+    """PCM WAV payloads parse to the exact sample matrix (rate, shape,
+    RMS match the numpy reference)."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_audio,
+    )
+
+    t = np.arange(800)
+    samples = np.stack(
+        [
+            (1000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int16),
+            (500 * np.cos(2 * np.pi * 220 * t / 8000)).astype(np.int16),
+        ],
+        axis=1,
+    )
+    media = _media_df(spark, [("audio/wav", _wav_bytes(8000, samples))])
+    (row,) = decode_audio(media).collect()
+    assert (row["sample_rate"], row["n_channels"], row["n_samples"]) == (
+        8000, 2, 800,
+    )
+    expected_rms = float(np.sqrt((samples.astype("float64") ** 2).mean()))
+    assert abs(row["rms"] - round(expected_rms, 4)) < 1e-9
+
+
+def test_real_resize_roundtrip(spark):
+    """Nearest-neighbor resize is a real pixel op: output re-decodes as
+    PPM with the target dims and matches the numpy index-map."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_ppm,
+        encode_ppm,
+        resize_image,
+    )
+
+    img = _gradient_image(16, 12)
+    media = _media_df(spark, [("image/x-ppm", encode_ppm(img))])
+    (row,) = resize_image(media, 8, 6).collect()
+    out = decode_ppm(bytes(row["payload"]))
+    assert out.shape == (6, 8, 3)
+    yi = np.minimum(((np.arange(6) + 0.5) * 12 / 6).astype(int), 11)
+    xi = np.minimum(((np.arange(8) + 0.5) * 16 / 8).astype(int), 15)
+    np.testing.assert_array_equal(out, img[yi[:, None], xi[None, :]])
 
 
 def test_frame_sample_fanout(spark):
@@ -70,5 +217,5 @@ def test_resize_stub_plumbing(spark, sf_dir):
 
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="resize"):
-        resize_image(media, 8, 6).collect()
+    with _pytest.raises(Exception, match="compressed image codecs"):
+        resize_image(media.limit(2), 8, 6).collect()
