@@ -120,4 +120,68 @@ def test_lakehouse_compact(spark, tmp_path):
         (r["event_id"], r["value"]) for r in lake.read(spark, "silver", "frag").collect()
     )
     assert after_rows == before_rows
-    assert lake.snapshots("silver", "frag")[-1]["operation"] == "compact"
+    assert (
+        lake.snapshots("silver", "frag")[-1]["operation"]
+        == "compact_partitioned"
+    )
+
+
+def test_lakehouse_time_travel(spark, tmp_path):
+    """S12 versioned reads: overwrite a partition twice, read version
+    N-1, see the old rows (Delta VERSION AS OF / DuckLake snapshot
+    read analog) — and vacuum-after-compact bounds retained history."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def day_df(day: str, values):
+        return spark.createDataFrame(
+            [(i, float(v), day) for i, v in enumerate(values)],
+            "event_id long, value double, partition_date string",
+        ).withColumn(
+            "partition_date", F.to_date("partition_date")
+        )
+
+    # v0: two days; v1: day 2 rewritten with different values
+    lake.overwrite_partitions(
+        day_df("2024-01-01", [1, 2]).unionByName(
+            day_df("2024-01-02", [3, 4])
+        ),
+        "silver", "tt", partition_col="partition_date",
+    )
+    lake.overwrite_partitions(
+        day_df("2024-01-02", [30, 40, 50]),
+        "silver", "tt", partition_col="partition_date",
+    )
+
+    def values(df):
+        return sorted(r["value"] for r in df.collect())
+
+    latest = lake.read(spark, "silver", "tt")
+    assert values(latest) == [1.0, 2.0, 30.0, 40.0, 50.0]
+    v0 = lake.read_snapshot(spark, "silver", "tt", version=0)
+    assert values(v0) == [1.0, 2.0, 3.0, 4.0]
+
+    # appends participate in the version history too
+    lake.append(day_df("2024-01-03", [99]), "silver", "tt")
+    assert values(lake.read(spark, "silver", "tt")) == [
+        1.0, 2.0, 30.0, 40.0, 50.0, 99.0,
+    ]
+    assert values(lake.read_snapshot(spark, "silver", "tt", 1)) == [
+        1.0, 2.0, 30.0, 40.0, 50.0,
+    ]
+
+    # compact+vacuum: latest unchanged, pre-compaction versions gone
+    lake.compact(spark, "silver", "tt", partition_col="partition_date")
+    assert values(lake.read(spark, "silver", "tt")) == [
+        1.0, 2.0, 30.0, 40.0, 50.0, 99.0,
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lake.read_snapshot(spark, "silver", "tt", 0).collect()

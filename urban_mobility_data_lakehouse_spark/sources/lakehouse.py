@@ -8,21 +8,33 @@ partition overwrite, behind an interface a Delta backend could drop
 into:
 
   - `overwrite_partitions` — the idempotent per-day upsert: replaces
-    exactly the partitions present in the incoming frame, atomically
-    per partition directory (the replaceWhere / DELETE+INSERT analog,
+    exactly the partitions present in the incoming frame (the
+    replaceWhere / DELETE+INSERT analog,
     mobility_ingestion_pipeline.py:519-533,544-567)
   - `append` — append-only sinks (the quality log)
   - a JSONL snapshot log per table recording every commit
     (version/op/partitions/rows) — the `lakehouse.snapshots()` /
     DESCRIBE HISTORY analog (1_sprint3...ipynb:6274 cell 84)
+  - **versioned time-travel reads** — `read(..., version=N)` /
+    `read_snapshot` replay the commit log to reconstruct the live
+    file set as of any retained version (DuckLake `snapshots()` /
+    Delta `VERSION AS OF`)
   - catalog helpers (list_tables / table_schema) — information_schema
     analog (S12)
 
+Storage is copy-on-write, exactly the Delta protocol shape: every
+commit writes NEW files under `_data/v<version>/` and then appends one
+line to the commit log — the log append IS the commit point, so a
+crash mid-write leaves an orphan directory but never a half-visible
+table, and old versions stay readable until `compact(vacuum=True)`
+(the OPTIMIZE+VACUUM analog) reclaims them.
+
 Scale notes: partition granularity is the reference's own (one DATE
 per partition ≈ 10M rows/day at production scale — healthy parquet
-partition size); dynamic overwrite touches only the partitions being
-replaced, so re-running a day never rewrites the table; writes never
-funnel through the driver.
+partition size); a partition upsert writes only the partitions being
+replaced, so re-running a day never rewrites the table; reads prune
+superseded partitions with partition-column filters (directory-level,
+never row-level); writes never funnel through the driver.
 """
 
 from __future__ import annotations
@@ -56,6 +68,12 @@ class Lakehouse:
 
     # -- writes (S9/S10/S11/S13) ------------------------------------------
 
+    def _next_data_dir(self, schema: str, name: str) -> tuple[int, str]:
+        version = len(self.snapshots(schema, name))
+        return version, os.path.join(
+            self._table_dir(schema, name), "_data", f"v{version}"
+        )
+
     def overwrite_partitions(
         self,
         df: DataFrame,
@@ -64,19 +82,14 @@ class Lakehouse:
         partition_col: str,
     ) -> None:
         """Idempotent partition upsert: only partitions present in `df`
-        are replaced; everything else is untouched."""
+        are replaced; everything else is untouched.  Copy-on-write: the
+        new partitions land in a fresh version directory and supersede
+        the same partitions of earlier versions at read time."""
         path = self._table_dir(schema, name)
-        spark = df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                df.write.mode("overwrite")
-                .partitionBy(partition_col)
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _, data_dir = self._next_data_dir(schema, name)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(
+            data_dir
+        )
         parts = [
             str(r[0])
             for r in df.select(partition_col).distinct().collect()
@@ -84,17 +97,26 @@ class Lakehouse:
         self._log_snapshot(
             path, op="overwrite_partitions",
             partitions=sorted(parts), partition_col=partition_col,
+            data_dir=os.path.relpath(data_dir, path),
         )
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
         path = self._table_dir(schema, name)
-        df.write.mode("overwrite").parquet(path)
-        self._log_snapshot(path, op="overwrite")
+        _, data_dir = self._next_data_dir(schema, name)
+        df.write.mode("overwrite").parquet(data_dir)
+        self._log_snapshot(
+            path, op="overwrite",
+            data_dir=os.path.relpath(data_dir, path),
+        )
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         path = self._table_dir(schema, name)
-        df.write.mode("append").parquet(path)
-        self._log_snapshot(path, op="append")
+        _, data_dir = self._next_data_dir(schema, name)
+        df.write.mode("overwrite").parquet(data_dir)  # fresh dir per commit
+        self._log_snapshot(
+            path, op="append",
+            data_dir=os.path.relpath(data_dir, path),
+        )
 
     def compact(
         self,
@@ -103,67 +125,139 @@ class Lakehouse:
         name: str,
         partition_col: str | None = None,
         target_files_per_partition: int = 1,
+        vacuum: bool = True,
     ) -> dict:
-        """OPTIMIZE analog: rewrite each partition's many small files
-        into `target_files_per_partition` right-sized ones.
+        """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
+        files into `target_files_per_partition` right-sized ones.
 
         The small-files problem is the canonical lakehouse failure mode
         at 100 TB — a streaming/daily writer leaves thousands of KB-
         scale files per partition and scan task-scheduling overhead
-        swamps I/O.  Compaction reads+rewrites data only (coalesce per
-        partition), appends a snapshot entry, and is idempotent.
-        Returns {files_before, files_after}.
+        swamps I/O.  The rewrite is itself just a commit: the compacted
+        copy lands in a new version directory, the log line makes it
+        live, and with vacuum=True the superseded version directories
+        are reclaimed (time travel reaches back only to the compaction,
+        exactly Delta's OPTIMIZE+VACUUM contract).  With vacuum=False
+        full history stays readable.  Returns {files_before,
+        files_after}.
         """
         path = self._table_dir(schema, name)
         before = _count_data_files(path)
-        df = spark.read.parquet(path)
+        df = self.read(spark, schema, name)
+        version, data_dir = self._next_data_dir(schema, name)
         if partition_col is not None:
             # hash-repartition by the partition column: every value's
             # rows land in ONE task → exactly one file per partition
             # directory after the write (one shuffle total)
-            tmp = path + "._compact"
             (
                 df.repartition(F.col(partition_col))
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
-                .parquet(tmp)
+                .parquet(data_dir)
+            )
+            parts = sorted(
+                str(r[0])
+                for r in df.select(partition_col).distinct().collect()
+            )
+            self._log_snapshot(
+                path, op="compact_partitioned",
+                partitions=parts, partition_col=partition_col,
+                data_dir=os.path.relpath(data_dir, path),
+                files_before=before,
             )
         else:
-            tmp = path + "._compact"
             df.coalesce(target_files_per_partition).write.mode(
                 "overwrite"
-            ).parquet(tmp)
-        # swap via rename-aside: the live directory is only ever absent
-        # between two cheap renames, and a crash mid-swap leaves the old
-        # data recoverable at `<path>._old` (never deleted before the
-        # new copy is in place).  Preserve the snapshot log across the
-        # rewrite.
-        log_src = os.path.join(path, SNAPSHOT_LOG)
-        log_tmp = None
-        if os.path.exists(log_src):
-            with open(log_src) as f:
-                log_tmp = f.read()
-        import shutil
-
-        old = path + "._old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(path, old)
-        os.rename(tmp, path)
-        if log_tmp is not None:
-            with open(log_src, "w") as f:
-                f.write(log_tmp)
-        shutil.rmtree(old)
+            ).parquet(data_dir)
+            self._log_snapshot(
+                path, op="compact",
+                data_dir=os.path.relpath(data_dir, path),
+                files_before=before,
+            )
+        if vacuum:
+            self.vacuum(schema, name, keep_version=version)
         after = _count_data_files(path)
-        self._log_snapshot(
-            path, op="compact", files_before=before, files_after=after
-        )
         return {"files_before": before, "files_after": after}
 
-    # -- reads -------------------------------------------------------------
+    def vacuum(self, schema: str, name: str, keep_version: int) -> None:
+        """Reclaim version directories older than `keep_version` (they
+        are no longer reachable from the latest manifest after a full
+        compaction).  The commit log itself is never truncated."""
+        import shutil
 
-    def read(self, spark: SparkSession, schema: str, name: str) -> DataFrame:
-        return spark.read.parquet(self._table_dir(schema, name))
+        data_root = os.path.join(self._table_dir(schema, name), "_data")
+        if not os.path.isdir(data_root):
+            return
+        for d in os.listdir(data_root):
+            if d.startswith("v") and int(d[1:]) < keep_version:
+                shutil.rmtree(os.path.join(data_root, d))
+
+    # -- reads (incl. versioned time travel) -------------------------------
+
+    def _manifest(
+        self, schema: str, name: str, version: int | None = None
+    ) -> tuple[dict[str, tuple[str, str]], list[str]]:
+        """Replay the commit log up to `version` (inclusive; None =
+        latest) → (partition → (data_dir, partition_col), extra dirs).
+        Pure log arithmetic — no filesystem listing, no Spark job."""
+        path = self._table_dir(schema, name)
+        part_map: dict[str, tuple[str, str]] = {}
+        extra: list[str] = []
+        for e in self.snapshots(schema, name):
+            if version is not None and e["version"] > version:
+                break
+            d = e.get("data_dir")
+            if d is None:
+                continue
+            d = os.path.join(path, d)
+            op = e["operation"]
+            if op in ("overwrite", "compact"):
+                part_map, extra = {}, [d]
+            elif op == "append":
+                extra.append(d)
+            elif op in ("overwrite_partitions", "compact_partitioned"):
+                if op == "compact_partitioned":
+                    part_map, extra = {}, []
+                for p in e["partitions"]:
+                    part_map[p] = (d, e["partition_col"])
+        return part_map, extra
+
+    def read(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read the table as of `version` (None = latest) by unioning
+        each commit directory's still-live slice.  Superseded partitions
+        are excluded with partition-column filters — directory-level
+        pruning, no data rows ever read from dead partitions."""
+        part_map, extra = self._manifest(schema, name, version)
+        by_dir: dict[str, tuple[str, list[str]]] = {}
+        for value, (d, pcol) in part_map.items():
+            by_dir.setdefault(d, (pcol, []))[1].append(value)
+        frames = [
+            spark.read.option("basePath", d)
+            .parquet(d)
+            .filter(F.col(pcol).cast("string").isin(values))
+            for d, (pcol, values) in sorted(by_dir.items())
+        ] + [spark.read.parquet(d) for d in sorted(extra)]
+        if not frames:
+            raise FileNotFoundError(
+                f"{schema}.{name} has no data at version {version}"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def read_snapshot(
+        self, spark: SparkSession, schema: str, name: str, version: int
+    ) -> DataFrame:
+        """Time-travel read (Delta `VERSION AS OF` / DuckLake snapshot
+        read): the table exactly as it was after commit `version`."""
+        return self.read(spark, schema, name, version=version)
 
     # -- catalog / snapshots (S12) ----------------------------------------
 
