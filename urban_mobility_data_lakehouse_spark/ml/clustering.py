@@ -161,6 +161,169 @@ def typical_day_clustering(
     return assignments, gold
 
 
+def deterministic_kmeans(
+    events: DataFrame, k: int = 3, iters: int = 5
+) -> DataFrame:
+    """U3 the oracle-checkable way: Lloyd's k-means with a FIXED
+    deterministic initialization (the k earliest dates' profiles) and a
+    fixed number of unrolled iterations, every arithmetic step chosen
+    to be bit-identical across engines:
+
+      - profile values quantized to 6 decimals (round before use)
+      - centroid means via DECIMAL(25,6) sums (order-independent)
+      - distance folds in fixed h0→h23 order; ties → lowest cluster
+
+    This makes the assignment a pure function of the data — DuckDB can
+    recompute it from generated SQL (see queries/clustering_oracle.py),
+    which upgrades the clustering gold table from rows-only to a full
+    value-hash driver check.  The seeded best-of-n-init variant
+    (_kmeans_driver, sklearn parity) remains the pipeline default.
+
+    Returns gold rows: (cluster_id, hour, avg_trips,
+    total_trips_sample, n_days), relabeled by size desc / earliest
+    date.  Fully distributed: iterations are chained DataFrame aggs
+    with the (1 × k·24) centroid row broadcast — no driver-side
+    clustering loop over data.
+    """
+    hourly = hourly_totals_exact(events).cache()
+
+    # pivot + normalize, quantized
+    wide = (
+        hourly.groupBy("event_date")
+        .pivot("hour", HOURS)
+        .agg(F.first("total_trips"))
+        .na.fill(0.0)
+    )
+    total = sum((F.col(str(h)) for h in HOURS[1:]), F.col("0"))
+    row_sum = F.when(total == 0, F.lit(1.0)).otherwise(total)
+    norm = wide.select(
+        "event_date",
+        *[
+            F.round(F.col(str(h)) / row_sum, 6).alias(f"v{h}")
+            for h in HOURS
+        ],
+    )
+
+    # The profile matrix is bounded by |distinct days| (a few thousand
+    # rows even at 100 TB of events), so after the DISTRIBUTED agg +
+    # pivot the Lloyd loop itself runs on the driver — the same honest
+    # scale design as _kmeans_driver, and what the reference does with
+    # sklearn.  Every arithmetic step mirrors the SQL oracle exactly:
+    #   - profile values are exact 6-dp decimals → kept as integer
+    #     micro-units, so per-cluster sums are exact (== the engines'
+    #     DECIMAL(25,6) sums, which are exact for 6-dp inputs)
+    #   - centroid = (S/1e6)/n in Python floats = the oracle's
+    #     CAST(sum AS DOUBLE)/count: both are two correctly-rounded
+    #     IEEE-double operations on identical values
+    #   - distances fold h0→h23 left-to-right in doubles; ties → the
+    #     lowest cluster — identical to the generated SQL CASE
+    rows = norm.orderBy("event_date").collect()
+    dates = [r["event_date"] for r in rows]
+    vf = [[r[f"v{h}"] for h in HOURS] for r in rows]  # floats
+    vi = [
+        [int(round(v * 1_000_000)) for v in row] for row in vf
+    ]  # exact micro-units
+
+    kk = min(k, len(vf))
+    cents = [list(vf[j]) for j in range(kk)]
+
+    def assign_all(c):
+        out = []
+        for row in vf:
+            d = []
+            for j in range(kk):
+                acc = (row[0] - c[j][0]) * (row[0] - c[j][0])
+                for h in HOURS[1:]:
+                    acc = acc + (row[h] - c[j][h]) * (row[h] - c[j][h])
+                d.append(acc)
+            best = kk - 1
+            for j in range(kk - 2, -1, -1):
+                if all(d[j] <= d[m] for m in range(j + 1, kk)):
+                    best = j
+            out.append(best)
+        return out
+
+    # iters assignments ⇒ iters-1 centroid updates (the final
+    # assignment uses the last updated centroids, mirroring the
+    # oracle's a1..a{T} / cent1..cent{T-1} CTE chain)
+    asg = assign_all(cents)
+    for _ in range(iters - 1):
+        for j in range(kk):
+            members = [vi[i] for i in range(len(vi)) if asg[i] == j]
+            if members:
+                n = len(members)
+                cents[j] = [
+                    (float(sum(m[h] for m in members)) / 1e6) / n
+                    for h in HOURS
+                ]
+        asg = assign_all(cents)
+
+    spark = events.sparkSession
+    final = spark.createDataFrame(
+        [(d, int(a)) for d, a in zip(dates, asg)],
+        "event_date date, asg int",
+    )
+
+    sizes = final.groupBy("asg").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min("event_date").alias("first_date"),
+    )
+    order = Window.orderBy(F.col("n_days").desc(), F.col("first_date").asc())
+    relabel = sizes.select(
+        "asg",
+        (F.row_number().over(order) - 1).cast("long").alias("cluster_id"),
+        "n_days",
+    )
+    assignments = final.join(F.broadcast(relabel), "asg")
+
+    # Final 2-dp rounding happens in exact integer micro-units: double
+    # round() diverges between engines on boundary-adjacent values
+    # (342.03/6 = 57.005 → Spark 57.00, DuckDB 57.01), but
+    # floor((200·S + 10⁶·n) / (2·10⁶·n)) is pure BIGINT math — i.e.
+    # round-half-up of the exact rational — identical everywhere.
+    su = F.sum(
+        F.round(F.col("total_trips") * 1000000, 0).cast("long")
+    ).alias("su")
+    return (
+        hourly.join(F.broadcast(assignments), "event_date")
+        .groupBy("cluster_id", F.col("hour").cast("long").alias("hour"))
+        .agg(
+            su,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_days").alias("n_days"),
+        )
+        .select(
+            "cluster_id",
+            "hour",
+            (
+                F.expr(
+                    "(200 * su + 1000000 * n_rows)"
+                    " div (2000000 * n_rows)"
+                ).cast("double")
+                / 100
+            ).alias("avg_trips"),
+            (
+                F.expr("(su + 5000) div 10000").cast("double") / 100
+            ).alias("total_trips_sample"),
+            "n_days",
+        )
+        .orderBy("cluster_id", "hour")
+    )
+
+
+def hourly_totals_exact(events: DataFrame) -> DataFrame:
+    """Per (date, hour) totals with an order-independent DECIMAL sum —
+    the deterministic twin of hourly_totals for oracle-checked paths."""
+    return events.groupBy(
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").alias("hour"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("total_trips")
+    )
+
+
 def cluster_calendar_contingency(
     assignments: DataFrame, holidays: DataFrame | None = None
 ) -> DataFrame:

@@ -405,17 +405,24 @@ def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .clustering_oracle import kmeans_gold_oracle  # noqa: E402
+
+
 @register(
     "typical_day_clusters",
-    oracle=None,  # KMeans is not SQL-expressible → rows-only check
+    oracle=kmeans_gold_oracle(k=3, iters=5),
     tags=("U1", "U2", "U3", "U4", "gold"),
     bench=True,
 )
 def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gold.typical_day_by_cluster parity (k×24 rows, deterministic row
-    count; cluster labels deterministically re-mapped by size)."""
-    from ..ml.clustering import typical_day_clustering
+    """gold.typical_day_by_cluster, fully oracle-checked: deterministic
+    Lloyd's k-means (fixed earliest-dates init, 5 unrolled iterations,
+    DECIMAL centroid sums, quantized profiles) — every arithmetic step
+    bit-aligned with the generated DuckDB oracle, so the driver hashes
+    assignments and gold values, not just row counts.  The seeded
+    best-of-n-init sklearn-parity variant stays in the pipeline
+    (ml/clustering.typical_day_clustering, semantic pytest)."""
+    from ..ml.clustering import deterministic_kmeans
 
     events = load_table(spark, sf_dir, "events")
-    _, gold = typical_day_clustering(events, k=3, seed=42)
-    return gold
+    return deterministic_kmeans(events, k=3, iters=5)
