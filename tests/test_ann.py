@@ -34,6 +34,49 @@ def test_ivf_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_minhash_lsh_recall_floor(spark, sf_dir):
+    """The 16-hash/4-band LSH must recover (as candidates) nearly all
+    pairs whose EXACT shingle Jaccard is high — the S-curve gives
+    P[candidate] = 1-(1-j^4)^4 ≈ 0.88 at j=0.8 and ≈ 0.999 at j=0.95,
+    so a 0.75 floor on j ≥ 0.8 pairs has real slack."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.dedup import minhash
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = minhash.doc_shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # exact Jaccard for every pair sharing >=1 shingle (superset of
+    # every pair with j >= 0.8) — fine at test scale, never at 100 TB
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    exact = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    truth = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    assert truth, "fixture corpus must contain high-jaccard near-dups"
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash.candidate_pairs(docs, exploded=sh).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.75, f"LSH recall {recall:.2f} over {len(truth)} pairs"
+
+
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf.train_centroids(emb, n_cells=8)

@@ -22,8 +22,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-N_HASHES = 8
-BAND_ROWS = 4  # → 2 bands of 4 rows: candidates need jaccard^4 band hit
+# 16 hashes in 4 bands of 4 rows: P[candidate] = 1-(1-j^4)^4 — a much
+# steeper S-curve than the previous 8/2 setting (recall at j=0.5 rises
+# from ~0.12 to ~0.23, at j=0.7 from ~0.43 to ~0.68) at 2× md5 cost,
+# which stays row-local and codegen'd.
+N_HASHES = 16
+BAND_ROWS = 4
 
 
 def shingles(toks: Column, text: Column, n: int = 3) -> Column:

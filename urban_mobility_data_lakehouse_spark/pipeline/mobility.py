@@ -243,25 +243,45 @@ class MobilityPipeline:
         )
 
     def audit_dimensions(self) -> dict[str, float]:
-        """Quality-log audits (:356-397) — same metric names."""
+        """Quality-log audits (:356-397) — same metric names, computed
+        in ONE aggregation pass per table (3 jobs total, not ~6): the
+        null counts and totals ride a single dimz agg, and the rent
+        coverage reuses that count instead of re-scanning."""
         s, lake = self.spark, self.lake
-        dimz = lake.read(s, "silver", "dim_zones")
-        pop = lake.read(s, "silver", "metric_population")
-        rent = lake.read(s, "silver", "metric_ine_rent")
+        dimz_row = (
+            lake.read(s, "silver", "dim_zones")
+            .agg(
+                F.sum(F.col("ine_code").isNull().cast("long")).alias(
+                    "missing_ine"
+                ),
+                F.sum(
+                    F.col("centroid_lon").isNull().cast("long")
+                ).alias("missing_geo"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .collect()[0]
+        )
+        pop_total = (
+            lake.read(s, "silver", "metric_population")
+            .agg(F.sum("population"))
+            .collect()[0][0]
+        )
+        rent_row = (
+            lake.read(s, "silver", "metric_ine_rent")
+            .agg(
+                F.avg("income_per_capita").alias("avg_income"),
+                F.countDistinct("zone_id").alias("n_zones"),
+            )
+            .collect()[0]
+        )
         metrics = {
-            "zones_missing_ine_code": dimz.filter(
-                F.col("ine_code").isNull()
-            ).count(),
-            "zones_missing_geo_coords": dimz.filter(
-                F.col("centroid_lon").isNull()
-            ).count(),
-            "total_zones": dimz.count(),
-            "total_population": pop.agg(F.sum("population")).collect()[0][0],
-            "avg_income": float(
-                rent.agg(F.avg("income_per_capita")).collect()[0][0]
-            ),
-            "rent_coverage_pct": rent.select("zone_id").distinct().count()
-            * 100.0 / max(dimz.count(), 1),
+            "zones_missing_ine_code": dimz_row["missing_ine"],
+            "zones_missing_geo_coords": dimz_row["missing_geo"],
+            "total_zones": dimz_row["total"],
+            "total_population": pop_total,
+            "avg_income": float(rent_row["avg_income"]),
+            "rent_coverage_pct": rent_row["n_zones"]
+            * 100.0 / max(dimz_row["total"], 1),
         }
         for name, value in metrics.items():
             log_metric(lake, s, "silver.dims", name, float(value))

@@ -33,15 +33,18 @@ _SIG_COLS = ", ".join(
 
 _SIG = f"SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
 
-_BANDS = """
-    SELECT doc_id, 0 AS band_id,
-           md5(m0 || '|' || m1 || '|' || m2 || '|' || m3) AS band_key
-    FROM sig
-    UNION ALL
-    SELECT doc_id, 1,
-           md5(m4 || '|' || m5 || '|' || m6 || '|' || m7)
-    FROM sig
-"""
+# band CTE generated from the same N_HASHES/BAND_ROWS constants the
+# Spark implementation uses, so the LSH geometry can never drift
+_BANDS = "\n    UNION ALL\n".join(
+    "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_key FROM sig".format(
+        b=b,
+        concat=" || '|' || ".join(
+            f"m{b * minhash.BAND_ROWS + r}"
+            for r in range(minhash.BAND_ROWS)
+        ),
+    )
+    for b in range(minhash.N_HASHES // minhash.BAND_ROWS)
+)
 
 
 @register(
