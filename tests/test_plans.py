@@ -80,8 +80,6 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     """Hot-path queries must stay JVM-side: no BatchEvalPython /
     ArrowEvalPython stages in any registered oracle-checked plan."""
     for name, spec in sorted(REGISTRY.items()):
-        if name == "typical_day_clusters":
-            continue  # MLlib pipeline materializes via its own path
         plan = formatted_plan(spec.builder(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python UDF"
 
