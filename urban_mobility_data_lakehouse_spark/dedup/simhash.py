@@ -31,26 +31,30 @@ def token_hash(col) -> F.Column:
 
 
 def simhash(documents: DataFrame) -> DataFrame:
-    """(doc_id, simhash BIGINT) via bitwise vote aggregation."""
+    """(doc_id, simhash BIGINT) via bitwise vote aggregation.
+
+    The ±1 vote per bit is algebraically 2·popcount_j − n, so the agg
+    only sums raw bits ((h>>j)&1, no branch) plus one count; the sign
+    test becomes 2·s_j > n at fingerprint build — same result, ~half
+    the per-row aggregation work of a when(±1) formulation."""
     toks = documents.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     ).withColumn("h", token_hash(F.col("token")))
-    # vote per bit: sum(±1) over tokens, bit j extracted by shift+mask
     votes = toks.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{j}")
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
             for j in range(BITS)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
     fp = F.lit(0).cast("long")
     for j in range(BITS):
         fp = fp.bitwiseOR(
-            F.when(F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long"))
+            F.when(
+                2 * F.col(f"s{j}") > F.col("n"),
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select("doc_id", fp.alias("simhash"))
 
@@ -61,8 +65,25 @@ def _band(col, b: int):
     )
 
 
-def near_duplicate_candidates(documents: DataFrame) -> DataFrame:
-    """Pairs agreeing on ≥1 of 4 15-bit bands, with Hamming distance."""
+HAMMING_MAX = 3  # what 4 × 15-bit bands guarantee to catch
+
+
+def near_duplicate_candidates(
+    documents: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate pairs: agree on ≥1 of 4 15-bit bands AND within
+    `hamming_max` bit flips (the distance the banding is designed to
+    catch — pigeonhole: ≤3 flips leave ≥1 band intact).
+
+    The Hamming post-filter is what keeps this linear-ish in practice:
+    band buckets are only 15 bits, so templated corpora produce hot
+    buckets whose pair lists are quadratic in bucket size (observed:
+    one 1.6k-doc bucket → 1.3M raw pairs at sf0.1).  The XOR+bit_count
+    comparison is row-local codegen, so the quadratic part stays cheap
+    and everything downstream (distinct, sort, result transfer) only
+    sees true near-dups.  At 100 TB, additionally cap bucket size (skip
+    or sub-split buckets past ~10k members — a bucket that large is a
+    template family, not a dedup candidate set)."""
     fps = simhash(documents)
     bands = fps.select(
         "doc_id",
@@ -94,13 +115,69 @@ def near_duplicate_candidates(documents: DataFrame) -> DataFrame:
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
 
+def dedup_map(
+    documents: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Keep-one-per-cluster map: for every doc with at least one
+    near-duplicate of smaller id, its canonical representative
+    (min neighbor) and near-dup degree.
+
+    This is the output shape an LLM-data dedup pipeline actually
+    materializes — |docs| rows, NOT the pair list, which is quadratic
+    in duplicate-family size (a 700-doc template family alone is 245k
+    pairs; observed 271k pairs vs ≤5k map rows at sf0.1).  The pair
+    blowup still exists as the join's intermediate, but it is
+    filtered row-locally in codegen; nothing quadratic is shuffled,
+    distinct-ed, sorted, or returned."""
+    fps = simhash(documents)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    _band(F.col("simhash"), b).alias("band_val"),
+                )
+                for b in range(BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_id",
+        "band_val",
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(hamming <= hamming_max)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(
+            F.min("doc_a").alias("canonical_id"),
+            F.countDistinct("doc_a").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # DuckDB oracle for the full pipeline (hash → vote → fingerprint →
-# band-blocked candidate pairs) — same md5-60bit hash, same semantics.
+# band-blocked Hamming-verified dedup map) — same md5-60bit hash,
+# same 2·s > n vote semantics, same min-neighbor canonicalization.
 SIMHASH_ORACLE = f"""
 WITH toks AS (
     SELECT doc_id,
@@ -114,14 +191,13 @@ hashed AS (
     FROM toks
 ),
 votes AS (
-    SELECT doc_id, j,
-           SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    SELECT doc_id, j, SUM((h >> j) & 1) AS s, count(*) AS n
     FROM hashed, generate_series(0, {BITS - 1}) t(j)
     GROUP BY doc_id, j
 ),
 fps AS (
     SELECT doc_id,
-           CAST(SUM(CASE WHEN vote > 0
+           CAST(SUM(CASE WHEN 2 * s > n
                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
                 AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
@@ -131,9 +207,12 @@ bands AS (
            (simhash >> (b * {BAND_BITS})) & {BAND_MASK} AS band_val, b
     FROM fps, generate_series(0, {BANDS - 1}) t(b)
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+SELECT b.doc_id AS doc_id,
+       min(a.doc_id) AS canonical_id,
+       count(DISTINCT a.doc_id) AS n_near_dups
 FROM bands a JOIN bands b
   ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+GROUP BY 1
+ORDER BY doc_id
 """

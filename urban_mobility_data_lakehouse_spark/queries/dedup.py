@@ -132,6 +132,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash.near_duplicate_candidates(
-        load_table(spark, sf_dir, "documents")
-    )
+    """SimHash dedup map (keep-one-per-cluster): band-blocked,
+    Hamming-verified, min-neighbor canonical ids.  |docs|-bounded
+    output — the pair list is quadratic in duplicate-family size and
+    only ever exists as a row-local filtered join intermediate."""
+    return simhash.dedup_map(load_table(spark, sf_dir, "documents"))
