@@ -69,9 +69,10 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
     truth = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
     assert truth, "fixture corpus must contain high-jaccard near-dups"
 
+    # candidates from the hashed pipeline; truth stays raw-string exact
     cand = {
         (r["doc_a"], r["doc_b"])
-        for r in minhash.candidate_pairs(docs, exploded=sh).collect()
+        for r in minhash.candidate_pairs(docs).collect()
     }
     recall = len(truth & cand) / len(truth)
     assert recall >= 0.75, f"LSH recall {recall:.2f} over {len(truth)} pairs"

@@ -2,32 +2,69 @@
 
 Pipeline (each stage a separate oracle-checkable DataFrame):
   1. shingle: word 3-grams per doc (row-local, codegen transform())
-  2. minhash: K independent permutations approximated by md5(seed||shingle);
-     the per-doc signature is the lexicographic MIN hex digest per seed —
-     engine-portable (no 64-bit int hashing needed) and uniform.
-  3. LSH bands: signature split into B bands of R rows; band key =
+  2. hash: ONE portable md5-60bit per shingle (same trick as
+     simhash.token_hash), reduced mod the Mersenne prime 2^31-1.
+  3. minhash: K independent permutations as linear congruences
+     (a_k*h + b_k) mod P over the shingle hash — exact int64
+     arithmetic on both Spark and DuckDB, so the whole pipeline stays
+     oracle-checkable while paying 1 md5 per shingle instead of K
+     (the K-salted-md5 design cost 16 md5/shingle = the dominant term
+     of the round-1 bench).
+  4. LSH bands: signature split into B bands of R rows; band key =
      md5(concat of its R minhashes).  Docs sharing any band key become
      candidate pairs (P[candidate] = 1-(1-j^R)^B).
-  4. verify: exact shingle-set Jaccard on candidates only.
+  5. verify: exact Jaccard over the hashed-shingle SETS, computed
+     row-locally — each candidate pair pulls the two docs'
+     array<long> shingle-hash arrays and intersects them in codegen
+     (array_intersect), so nothing pair×shingle shaped is ever
+     shuffled, grouped, or sorted.
 
-Scale: the shingle explode is the only fan-out (≈n_tokens rows/doc); the
-band self-join joins on high-entropy 128-bit keys → uniform shuffle, and
-the verify join touches only candidate pairs, never the n² cross join.
-Band-bucket skew (a degenerate shingle shared by everything) is bounded
-because band keys hash the *whole* R-row signature slice.
+Semantics note: Jaccard is over 31-bit-hashed shingle sets, not raw
+strings; a per-pair collision perturbs the estimate with probability
+≈|union|²/2³² (~1e-4 for 500-shingle docs) — the standard trade
+(Spark MLlib's MinHashLSH hashes features the same way).
+
+Scale: the shingle explode is the only fan-out (≈n_tokens rows/doc);
+the band self-join joins on high-entropy 128-bit keys → uniform
+shuffle; verification touches only candidate pairs, never the n²
+cross join, and is row-local.  Band-bucket skew (a degenerate shingle
+shared by everything) is bounded because band keys hash the *whole*
+R-row signature slice.
 """
 
 from __future__ import annotations
+
+import random as _random
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 # 16 hashes in 4 bands of 4 rows: P[candidate] = 1-(1-j^4)^4 — a much
-# steeper S-curve than the previous 8/2 setting (recall at j=0.5 rises
-# from ~0.12 to ~0.23, at j=0.7 from ~0.43 to ~0.68) at 2× md5 cost,
-# which stays row-local and codegen'd.
+# steeper S-curve than the original 8/2 setting (recall at j=0.5 rises
+# from ~0.12 to ~0.23, at j=0.7 from ~0.43 to ~0.68).
 N_HASHES = 16
 BAND_ROWS = 4
+
+P31 = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+# Fixed permutation seeds, shared verbatim with the generated oracle
+# SQL (queries/dedup.py) so the LSH geometry can never drift.
+_rng = _random.Random(20260813)
+SEEDS: list[tuple[int, int]] = [
+    (_rng.randrange(1, P31), _rng.randrange(0, P31))
+    for _ in range(N_HASHES)
+]
+
+
+def shingle_hash(col: Column) -> Column:
+    """Portable 31-bit shingle hash: md5-60bit reduced mod 2^31-1.
+
+    31 bits so the K permutations (a*h+b) % P — a,h < 2^31 → product
+    < 2^62 — stay inside exact signed-int64 arithmetic on both
+    engines (DuckDB BIGINT ops error on overflow rather than wrap, so
+    a 60-bit h would poison the congruence)."""
+    h60 = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    return h60 % F.lit(P31)
 
 
 def shingles(toks: Column, text: Column, n: int = 3) -> Column:
@@ -52,6 +89,8 @@ def shingles(toks: Column, text: Column, n: int = 3) -> Column:
 
 
 def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle STRING) exploded — the raw-string view, used
+    by quality tests that need exact string Jaccard ground truth."""
     toked = documents.select(
         "doc_id", "text", F.split("text", " ").alias("toks")
     )
@@ -61,22 +100,48 @@ def doc_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def signatures_from_shingles(
-    exploded: DataFrame, n_hashes: int = N_HASHES
+def doc_shingle_arrays(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hs ARRAY<LONG>) — each doc's distinct hashed-shingle
+    set as ONE row-local array.  Verification joins on this frame:
+    a candidate pair pulls two |shingles|-sized arrays and intersects
+    them in codegen, so the pair×shingle fan-out never exists."""
+    toked = documents.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
+    return toked.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                shingles(F.col("toks"), F.col("text"), n), shingle_hash
+            )
+        ).alias("hs"),
+    )
+
+
+def doc_shingle_hashes(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h LONG) exploded hashed shingles — the minhash agg
+    input."""
+    return doc_shingle_arrays(documents, n).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+
+
+def signatures_from_hashes(
+    exploded: DataFrame, seeds: list[tuple[int, int]] | None = None
 ) -> DataFrame:
-    """doc_id + m0..m{K-1} minhash columns from an exploded
-    (doc_id, shingle) frame — one aggregation pass."""
+    """doc_id + m0..m{K-1} BIGINT minhash columns from an exploded
+    (doc_id, h) frame — one aggregation pass, K cheap congruences per
+    row (vs K md5s in the round-1 design)."""
+    seeds = SEEDS if seeds is None else seeds
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"m{s}")
-        for s in range(n_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"m{k}")
+        for k, (a, b) in enumerate(seeds)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(
-    documents: DataFrame, n_hashes: int = N_HASHES
-) -> DataFrame:
-    return signatures_from_shingles(doc_shingles(documents), n_hashes)
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    return signatures_from_hashes(doc_shingle_hashes(documents))
 
 
 def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
@@ -100,9 +165,9 @@ def candidate_pairs(
     documents: DataFrame, exploded: DataFrame | None = None
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
-    Pass a cached exploded-shingle frame to avoid re-shingling."""
+    Pass a cached exploded (doc_id, h) frame to avoid re-shingling."""
     sig = (
-        signatures_from_shingles(exploded)
+        signatures_from_hashes(exploded)
         if exploded is not None
         else minhash_signatures(documents)
     )
@@ -124,31 +189,26 @@ def candidate_pairs(
 def near_duplicates(
     documents: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """LSH candidates verified by exact shingle-set Jaccard ≥ threshold."""
-    sh = doc_shingles(documents).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    """LSH candidates verified by exact hashed-shingle-set Jaccard
+    ≥ threshold, computed row-locally via array_intersect."""
+    hs = doc_shingle_arrays(documents).cache()
+    exploded = hs.select("doc_id", F.explode("hs").alias("h"))
 
-    cand = candidate_pairs(documents, exploded=sh)
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sz_a = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
-    )
-    sz_b = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    cand = candidate_pairs(documents, exploded=exploded)
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    joined = cand.join(a, "doc_a").join(b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
+        F.size("hs_a").alias("n_a"),
+        F.size("hs_b").alias("n_b"),
     )
     jaccard = F.col("n_common") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(sz_a, "doc_a")
-        .join(sz_b, "doc_b")
+        joined
         .filter(jaccard >= threshold)  # filter BEFORE rounding (oracle parity)
         .select(
             "doc_a",

@@ -1,10 +1,10 @@
 """Deduplication queries with DuckDB oracles.
 
-The md5-string minhash (lexicographic min of hex digests) was chosen
-precisely because it is engine-portable: both sides hash the same
-seed-prefixed shingle strings, so the full LSH pipeline — signatures,
-band keys, candidate pairs, verified Jaccard — is oracle-checkable
-end-to-end.  SimHash (bit-vote semantics) is Spark-only → rows-only.
+The minhash scheme (one portable md5-60bit per shingle, K linear
+congruences mod 2^31-1 as the permutations) is engine-portable: both
+sides compute identical exact int64 arithmetic, so the full LSH
+pipeline — signatures, band keys, candidate pairs, verified Jaccard —
+is oracle-checkable end-to-end at 1 md5 per shingle instead of K.
 """
 
 from __future__ import annotations
@@ -17,28 +17,37 @@ from ..sources.testdata import load_table
 from . import register
 
 # shared SQL fragments -----------------------------------------------------
+# generated from the SAME constants (SEEDS, N_HASHES, BAND_ROWS, P31)
+# the Spark implementation uses, so the LSH geometry can never drift
 
-_SHINGLES = r"""
-    SELECT doc_id, unnest(list_distinct(
+# portable 31-bit shingle hash: md5-60bit mod 2^31-1 (minhash.shingle_hash)
+_HASH = (
+    "CAST(CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT) "
+    f"% {minhash.P31}"
+)
+
+_SHINGLES = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
         CASE WHEN len(t) >= 3
              THEN list_transform(generate_series(1, len(t) - 2),
                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-             ELSE [text] END)) AS shingle
+             ELSE [text] END,
+        s -> {_HASH}))) AS h
     FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
 """
 
 _SIG_COLS = ", ".join(
-    f"min(md5('{s}:' || shingle)) AS m{s}" for s in range(minhash.N_HASHES)
+    f"min(({a} * h + {b}) % {minhash.P31}) AS m{k}"
+    for k, (a, b) in enumerate(minhash.SEEDS)
 )
 
 _SIG = f"SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
 
-# band CTE generated from the same N_HASHES/BAND_ROWS constants the
-# Spark implementation uses, so the LSH geometry can never drift
 _BANDS = "\n    UNION ALL\n".join(
-    "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_key FROM sig".format(
+    "SELECT doc_id, {b} AS band_id, md5(concat_ws('|', {cols}))"
+    " AS band_key FROM sig".format(
         b=b,
-        concat=" || '|' || ".join(
+        cols=", ".join(
             f"m{b * minhash.BAND_ROWS + r}"
             for r in range(minhash.BAND_ROWS)
         ),
@@ -107,7 +116,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.doc_a, c.doc_b, count(*) AS n_common
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
