@@ -95,6 +95,53 @@ def test_bucketed_fact_join_query_no_join_key_exchange(spark, sf_dir):
     assert "hashpartitioning(o_orderkey" not in plan, plan
 
 
+def test_attach_bucketed_preserves_zero_exchange(spark, sf_dir):
+    """Re-registering surviving bucket files as an external bucketed
+    table (the cross-session attach path — session catalogs are
+    in-memory, the files are not) must keep the zero-exchange join and
+    identical results: write once, shuffle never."""
+    import os
+    from urllib.parse import urlparse
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        attach_or_save_bucketed,
+        save_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    save_bucketed(orders, "ab_orders", "o_custkey", 8)
+    save_bucketed(customer, "ab_customer", "c_custkey", 8)
+    try:
+        # simulate a fresh session: catalog entry gone, files survive
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in ("ab_orders", "ab_customer"):
+            os.rename(
+                os.path.join(wh, name), os.path.join(wh, f"keep_{name}")
+            )
+            spark.sql(f"DROP TABLE {name}")  # managed drop deletes dir
+            os.rename(
+                os.path.join(wh, f"keep_{name}"), os.path.join(wh, name)
+            )
+        attach_or_save_bucketed(spark, orders, "ab_orders", "o_custkey", 8)
+        attach_or_save_bucketed(
+            spark, customer, "ab_customer", "c_custkey", 8
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("ab_orders").join(
+            spark.table("ab_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ).select("o_orderkey", "c_name")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ab_orders")
+        spark.sql("DROP TABLE IF EXISTS ab_customer")
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-located join: both sides bucketed on the join key → the join
     must plan with ZERO exchanges (the write-once-shuffle-never

@@ -6,8 +6,6 @@ day-equivalent silver batch.
 
 from __future__ import annotations
 
-import os
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
@@ -260,7 +258,7 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-invariant."""
     import hashlib
 
-    from ..sources.lakehouse import save_bucketed
+    from ..sources.lakehouse import attach_or_save_bucketed
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tables = {
@@ -278,19 +276,9 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     }
     for name, (df, key) in tables.items():
-        if not spark.catalog.tableExists(name):
-            # a stale warehouse dir from a previous session blocks
-            # saveAsTable (LOCATION_ALREADY_EXISTS) — clear it first
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(
-                spark.conf.get("spark.sql.warehouse.dir")
-            ).path
-            stale = os.path.join(wh, name)
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-            save_bucketed(df, name, key, 16, sort_col=key)
+        # re-registers surviving bucket files from a previous session
+        # instead of re-shuffling — write once, ever
+        attach_or_save_bucketed(spark, df, name, key, 16, sort_col=key)
     li = spark.table(f"bf_lineitem_{tag}")
     o = spark.table(f"bf_orders_{tag}")
     return (

@@ -350,6 +350,52 @@ def save_bucketed(
     w.format("parquet").saveAsTable(table_name)
 
 
+def attach_or_save_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Ensure `table_name` exists as a bucketed table, WITHOUT
+    re-shuffling if a previous session already paid for the write.
+
+    Spark encodes the bucket id in each data file's name, so bucket
+    files surviving in the warehouse directory (session catalogs are
+    in-memory; the files are not) can be re-registered as an external
+    bucketed table by DDL — the scan keeps its outputPartitioning and
+    joins still plan with NO Exchange.  This is the point of bucketing
+    at 100 TB: the shuffle happens once at write time, ever, not once
+    per session.  A directory without Spark's _SUCCESS marker (crashed
+    write) is discarded and rewritten.
+    """
+    if spark.catalog.tableExists(table_name):
+        return
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table_name)
+    complete = os.path.exists(os.path.join(loc, "_SUCCESS")) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+    if complete:
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        sort = f" SORTED BY ({sort_col})" if sort_col else ""
+        spark.sql(
+            f"CREATE TABLE {table_name} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}){sort} INTO {n_buckets} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    else:
+        if os.path.exists(loc):
+            shutil.rmtree(loc)  # stale partial write blocks saveAsTable
+        save_bucketed(df, table_name, bucket_col, n_buckets, sort_col)
+
+
 def _count_data_files(path: str) -> int:
     n = 0
     for root, _dirs, files in os.walk(path):
