@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.testdata import load_table
 from ..text import analysis as T
+from ..text import winnow
 from . import register
 
 _EN = "'the','and','of','to','a'"
@@ -99,9 +100,55 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.language_id(load_table(spark, sf_dir, "documents"))
 
 
+_WINNOW_HASH = (
+    "CAST(CAST(CONCAT('0x', substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+    f" % {winnow.P}"
+)
+
+# the same Horner nesting as winnow._gram_hash: mod after every multiply
+_WINNOW_GRAM = (
+    f"((((wh[i] * {winnow.B} % {winnow.P}) + wh[i+1]) % {winnow.P}"
+    f" * {winnow.B} % {winnow.P}) + wh[i+2]) % {winnow.P}"
+)
+
+_WINNOW_SQL = f"""
+    SELECT 'winnow' AS part,
+           CAST(doc_id AS BIGINT) AS k1,
+           {(1 << 20) - 1} - (e % {1 << 20}) AS k2,
+           CAST(NULL AS VARCHAR) AS token,
+           e // {1 << 20} AS n
+    FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(enc) - {winnow.W - 1}, 1)),
+                   i -> list_min(list_slice(enc, i, i + {winnow.W - 1}))
+               ))) AS e
+        FROM (
+            SELECT doc_id, list_transform(
+                       generate_series(1, len(grams)),
+                       j -> (grams[j] * {1 << 20})
+                            + ({(1 << 20) - 1} - (j - 1))
+                   ) AS enc
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(wh) - {winnow.K - 1} >= 1
+                            THEN list_transform(
+                                generate_series(1, len(wh) - {winnow.K - 1}),
+                                i -> {_WINNOW_GRAM})
+                            ELSE [{_WINNOW_HASH.format(x='text')}] END
+                           AS grams
+                FROM (SELECT doc_id, text,
+                             list_transform(string_split(text, ' '),
+                                 t -> {_WINNOW_HASH.format(x='t')}) AS wh
+                      FROM documents)
+            )
+        )
+    )
+"""
+
+
 @register(
     "text_pairs_suite",
-    oracle="""
+    oracle=f"""
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -116,20 +163,24 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT)
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id < 5)
-    ORDER BY part, k1, k2
+    UNION ALL
+    {_WINNOW_SQL}
+    ORDER BY part, k1, k2, n
     """,
-    tags=("text", "fuzzy", "levenshtein", "posexplode", "unnest"),
+    tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow"),
 )
 def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two tokenizer-at-scale primitives in one labeled union.
+    """Three tokenizer-at-scale primitives in one labeled union.
 
     `levenshtein`: pairwise edit distances over a (small, broadcast)
     name dimension — at 100 TB fuzzy joins go through blocking
     (phonetic key / q-gram prefilter) and this exact check runs per
     candidate pair.  `posexplode`: positional explode (UNNEST WITH
     ORDINALITY) — position computed during the explode, not by a
-    window after it.  Per-document fingerprints (md5) are driver-
-    checked inside exact_dup_groups' fingerprint column."""
+    window after it.  `winnow`: rolling-hash winnowing fingerprints
+    (text/winnow.py) over every document — k1=doc_id, k2=selected gram
+    position, n=fingerprint hash.  Per-document exact fingerprints
+    (md5) are driver-checked inside exact_dup_groups."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
@@ -165,4 +216,17 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n"),
         )
     )
-    return fuzzy.unionByName(tokpos).orderBy("part", "k1", "k2")
+    fps = winnow.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).select(
+        F.lit("winnow").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("pos").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("fp").alias("n"),
+    )
+    return (
+        fuzzy.unionByName(tokpos)
+        .unionByName(fps)
+        .orderBy("part", "k1", "k2", "n")
+    )
