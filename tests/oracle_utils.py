@@ -16,14 +16,22 @@ from urban_mobility_data_lakehouse_spark.sources.testdata import (
 
 
 def run_oracle(sql: str, sf_dir: str):
+    """Fetch via Arrow, NOT fetchall: fetchall coerces HUGEINT to a
+    plain Python int when the value fits, silently masking the exact
+    oracle/Spark type divergence the driver hash-fails on (round 1
+    shipped three of those).  Arrow surfaces HUGEINT/DECIMAL as
+    `decimal.Decimal`, matching what the driver hashes."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
+    cols = list(tbl.column_names)
+    rows = list(zip(*(c.to_pylist() for c in tbl.columns)))
+    if not tbl.columns:
+        rows = []
+    return cols, rows
 
 
 def normalize(cols, rows):

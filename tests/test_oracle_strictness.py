@@ -1,0 +1,47 @@
+"""The local harness must be driver-strict: the driver hashes exact
+typed values, so numeric type divergence between oracle and Spark
+output (DuckDB HUGEINT/DECIMAL vs Spark BIGINT/DOUBLE) must fail
+locally — round 1 shipped three such bugs because the old comparator
+coerced them equal."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from .oracle_utils import _val_eq, run_oracle
+
+
+def test_decimal_vs_float_fails():
+    assert not _val_eq(Decimal("100.0"), 100.0)
+    assert not _val_eq(100.0, Decimal("100.0"))
+
+
+def test_decimal_vs_int_fails():
+    # HUGEINT-shaped: DuckDB SUM(BIGINT) arrives as Decimal via Arrow
+    assert not _val_eq(Decimal("42"), 42)
+
+
+def test_int_vs_float_fails():
+    assert not _val_eq(42, 42.0)
+
+
+def test_same_class_compares_by_value():
+    assert _val_eq(42, 42)
+    assert _val_eq(1.00000000001e-12, 0.0) is False or True  # tolerance path runs
+    assert _val_eq(0.1 + 0.2, 0.3)  # float tolerance absorbs ulp noise
+    assert not _val_eq("a", "b")
+    assert not _val_eq(None, 0)
+    assert _val_eq(None, None)
+
+
+def test_duckdb_hugeint_shape_detected():
+    """An un-cast SUM over BIGINT is HUGEINT; the Arrow fetch path must
+    surface it as Decimal (fetchall would coerce it to int and mask
+    it), and the comparator must refuse it against a Spark long."""
+    _cols, rows = run_oracle(
+        "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x)",
+        "/root/testdata/sf0.001",
+    )
+    (val,) = rows[0]
+    assert isinstance(val, Decimal)  # the trap is visible locally
+    assert not _val_eq(val, 1)  # and the comparator refuses it
