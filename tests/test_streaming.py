@@ -145,6 +145,55 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream attribution join: clicks ⋈ purchases
+    within 1 hour, both sides streaming, must equal the identical
+    inequality join on the batch frames (watermarks are batch no-ops,
+    so the same function is its own oracle)."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.streaming.joins import (
+        clicks_purchases,
+        interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    stream_dir = tmp_path / "join_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    stream_in = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        interval_join(*clicks_purchases(stream_in))
+        .writeStream.format("memory")
+        .queryName("attr_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["click_id"], r["purchase_id"],
+        r["click_ts"], r["purchase_ts"],
+    )
+    got = {key(r) for r in spark.sql("select * from attr_join").collect()}
+    expected = {
+        key(r)
+        for r in interval_join(*clicks_purchases(events)).collect()
+    }
+    assert expected  # fixture must actually produce attributed pairs
+    # append mode emits a pair once the watermark closes it; a single
+    # availableNow pass closes everything except the stream-tail rows
+    assert got <= expected
+    assert len(got) >= len(expected) * 0.8, (len(got), len(expected))
+
+
 def test_stream_dedup_exactly_once(spark, sf_dir, tmp_path):
     """Duplicated input files → dropDuplicatesWithinWatermark must emit
     each event_id exactly once (the at-least-once → exactly-once

@@ -1,0 +1,75 @@
+"""Watermarked stream-stream joins (Structured Streaming).
+
+The attribution-join shape: every click event joined to the same
+user's purchases landing within `horizon` AFTER the click.  Both
+sides are unbounded streams, so the join buffers state; correctness
+and boundedness come from the two constraints Spark requires:
+
+  * a watermark on BOTH event-time columns — late rows beyond it are
+    dropped, and
+  * an event-time inequality bounding how far apart matching rows can
+    be — state for a row is evicted once the other side's watermark
+    passes its horizon, so state size is O(rate × horizon), never
+    O(history).
+
+At 100 TB/day this is the only join shape that survives: an
+unconstrained stream-stream equi-join would buffer both streams
+forever.  Batch twin for the oracle check: the same inequality join
+on the static frames (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "click_ts",
+    right_ts: str = "purchase_ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """left ⋈ right on `key` with right_ts ∈ [left_ts, left_ts+horizon].
+
+    Works identically on streaming and batch frames: watermarks are
+    no-ops in batch, so the batch call IS the differential oracle for
+    the streaming one.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return lw.join(rw, cond, "inner").select(
+        lw[key].alias(key),
+        F.col(left_ts),
+        F.col(right_ts),
+        *[c for c in left.columns if c not in (key, left_ts)],
+        *[c for c in right.columns if c not in (key, right_ts)],
+    )
+
+
+def clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split an events frame (streaming or batch) into the two sides
+    of the attribution join."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return clicks, purchases
