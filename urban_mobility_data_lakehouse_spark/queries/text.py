@@ -47,21 +47,38 @@ _EN = "'the','and','of','to','a'"
                  + CASE WHEN (nc - length(regexp_replace(text, '[.,!?;:]',
                                                          '', 'g')))
                              * 1.0 / nc < 0.1
-                        THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+                        THEN 0.2 ELSE 0.0 END, 4) AS quality_score,
+           CASE WHEN CAST(CAST(CONCAT('0x', substr(md5('split:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(CAST(CONCAT('0x', substr(md5('split:' ||
+                         CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
     FROM t ORDER BY doc_id
     """,
     tags=("text", "tokens", "quality"),
     bench=True,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token stats + quality features in one row-local
-    pass (token counting, BPE-ish subtoken split, punctuation/digit/
-    stopword ratios, composite quality score).  Row-local exprs — no
-    shuffle; joins the two operator outputs on doc_id."""
+    """Per-document token stats + quality features + deterministic
+    80/10/10 train/val/test assignment in one row-local pass (token
+    counting, BPE-ish subtoken split, punctuation/digit/stopword
+    ratios, composite quality score, content-hash split — stable
+    across runs/partitionings, unlike rand(seed)).  Row-local exprs —
+    no shuffle; joins the two operator outputs on doc_id."""
+    import pyspark.sql.functions as F
+
+    from ..text.curation import split_label
+
     docs = load_table(spark, sf_dir, "documents")
     stats = T.token_stats(docs)
     quality = T.quality_features(docs).drop("n_tokens")
-    return stats.join(quality, "doc_id").orderBy("doc_id")
+    return (
+        stats.join(quality, "doc_id")
+        .withColumn("split", split_label(F.col("doc_id").cast("string")))
+        .orderBy("doc_id")
+    )
 
 
 def _hits_sql(lang: str) -> str:
