@@ -185,3 +185,59 @@ def test_lakehouse_time_travel(spark, tmp_path):
 
     with _pytest.raises(Exception):
         lake.read_snapshot(spark, "silver", "tt", 0).collect()
+
+
+def test_lakehouse_crash_leaves_no_half_commit(spark, tmp_path):
+    """The log append IS the commit point: a writer that dies after
+    materializing its version directory but before logging must leave
+    reads untouched, and the next writer must heal (reuse) the orphan
+    version without corrupting history."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value", F.to_date("ts").alias("partition_date")
+    )
+    day1 = events.filter(F.col("partition_date") == "2024-01-05")
+    day2 = events.filter(F.col("partition_date") == "2024-01-06")
+    lake.overwrite_partitions(
+        day1, "silver", "fact", partition_col="partition_date"
+    )
+    committed = sorted(
+        r["event_id"]
+        for r in lake.read(spark, "silver", "fact").collect()
+    )
+
+    # simulate the crash: the NEXT version's data dir appears on disk
+    # (fully written!) but its log line never lands
+    table_dir = str(tmp_path / "lake" / "silver" / "fact")
+    orphan = os.path.join(table_dir, "_data", "v1")
+    day2.write.mode("overwrite").partitionBy("partition_date").parquet(
+        orphan
+    )
+
+    # reads see only the committed version
+    assert sorted(
+        r["event_id"]
+        for r in lake.read(spark, "silver", "fact").collect()
+    ) == committed
+    assert len(lake.snapshots("silver", "fact")) == 1
+
+    # the retried writer reuses/overwrites the orphan dir and commits
+    lake.overwrite_partitions(
+        day2, "silver", "fact", partition_col="partition_date"
+    )
+    got = lake.read(spark, "silver", "fact")
+    assert got.select("partition_date").distinct().count() == 2
+    assert got.count() == day1.count() + day2.count()
+    assert len(lake.snapshots("silver", "fact")) == 2
