@@ -101,12 +101,20 @@ def test_attach_bucketed_preserves_zero_exchange(spark, sf_dir):
     in-memory, the files are not) must keep the zero-exchange join and
     identical results: write once, shuffle never."""
     import os
+    import shutil
     from urllib.parse import urlparse
 
     from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
         attach_or_save_bucketed,
         save_bucketed,
     )
+
+    # hermetic: the attach path re-creates these as EXTERNAL tables, so
+    # the closing DROP leaves their directories — clear them up front
+    wh0 = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("ab_orders", "ab_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh0, name), ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -138,8 +146,9 @@ def test_attach_bucketed_preserves_zero_exchange(spark, sf_dir):
         assert joined.count() == orders.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS ab_orders")
-        spark.sql("DROP TABLE IF EXISTS ab_customer")
+        for name in ("ab_orders", "ab_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(wh0, name), ignore_errors=True)
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):

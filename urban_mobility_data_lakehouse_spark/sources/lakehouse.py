@@ -12,6 +12,10 @@ into:
     replaceWhere / DELETE+INSERT analog,
     mobility_ingestion_pipeline.py:519-533,544-567)
   - `append` — append-only sinks (the quality log)
+  - **multi-table transactions** (`transaction()`) — the DuckLake
+    cross-table txn surface: all staged writes commit atomically via
+    ONE appended line in a lakehouse-level journal; per-table logs
+    self-heal from it after a crash (S11)
   - a JSONL snapshot log per table recording every commit
     (version/op/partitions/rows) — the `lakehouse.snapshots()` /
     DESCRIBE HISTORY analog (1_sprint3...ipynb:6274 cell 84)
@@ -48,6 +52,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 SNAPSHOT_LOG = "_snapshots.jsonl"
+TXN_LOG = "_txns.jsonl"
 
 
 @dataclass
@@ -74,6 +79,31 @@ class Lakehouse:
             self._table_dir(schema, name), "_data", f"v{version}"
         )
 
+    def _stage_overwrite_partitions(
+        self, df: DataFrame, schema: str, name: str,
+        partition_col: str, data_dir: str,
+    ) -> dict:
+        path = self._table_dir(schema, name)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(
+            data_dir
+        )
+        parts = [
+            str(r[0])
+            for r in df.select(partition_col).distinct().collect()
+        ]
+        return dict(
+            op="overwrite_partitions",
+            partitions=sorted(parts), partition_col=partition_col,
+            data_dir=os.path.relpath(data_dir, path),
+        )
+
+    def _stage_full_write(
+        self, df: DataFrame, schema: str, name: str, op: str, data_dir: str
+    ) -> dict:
+        path = self._table_dir(schema, name)
+        df.write.mode("overwrite").parquet(data_dir)
+        return dict(op=op, data_dir=os.path.relpath(data_dir, path))
+
     def overwrite_partitions(
         self,
         df: DataFrame,
@@ -87,36 +117,83 @@ class Lakehouse:
         the same partitions of earlier versions at read time."""
         path = self._table_dir(schema, name)
         _, data_dir = self._next_data_dir(schema, name)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(
-            data_dir
+        entry = self._stage_overwrite_partitions(
+            df, schema, name, partition_col, data_dir
         )
-        parts = [
-            str(r[0])
-            for r in df.select(partition_col).distinct().collect()
-        ]
-        self._log_snapshot(
-            path, op="overwrite_partitions",
-            partitions=sorted(parts), partition_col=partition_col,
-            data_dir=os.path.relpath(data_dir, path),
-        )
+        self._log_snapshot(path, **entry)
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
         path = self._table_dir(schema, name)
         _, data_dir = self._next_data_dir(schema, name)
-        df.write.mode("overwrite").parquet(data_dir)
         self._log_snapshot(
-            path, op="overwrite",
-            data_dir=os.path.relpath(data_dir, path),
+            path,
+            **self._stage_full_write(df, schema, name, "overwrite", data_dir),
         )
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         path = self._table_dir(schema, name)
-        _, data_dir = self._next_data_dir(schema, name)
-        df.write.mode("overwrite").parquet(data_dir)  # fresh dir per commit
+        _, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
         self._log_snapshot(
-            path, op="append",
-            data_dir=os.path.relpath(data_dir, path),
+            path,
+            **self._stage_full_write(df, schema, name, "append", data_dir),
         )
+
+    # -- multi-table transactions (S11) ------------------------------------
+
+    def transaction(self) -> "Transaction":
+        """Atomic multi-table commit (the DuckLake cross-table
+        transaction surface, `1_sprint3…ipynb` sprint-3 txn cells):
+
+            with lake.transaction() as txn:
+                txn.overwrite_partitions(fact, "silver", "fact", "d")
+                txn.append(audit_row, "silver", "data_quality_log")
+
+        All data files are written inside the block (the expensive,
+        restartable part); the COMMIT POINT is one appended line in the
+        lakehouse-level journal (`_txns.jsonl`) naming every (table,
+        entry) in the txn.  Per-table log lines are appended after —
+        and if a crash loses them, `snapshots()` self-heals any table
+        named by a committed journal line on its next access, so the
+        transaction is all-or-nothing at the journal line:
+
+          * crash before journal append → NO table shows any change
+            (staged dirs are unreferenced orphans),
+          * crash after → EVERY table shows the change (healed lazily).
+
+        An exception inside the block aborts: nothing was logged, so
+        nothing is visible.  One write per table per transaction.
+        """
+        return Transaction(self)
+
+    def _journal_path(self) -> str:
+        return os.path.join(self.root, TXN_LOG)
+
+    def _journal_entries(self) -> list[dict]:
+        p = self._journal_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _heal_from_journal(self, schema: str, name: str) -> None:
+        """Append any table-log lines a crashed committer never wrote.
+        Every read/write path calls snapshots() (and thus this) before
+        assigning new versions, so healed lines keep log order."""
+        journal = self._journal_entries()
+        if not journal:
+            return
+        raw = self._raw_snapshots(schema, name)
+        seen = {e.get("txn_id") for e in raw if e.get("txn_id")}
+        for j in journal:
+            if j["txn_id"] in seen:
+                continue
+            for t in j["tables"]:
+                if t["schema"] == schema and t["name"] == name:
+                    self._log_snapshot(
+                        self._table_dir(schema, name),
+                        txn_id=j["txn_id"],
+                        **t["entry"],
+                    )
 
     def compact(
         self,
@@ -270,18 +347,25 @@ class Lakehouse:
             if os.path.isdir(os.path.join(d, n))
         )
 
-    def snapshots(self, schema: str, name: str) -> list[dict]:
-        """Commit history for a table (DESCRIBE HISTORY analog)."""
+    def _raw_snapshots(self, schema: str, name: str) -> list[dict]:
         log = os.path.join(self._table_dir(schema, name), SNAPSHOT_LOG)
         if not os.path.exists(log):
             return []
         with open(log) as f:
             return [json.loads(line) for line in f if line.strip()]
 
+    def snapshots(self, schema: str, name: str) -> list[dict]:
+        """Commit history for a table (DESCRIBE HISTORY analog), after
+        healing any committed-but-unlogged transaction lines."""
+        self._heal_from_journal(schema, name)
+        return self._raw_snapshots(schema, name)
+
     def _log_snapshot(self, path: str, op: str, **extra) -> None:
         os.makedirs(path, exist_ok=True)
         log = os.path.join(path, SNAPSHOT_LOG)
-        version = len(self.snapshots(*_schema_name_from(path, self.root)))
+        version = len(
+            self._raw_snapshots(*_schema_name_from(path, self.root))
+        )
         entry = {
             "version": version,
             "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -296,6 +380,103 @@ def _schema_name_from(path: str, root: str) -> tuple[str, str]:
     rel = os.path.relpath(path, root)
     schema, name = rel.split(os.sep)[:2]
     return schema, name
+
+
+class Transaction:
+    """Staged multi-table write set; see `Lakehouse.transaction()`.
+
+    Data directories are written eagerly (named `_data/t<txn_id>`, so
+    concurrent version numbering never collides); log visibility is
+    deferred to `_commit`, whose FIRST action — one journal-line append
+    — is the atomic commit point for every table at once.
+    """
+
+    def __init__(self, lake: Lakehouse):
+        self.lake = lake
+        self.txn_id = f"{time.time_ns():x}-{os.getpid():x}"
+        self.pending: list[tuple[str, str, dict]] = []
+
+    # -- staged write ops (same signatures as Lakehouse's) -----------------
+
+    def _data_dir(self, schema: str, name: str) -> str:
+        return os.path.join(
+            self.lake._table_dir(schema, name), "_data", f"t{self.txn_id}"
+        )
+
+    def _stage(self, schema: str, name: str, entry: dict) -> None:
+        if any(s == schema and n == name for s, n, _ in self.pending):
+            raise ValueError(
+                f"transaction already writes {schema}.{name} "
+                "(one write per table per txn)"
+            )
+        self.pending.append((schema, name, entry))
+
+    def overwrite_partitions(
+        self, df: DataFrame, schema: str, name: str, partition_col: str
+    ) -> None:
+        self._stage(
+            schema, name,
+            self.lake._stage_overwrite_partitions(
+                df, schema, name, partition_col,
+                self._data_dir(schema, name),
+            ),
+        )
+
+    def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
+        self._stage(
+            schema, name,
+            self.lake._stage_full_write(
+                df, schema, name, "overwrite", self._data_dir(schema, name)
+            ),
+        )
+
+    def append(self, df: DataFrame, schema: str, name: str) -> None:
+        self._stage(
+            schema, name,
+            self.lake._stage_full_write(
+                df, schema, name, "append", self._data_dir(schema, name)
+            ),
+        )
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _commit_journal(self) -> None:
+        """THE commit point: one appended journal line."""
+        line = {
+            "txn_id": self.txn_id,
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "tables": [
+                {"schema": s, "name": n, "entry": e}
+                for s, n, e in self.pending
+            ],
+        }
+        with open(self.lake._journal_path(), "a") as f:
+            f.write(json.dumps(line) + "\n")
+
+    def _commit_table_logs(self) -> None:
+        """Post-commit convenience appends; a crash here is repaired by
+        `snapshots()`'s journal healing."""
+        for schema, name, entry in self.pending:
+            self.lake._log_snapshot(
+                self.lake._table_dir(schema, name),
+                txn_id=self.txn_id,
+                **entry,
+            )
+
+    def _commit(self) -> None:
+        if not self.pending:
+            return
+        self._commit_journal()
+        self._commit_table_logs()
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self._commit()
+        # on exception: nothing logged → nothing visible (abort)
+        return False
 
 
 # -- data-quality log (S13 + §5 audits) ------------------------------------
