@@ -332,9 +332,23 @@ class MobilityPipeline:
                 )
                 .filter(F.col("trips").isNotNull())
             )
-            lake.overwrite_partitions(
-                fact, "silver", "fact_mobility", partition_col="partition_date"
-            )
+            # fact + its audit-trail row commit ATOMICALLY (the
+            # cross-table transaction DuckLake offered, S11): a crash
+            # can never leave a batch in the fact without its quality-
+            # log record, or vice versa
+            from ..sources.lakehouse import QUALITY_LOG_SCHEMA
+
+            audit_row = s.createDataFrame(
+                [(None, "silver.fact_mobility", "batch_days_committed",
+                  float(len(dates)), ",".join(sorted(dates)))],
+                QUALITY_LOG_SCHEMA,
+            ).withColumn("check_timestamp", F.current_timestamp())
+            with lake.transaction() as txn:
+                txn.overwrite_partitions(
+                    fact, "silver", "fact_mobility",
+                    partition_col="partition_date",
+                )
+                txn.append(audit_row, "silver", "data_quality_log")
 
     def audit_batch(self, dates: list[str]) -> dict[str, float]:
         """Batch audit (:584-634): rows, Σ trips, days, bad-row %."""
