@@ -233,3 +233,50 @@ def test_stream_dedup_exactly_once(spark, sf_dir, tmp_path):
     ).collect()[0]
     n = load_table(spark, sf_dir, "events").count()
     assert got["c"] == got["d"] == n
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment: the events stream joined to
+    the static customer dim must equal the identical batch join (the
+    static side makes this exact — no watermark closure caveat)."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.streaming.joins import (
+        enrich_with_dim,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    stream_dir = tmp_path / "enrich_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
+    stream_in = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        enrich_with_dim(stream_in, customer)
+        .writeStream.format("memory")
+        .queryName("enrich_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    key = lambda r: (  # noqa: E731
+        r["event_id"], r["user_id"], r["c_name"], r["c_nationkey"]
+    )
+    got = sorted(
+        key(r)
+        for r in spark.sql("select * from enrich_stream_t").collect()
+    )
+    expected = sorted(
+        key(r) for r in enrich_with_dim(events, customer).collect()
+    )
+    assert got == expected
+    # every fixture user_id resolves in the dim — enrichment is total
+    assert all(k[2] is not None for k in got)

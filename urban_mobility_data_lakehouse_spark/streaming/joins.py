@@ -58,6 +58,33 @@ def interval_join(
     )
 
 
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "c_custkey",
+    dim_cols: tuple[str, ...] = ("c_name", "c_nationkey"),
+) -> DataFrame:
+    """Stream-static enrichment: broadcast-join a (possibly streaming)
+    events frame against a static dimension.
+
+    The workhorse production streaming shape: the static side is
+    broadcast to every task, so the stream never shuffles and no join
+    state accumulates — each micro-batch is a map-side hash join.  The
+    dim is re-read per micro-batch by Spark (picking up slowly-changing
+    dims for free); at 100 TB/day stream rates the only requirement is
+    that the dim stays broadcast-sized.  Left join so unknown keys
+    survive with NULL attributes (audit them downstream, never drop).
+
+    Works identically on batch frames, which is the differential
+    oracle (tests/test_streaming.py).
+    """
+    right = F.broadcast(
+        dim.select(F.col(dim_key).alias(key), *dim_cols)
+    )
+    return events.join(right, key, "left")
+
+
 def clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split an events frame (streaming or batch) into the two sides
     of the attribution join."""
