@@ -241,3 +241,65 @@ def test_lakehouse_crash_leaves_no_half_commit(spark, tmp_path):
     assert got.select("partition_date").distinct().count() == 2
     assert got.count() == day1.count() + day2.count()
     assert len(lake.snapshots("silver", "fact")) == 2
+
+
+def test_lakehouse_read_changes(spark, tmp_path):
+    """CDC reads (Delta Change Data Feed analog): only rows whose
+    partition actually changed appear, updates show as delete+insert
+    pairs, appends as pure inserts, and a compaction (byte rewrite,
+    same rows) diffs to empty."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def day_df(day: str, values):
+        return spark.createDataFrame(
+            [(i, float(v), day) for i, v in enumerate(values)],
+            "event_id long, value double, partition_date string",
+        ).withColumn("partition_date", F.to_date("partition_date"))
+
+    # v0: two days; v1: day-2 rewritten; v2: day-3 appended
+    lake.overwrite_partitions(
+        day_df("2024-01-01", [1, 2]).unionByName(
+            day_df("2024-01-02", [3, 4])
+        ),
+        "silver", "cdc", partition_col="partition_date",
+    )
+    lake.overwrite_partitions(
+        day_df("2024-01-02", [30, 40, 50]),
+        "silver", "cdc", partition_col="partition_date",
+    )
+    lake.append(day_df("2024-01-03", [99]), "silver", "cdc")
+
+    def changes(frm, to=None):
+        return sorted(
+            (r["_change_type"], r["value"])
+            for r in lake.read_changes(
+                spark, "silver", "cdc", frm, to
+            ).collect()
+        )
+
+    # v0→v1: day-2 update = delete old + insert new; day-1 untouched
+    assert changes(0, 1) == [
+        ("delete", 3.0), ("delete", 4.0),
+        ("insert", 30.0), ("insert", 40.0), ("insert", 50.0),
+    ]
+    # v1→v2: append = pure inserts
+    assert changes(1, 2) == [("insert", 99.0)]
+    # v0→latest: the composition
+    assert changes(0) == [
+        ("delete", 3.0), ("delete", 4.0),
+        ("insert", 30.0), ("insert", 40.0),
+        ("insert", 50.0), ("insert", 99.0),
+    ]
+    # compaction rewrites bytes, not rows → empty logical diff
+    lake.compact(
+        spark, "silver", "cdc",
+        partition_col="partition_date", vacuum=False,
+    )
+    assert changes(2) == []
