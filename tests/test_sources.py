@@ -303,3 +303,64 @@ def test_lakehouse_read_changes(spark, tmp_path):
         partition_col="partition_date", vacuum=False,
     )
     assert changes(2) == []
+
+
+def test_lakehouse_merge_into(spark, tmp_path):
+    """Row-level MERGE (upsert-by-key): matched keys take the update
+    row, unmatched inserts land, untouched partitions never rewrite,
+    and CDC shows only the truly-changed rows."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(i, float(v), d) for i, v, d in rows],
+            "event_id long, value double, partition_date string",
+        ).withColumn("partition_date", F.to_date("partition_date"))
+
+    lake.overwrite_partitions(
+        rows_df([
+            (1, 10, "2024-01-01"), (2, 20, "2024-01-01"),
+            (3, 30, "2024-01-02"), (4, 40, "2024-01-02"),
+        ]),
+        "silver", "m", partition_col="partition_date",
+    )
+    # update key 3, insert key 5 — both in day-2 only
+    lake.merge_into(
+        spark, "silver", "m",
+        rows_df([(3, 300, "2024-01-02"), (5, 500, "2024-01-02")]),
+        key="event_id", partition_col="partition_date",
+    )
+
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in lake.read(spark, "silver", "m").collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 300.0), (4, 40.0), (5, 500.0)]
+
+    # CDC: only the changed rows — key 4 was rewritten byte-identical
+    # into the new version and cancels out of the logical diff
+    cdc = sorted(
+        (r["_change_type"], r["event_id"], r["value"])
+        for r in lake.read_changes(spark, "silver", "m", 0).collect()
+    )
+    assert cdc == [
+        ("delete", 3, 30.0),
+        ("insert", 3, 300.0),
+        ("insert", 5, 500.0),
+    ]
+    # day-1's partition mapping is untouched (still the v0 directory)
+    part_map, _ = lake._manifest("silver", "m")
+    assert part_map["2024-01-01"][0].endswith("v0")
+    # merge is a normal versioned commit: time travel still sees v0
+    v0 = sorted(
+        (r["event_id"], r["value"])
+        for r in lake.read_snapshot(spark, "silver", "m", 0).collect()
+    )
+    assert v0 == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]

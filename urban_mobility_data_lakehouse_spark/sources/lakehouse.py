@@ -122,6 +122,48 @@ class Lakehouse:
         )
         self._log_snapshot(path, **entry)
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        updates: DataFrame,
+        key: str | list[str],
+        partition_col: str,
+    ) -> None:
+        """Row-level MERGE INTO (Delta MERGE analog) as a
+        partition-scoped copy-on-write rewrite: WHEN MATCHED on `key`
+        THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *.
+
+        Only partitions present in `updates` are read back and
+        rewritten — surviving rows via one left-anti join on the key,
+        unioned with the updates — then committed through the normal
+        partition-overwrite path, so a merge is idempotent, versioned,
+        time-travelable, and CDC-visible (`read_changes` shows exactly
+        the delete+insert pairs of truly changed rows; rewritten-but-
+        identical rows cancel out of the diff).
+
+        At 100 TB the cost is proportional to the affected partitions,
+        never the table — the daily-upsert shape this storage layout
+        is built around.  An update must not move a row across
+        partitions (that needs a delete on the source partition;
+        express it as an explicit delete+merge instead).
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        affected = [
+            str(r[0])
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        current = self.read(spark, schema, name).filter(
+            F.col(partition_col).cast("string").isin(affected)
+        )
+        survivors = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        self.overwrite_partitions(
+            survivors.unionByName(updates), schema, name, partition_col
+        )
+
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
         path = self._table_dir(schema, name)
         _, data_dir = self._next_data_dir(schema, name)
