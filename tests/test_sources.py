@@ -364,3 +364,63 @@ def test_lakehouse_merge_into(spark, tmp_path):
         for r in lake.read_snapshot(spark, "silver", "m", 0).collect()
     )
     assert v0 == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)]
+
+
+def test_lakehouse_delete_where(spark, tmp_path):
+    """Row-level DELETE: matching rows vanish, untouched partitions
+    keep their original mapping, emptying a whole partition works, and
+    CDC shows the deletions."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "2024-01-01"), (2, 20.0, "2024-01-01"),
+            (3, 30.0, "2024-01-02"), (4, 40.0, "2024-01-02"),
+        ],
+        "event_id long, value double, partition_date string",
+    ).withColumn("partition_date", F.to_date("partition_date"))
+    lake.overwrite_partitions(
+        df, "silver", "del", partition_col="partition_date"
+    )
+
+    # delete one row of day-2; day-1 untouched (mapping still v0)
+    lake.delete_where(
+        spark, "silver", "del",
+        F.col("event_id") == 3, partition_col="partition_date",
+    )
+    got = sorted(
+        r["event_id"] for r in lake.read(spark, "silver", "del").collect()
+    )
+    assert got == [1, 2, 4]
+    part_map, _ = lake._manifest("silver", "del")
+    assert part_map["2024-01-01"][0].endswith("v0")
+    cdc = sorted(
+        (r["_change_type"], r["event_id"])
+        for r in lake.read_changes(spark, "silver", "del", 0).collect()
+    )
+    assert cdc == [("delete", 3)]
+
+    # empty a whole partition: its rows must disappear from reads
+    lake.delete_where(
+        spark, "silver", "del",
+        F.col("partition_date") == F.lit("2024-01-02").cast("date"),
+        partition_col="partition_date",
+    )
+    got = sorted(
+        r["event_id"] for r in lake.read(spark, "silver", "del").collect()
+    )
+    assert got == [1, 2]
+
+    # no-match delete is a no-op commit-wise
+    n_before = len(lake.snapshots("silver", "del"))
+    lake.delete_where(
+        spark, "silver", "del",
+        F.col("event_id") == 999, partition_col="partition_date",
+    )
+    assert len(lake.snapshots("silver", "del")) == n_before

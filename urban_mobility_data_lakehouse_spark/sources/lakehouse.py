@@ -82,15 +82,20 @@ class Lakehouse:
     def _stage_overwrite_partitions(
         self, df: DataFrame, schema: str, name: str,
         partition_col: str, data_dir: str,
+        partitions: list[str] | None = None,
     ) -> dict:
         path = self._table_dir(schema, name)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(
             data_dir
         )
-        parts = [
-            str(r[0])
-            for r in df.select(partition_col).distinct().collect()
-        ]
+        parts = (
+            [str(p) for p in partitions]
+            if partitions is not None
+            else [
+                str(r[0])
+                for r in df.select(partition_col).distinct().collect()
+            ]
+        )
         return dict(
             op="overwrite_partitions",
             partitions=sorted(parts), partition_col=partition_col,
@@ -110,15 +115,21 @@ class Lakehouse:
         schema: str,
         name: str,
         partition_col: str,
+        partitions: list[str] | None = None,
     ) -> None:
         """Idempotent partition upsert: only partitions present in `df`
         are replaced; everything else is untouched.  Copy-on-write: the
         new partitions land in a fresh version directory and supersede
-        the same partitions of earlier versions at read time."""
+        the same partitions of earlier versions at read time.
+
+        `partitions` overrides the superseded set (normally derived
+        from `df`) — needed when a partition's new state is EMPTY
+        (e.g. `delete_where` removed every row): it must still be
+        superseded even though no data directory is written for it."""
         path = self._table_dir(schema, name)
         _, data_dir = self._next_data_dir(schema, name)
         entry = self._stage_overwrite_partitions(
-            df, schema, name, partition_col, data_dir
+            df, schema, name, partition_col, data_dir, partitions
         )
         self._log_snapshot(path, **entry)
 
@@ -162,6 +173,43 @@ class Lakehouse:
         )
         self.overwrite_partitions(
             survivors.unionByName(updates), schema, name, partition_col
+        )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        condition,
+        partition_col: str,
+    ) -> None:
+        """Row-level DELETE: rewrite only the partitions that contain
+        matching rows, keeping the non-matching rows (GDPR-erasure /
+        retention shape).  Partitions with no match are not rewritten
+        (their mapping is untouched, so CDC and time travel see no
+        change there); the rewrite commits through the versioned
+        partition-overwrite path like every other write.
+
+        `condition` is a Column predicate.  At 100 TB the cost is one
+        scan of the table to find affected partitions (prunable if the
+        predicate constrains `partition_col`) plus a rewrite of only
+        those partitions.
+        """
+        current = self.read(spark, schema, name)
+        affected = [
+            str(r[0])
+            for r in current.filter(condition)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return
+        survivors = current.filter(
+            F.col(partition_col).cast("string").isin(affected)
+        ).filter(~condition)
+        self.overwrite_partitions(
+            survivors, schema, name, partition_col, partitions=affected
         )
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
@@ -355,6 +403,11 @@ class Lakehouse:
         part_map, extra = self._manifest(schema, name, version)
         by_dir: dict[str, tuple[str, list[str]]] = {}
         for value, (d, pcol) in part_map.items():
+            # a partition superseded to EMPTY (delete_where removed all
+            # its rows) maps to a version dir holding no files for it —
+            # or no files at all; skip unreadable dirs
+            if _count_data_files(d) == 0:
+                continue
             by_dir.setdefault(d, (pcol, []))[1].append(value)
         frames = [
             spark.read.option("basePath", d)
@@ -410,9 +463,15 @@ class Lakehouse:
             """Slices present on this side whose mapping differs."""
             by_dir: dict[str, tuple[str, list[str]]] = {}
             for value, (d, pcol) in side_map.items():
-                if other_map.get(value) != (d, pcol):
+                if other_map.get(value) != (d, pcol) and (
+                    _count_data_files(d) > 0  # emptied-partition commit
+                ):
                     by_dir.setdefault(d, (pcol, []))[1].append(value)
-            dirs = [d for d in side_extra if d not in set(other_extra)]
+            dirs = [
+                d
+                for d in side_extra
+                if d not in set(other_extra) and _count_data_files(d) > 0
+            ]
             frames = [
                 spark.read.option("basePath", d)
                 .parquet(d)
