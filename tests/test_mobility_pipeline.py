@@ -213,3 +213,43 @@ def test_reporting_degrades_without_matplotlib(spark):
     else:
         with _pytest.raises(ImportError, match="matplotlib"):
             reporting.plot_cluster_profiles(gold, "/tmp/never.png")
+
+
+def test_incremental_gold_refresh(pipeline):
+    """CDC-driven gold refresh: bootstrap builds all days, a no-change
+    call refreshes nothing, and re-processing one silver day refreshes
+    exactly that gold partition."""
+    p, s = pipeline, pipeline.spark
+
+    out = p.refresh_gold_daily_demand()
+    assert out["refreshed_days"] == -1.0  # bootstrap = full build
+
+    def gold_rows():
+        return {
+            (str(r["partition_date"]), r["origin_zone_id"]):
+                (round(r["total_trips"], 6), r["n_rows"])
+            for r in p.lake.read(
+                s, "gold", "daily_zone_demand"
+            ).collect()
+        }
+
+    expected = {
+        (str(r["partition_date"]), r["origin_zone_id"]):
+            (round(r["t"], 6), r["n"])
+        for r in p.lake.read(s, "silver", "fact_mobility")
+        .groupBy("partition_date", "origin_zone_id")
+        .agg(
+            F.sum("trips").alias("t"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert gold_rows() == expected
+
+    # nothing changed → nothing refreshed
+    assert p.refresh_gold_daily_demand()["refreshed_days"] == 0.0
+
+    # rewrite one silver day → exactly one gold day refreshes
+    p.process_days(DATES[:1])
+    out = p.refresh_gold_daily_demand()
+    assert out["refreshed_days"] == 1.0
+    assert gold_rows() == expected  # totals unchanged by the re-run

@@ -381,6 +381,78 @@ class MobilityPipeline:
     # gold (:640-852)
     # ------------------------------------------------------------------
 
+    def refresh_gold_daily_demand(self) -> dict[str, float]:
+        """Incremental gold refresh driven by the change feed (beyond
+        reference — the reference rebuilds gold tables from the full
+        fact every run).
+
+        gold.daily_zone_demand = per-(day, origin zone) trip totals,
+        partitioned by day.  Each call reads the silver fact's CDC feed
+        since the last synced version to learn WHICH days changed (pure
+        log arithmetic + changed-slice diff, never a full scan), then
+        recomputes and partition-merges ONLY those days.  At 100 TB a
+        daily batch refreshes one day's partition regardless of table
+        history.  The sync cursor rides in the quality log, so the
+        refresh itself is idempotent and restartable.
+        """
+        s, lake = self.spark, self.lake
+        latest = len(lake.snapshots("silver", "fact_mobility")) - 1
+        cursor = None
+        try:
+            qlog = lake.read(s, "silver", "data_quality_log")
+            row = qlog.filter(
+                (F.col("table_name") == "gold.daily_zone_demand")
+                & (F.col("metric_name") == "synced_silver_version")
+            ).agg(F.max("metric_value")).collect()[0][0]
+            cursor = None if row is None else int(row)
+        except FileNotFoundError:
+            pass
+
+        def demand(fact):
+            return fact.groupBy("partition_date", "origin_zone_id").agg(
+                F.sum(F.col("trips").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("total_trips"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+
+        if cursor is None:
+            fact = lake.read(s, "silver", "fact_mobility")
+            lake.overwrite_partitions(
+                demand(fact), "gold", "daily_zone_demand",
+                partition_col="partition_date",
+            )
+            days = -1.0  # bootstrap: full build
+        elif cursor >= latest:
+            days = 0.0
+        else:
+            changed = lake.read_changes(
+                s, "silver", "fact_mobility", cursor, latest
+            )
+            changed_days = [
+                str(r[0])
+                for r in changed.select("partition_date")
+                .distinct()
+                .collect()
+            ]
+            if changed_days:
+                fact = lake.read(s, "silver", "fact_mobility").filter(
+                    F.col("partition_date")
+                    .cast("string")
+                    .isin(changed_days)
+                )
+                lake.overwrite_partitions(
+                    demand(fact), "gold", "daily_zone_demand",
+                    partition_col="partition_date",
+                    partitions=changed_days,
+                )
+            days = float(len(changed_days))
+        log_metric(
+            lake, s, "gold.daily_zone_demand",
+            "synced_silver_version", float(latest),
+        )
+        return {"silver_version": float(latest), "refreshed_days": days}
+
     def build_gold_clustering(self, k: int = 3, seed: int = 42) -> None:
         """typical_day_by_cluster + dim_cluster_assignments (the latter
         materialized — latent bug fix, SURVEY appendix)."""
