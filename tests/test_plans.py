@@ -177,3 +177,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_simhash_selfjoin_reuses_fingerprint_exchange(spark, sf_dir):
+    """The banded self-join's two sides derive from the same expensive
+    fingerprint aggregation; AQE must materialize that exchange ONCE
+    and reuse it (final adaptive plan shows ReusedExchange) — at scale
+    the md5+vote agg is the dominant cost and must not run twice."""
+    from urban_mobility_data_lakehouse_spark.dedup.simhash import (
+        dedup_map,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup_map(docs)
+    df.collect()  # reuse is decided at runtime by AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
