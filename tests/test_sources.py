@@ -424,3 +424,45 @@ def test_lakehouse_delete_where(spark, tmp_path):
         F.col("event_id") == 999, partition_col="partition_date",
     )
     assert len(lake.snapshots("silver", "del")) == n_before
+
+
+def test_lakehouse_schema_evolution(spark, tmp_path):
+    """Schema evolution (Delta mergeSchema analog): a later commit may
+    add columns; earlier rows read as NULL there, time travel sees the
+    old schema, and CDC across the evolution stays well-defined."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    v0 = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01")],
+        "event_id long, value double, partition_date string",
+    ).withColumn("partition_date", F.to_date("partition_date"))
+    lake.overwrite_partitions(
+        v0, "silver", "ev", partition_col="partition_date"
+    )
+    v1 = spark.createDataFrame(
+        [(2, 20.0, "2024-01-02", "madrid")],
+        "event_id long, value double, partition_date string, city string",
+    ).withColumn("partition_date", F.to_date("partition_date"))
+    lake.overwrite_partitions(
+        v1, "silver", "ev", partition_col="partition_date"
+    )
+
+    got = {
+        (r["event_id"], r["city"])
+        for r in lake.read(spark, "silver", "ev").collect()
+    }
+    assert got == {(1, None), (2, "madrid")}
+    # time travel sees the pre-evolution schema
+    assert "city" not in lake.read_snapshot(spark, "silver", "ev", 0).columns
+    # CDC across the evolution: the new row inserts with its new column
+    cdc = [
+        (r["_change_type"], r["event_id"], r["city"])
+        for r in lake.read_changes(spark, "silver", "ev", 0).collect()
+    ]
+    assert cdc == [("insert", 2, "madrid")]

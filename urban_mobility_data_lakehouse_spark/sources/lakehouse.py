@@ -421,7 +421,9 @@ class Lakehouse:
             )
         out = frames[0]
         for f in frames[1:]:
-            out = out.unionByName(f)
+            # schema evolution (Delta mergeSchema analog): a commit may
+            # add columns; rows from earlier commits surface NULL there
+            out = out.unionByName(f, allowMissingColumns=True)
         return out
 
     def read_snapshot(
@@ -480,7 +482,11 @@ class Lakehouse:
             ] + [spark.read.parquet(d) for d in sorted(dirs)]
             out = None
             for f in frames:
-                out = f if out is None else out.unionByName(f)
+                out = (
+                    f
+                    if out is None
+                    else out.unionByName(f, allowMissingColumns=True)
+                )
             return out
 
         old_df = changed(old_map, old_extra, new_map, new_extra)
@@ -494,6 +500,15 @@ class Lakehouse:
             old_df = new_df.limit(0)
         if new_df is None:
             new_df = old_df.limit(0)
+        # align evolved schemas so the set difference is well-defined:
+        # a column one side lacks compares as NULL there
+        old_types = dict(old_df.dtypes)
+        new_types = dict(new_df.dtypes)
+        for c in new_types.keys() - old_types.keys():
+            old_df = old_df.withColumn(c, F.lit(None).cast(new_types[c]))
+        for c in old_types.keys() - new_types.keys():
+            new_df = new_df.withColumn(c, F.lit(None).cast(old_types[c]))
+        new_df = new_df.select(old_df.columns)
         inserts = new_df.exceptAll(old_df).withColumn(
             "_change_type", F.lit("insert")
         )
