@@ -466,3 +466,52 @@ def test_lakehouse_schema_evolution(spark, tmp_path):
         for r in lake.read_changes(spark, "silver", "ev", 0).collect()
     ]
     assert cdc == [("insert", 2, "madrid")]
+
+
+def test_lakehouse_sorted_compaction(spark, tmp_path):
+    """OPTIMIZE ... sort_by: compacted files are sorted on the given
+    column, so parquet row-group min/max stats become tight and range
+    filters skip row groups; data is byte-for-byte the same rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value",
+        F.to_date("ts").alias("partition_date"),
+    )
+    lake.overwrite_partitions(
+        events.repartition(4), "silver", "srt",
+        partition_col="partition_date",
+    )
+    before = sorted(
+        r["event_id"]
+        for r in lake.read(spark, "silver", "srt").collect()
+    )
+    lake.compact(
+        spark, "silver", "srt",
+        partition_col="partition_date", sort_by=["user_id"],
+    )
+    after = sorted(
+        r["event_id"]
+        for r in lake.read(spark, "silver", "srt").collect()
+    )
+    assert after == before
+    files = glob.glob(
+        str(tmp_path / "lake" / "silver" / "srt" / "_data" / "**" / "*.parquet"),
+        recursive=True,
+    )
+    assert files
+    for f in files:
+        vals = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
+        assert vals == sorted(vals), f

@@ -293,9 +293,17 @@ class Lakehouse:
         partition_col: str | None = None,
         target_files_per_partition: int = 1,
         vacuum: bool = True,
+        sort_by: list[str] | None = None,
     ) -> dict:
         """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
         files into `target_files_per_partition` right-sized ones.
+
+        `sort_by` additionally sorts rows within each output task
+        (Delta `OPTIMIZE ... ZORDER BY`'s single-column analog): parquet
+        then writes tight min/max row-group statistics for those
+        columns, so later range/point filters skip whole row groups at
+        scan time — the cheap data-skipping layer under Catalyst's
+        pushed filters.
 
         The small-files problem is the canonical lakehouse failure mode
         at 100 TB — a streaming/daily writer leaves thousands of KB-
@@ -316,9 +324,13 @@ class Lakehouse:
             # hash-repartition by the partition column: every value's
             # rows land in ONE task → exactly one file per partition
             # directory after the write (one shuffle total)
+            compacted = df.repartition(F.col(partition_col))
+            if sort_by:
+                compacted = compacted.sortWithinPartitions(
+                    partition_col, *sort_by
+                )
             (
-                df.repartition(F.col(partition_col))
-                .write.mode("overwrite")
+                compacted.write.mode("overwrite")
                 .partitionBy(partition_col)
                 .parquet(data_dir)
             )
@@ -333,9 +345,10 @@ class Lakehouse:
                 files_before=before,
             )
         else:
-            df.coalesce(target_files_per_partition).write.mode(
-                "overwrite"
-            ).parquet(data_dir)
+            compacted = df.coalesce(target_files_per_partition)
+            if sort_by:
+                compacted = compacted.sortWithinPartitions(*sort_by)
+            compacted.write.mode("overwrite").parquet(data_dir)
             self._log_snapshot(
                 path, op="compact",
                 data_dir=os.path.relpath(data_dir, path),
