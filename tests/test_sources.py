@@ -515,3 +515,60 @@ def test_lakehouse_sorted_compaction(spark, tmp_path):
     for f in files:
         vals = pq.read_table(f, columns=["user_id"])["user_id"].to_pylist()
         assert vals == sorted(vals), f
+
+
+def test_lakehouse_restore(spark, tmp_path):
+    """RESTORE analog: one log line rolls the live state back to an
+    old version, history stays readable, CDC shows the rollback."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def day_df(day: str, values):
+        return spark.createDataFrame(
+            [(i, float(v), day) for i, v in enumerate(values)],
+            "event_id long, value double, partition_date string",
+        ).withColumn("partition_date", F.to_date("partition_date"))
+
+    lake.overwrite_partitions(
+        day_df("2024-01-01", [1, 2]).unionByName(
+            day_df("2024-01-02", [3, 4])
+        ),
+        "silver", "rst", partition_col="partition_date",
+    )
+    lake.overwrite_partitions(
+        day_df("2024-01-02", [30, 40]),
+        "silver", "rst", partition_col="partition_date",
+    )
+
+    def values(df):
+        return sorted(r["value"] for r in df.collect())
+
+    lake.restore("silver", "rst", 0)
+    assert values(lake.read(spark, "silver", "rst")) == [1.0, 2.0, 3.0, 4.0]
+    # the rolled-back commit is still time-travelable
+    assert values(lake.read_snapshot(spark, "silver", "rst", 1)) == [
+        1.0, 2.0, 30.0, 40.0,
+    ]
+    # CDC across the restore = exactly the rollback delta
+    cdc = sorted(
+        (r["_change_type"], r["value"])
+        for r in lake.read_changes(spark, "silver", "rst", 1).collect()
+    )
+    assert cdc == [
+        ("delete", 30.0), ("delete", 40.0),
+        ("insert", 3.0), ("insert", 4.0),
+    ]
+    # writes continue normally on top of the restored state
+    lake.append(day_df("2024-01-03", [99]), "silver", "rst")
+    assert values(lake.read(spark, "silver", "rst")) == [
+        1.0, 2.0, 3.0, 4.0, 99.0,
+    ]
+    with _pytest.raises(ValueError):
+        lake.restore("silver", "rst", 77)

@@ -380,17 +380,32 @@ class Lakehouse:
         """Replay the commit log up to `version` (inclusive; None =
         latest) → (partition → (data_dir, partition_col), extra dirs).
         Pure log arithmetic — no filesystem listing, no Spark job."""
-        path = self._table_dir(schema, name)
+        return self._replay(
+            self.snapshots(schema, name),
+            self._table_dir(schema, name),
+            version,
+        )
+
+    def _replay(
+        self, entries: list[dict], path: str, version: int | None
+    ) -> tuple[dict[str, tuple[str, str]], list[str]]:
         part_map: dict[str, tuple[str, str]] = {}
         extra: list[str] = []
-        for e in self.snapshots(schema, name):
+        for e in entries:
             if version is not None and e["version"] > version:
                 break
+            op = e["operation"]
+            if op == "restore":
+                # reset to the state as of the restored version — the
+                # rollback is one log line, no data is copied
+                part_map, extra = self._replay(
+                    entries, path, e["of_version"]
+                )
+                continue
             d = e.get("data_dir")
             if d is None:
                 continue
             d = os.path.join(path, d)
-            op = e["operation"]
             if op in ("overwrite", "compact"):
                 part_map, extra = {}, [d]
             elif op == "append":
@@ -401,6 +416,27 @@ class Lakehouse:
                 for p in e["partitions"]:
                     part_map[p] = (d, e["partition_col"])
         return part_map, extra
+
+    def restore(self, schema: str, name: str, version: int) -> None:
+        """RESTORE TABLE ... TO VERSION AS OF analog: make the table's
+        live state what it was after commit `version`, as a NEW commit
+        (one appended log line — no data files move or copy, so the
+        rollback is O(1) regardless of table size).  History is
+        preserved: the mistaken commits stay readable via time travel,
+        and CDC across the restore shows exactly the rows the rollback
+        changed.  Requires the restored version's directories to still
+        exist (i.e. not vacuumed) — the same retention caveat as Delta.
+        """
+        n = len(self.snapshots(schema, name))
+        if not 0 <= version < n:
+            raise ValueError(
+                f"{schema}.{name}: cannot restore to version {version} "
+                f"(history has {n} commits)"
+            )
+        self._log_snapshot(
+            self._table_dir(schema, name),
+            op="restore", of_version=version,
+        )
 
     def read(
         self,
