@@ -572,3 +572,52 @@ def test_lakehouse_restore(spark, tmp_path):
     ]
     with _pytest.raises(ValueError):
         lake.restore("silver", "rst", 77)
+
+
+def test_lakehouse_vacuum_is_reachability_based(spark, tmp_path):
+    """vacuum must delete only directories no retained version
+    references: live appends survive any keep_version, and a
+    compaction's vacuum reclaims transaction-written t-dirs too."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(i, float(v), d) for i, v, d in rows],
+            "event_id long, value double, partition_date string",
+        ).withColumn("partition_date", F.to_date("partition_date"))
+
+    # v0 via a TRANSACTION (t-dir), v1 an append (v-dir)
+    with lake.transaction() as txn:
+        txn.overwrite_partitions(
+            df([(1, 10, "2024-01-01")]), "silver", "vac",
+            partition_col="partition_date",
+        )
+    lake.append(df([(2, 20, "2024-01-02")]), "silver", "vac")
+
+    # aggressive keep_version: the append's dir is still LIVE in the
+    # latest manifest and must survive; so must the txn dir
+    lake.vacuum("silver", "vac", keep_version=1)
+    got = sorted(
+        r["event_id"] for r in lake.read(spark, "silver", "vac").collect()
+    )
+    assert got == [1, 2]
+
+    # a full compaction supersedes everything; its vacuum reclaims
+    # both the t-dir and the old v-dir
+    lake.compact(spark, "silver", "vac", partition_col="partition_date")
+    data_root = str(tmp_path / "lake" / "silver" / "vac" / "_data")
+    remaining = sorted(os.listdir(data_root))
+    assert len(remaining) == 1 and remaining[0].startswith("v")
+    got = sorted(
+        r["event_id"] for r in lake.read(spark, "silver", "vac").collect()
+    )
+    assert got == [1, 2]

@@ -360,17 +360,32 @@ class Lakehouse:
         return {"files_before": before, "files_after": after}
 
     def vacuum(self, schema: str, name: str, keep_version: int) -> None:
-        """Reclaim version directories older than `keep_version` (they
-        are no longer reachable from the latest manifest after a full
-        compaction).  The commit log itself is never truncated."""
+        """Reclaim data directories unreachable from every retained
+        version (>= `keep_version`).  Reachability-based, not
+        name-based: a directory is deleted only if NO retained
+        version's manifest references it — so appends that are still
+        live in the latest manifest survive any `keep_version`,
+        transaction-written `t<txn_id>` directories are reclaimed like
+        version directories, and a restore inside the retained range
+        keeps its target's directories alive.  The commit log itself
+        is never truncated."""
         import shutil
 
         data_root = os.path.join(self._table_dir(schema, name), "_data")
         if not os.path.isdir(data_root):
             return
+        entries = self.snapshots(schema, name)
+        if not entries:
+            return
+        keep: set[str] = set()
+        for v in range(keep_version, entries[-1]["version"] + 1):
+            part_map, extra = self._manifest(schema, name, v)
+            keep.update(d for d, _ in part_map.values())
+            keep.update(extra)
         for d in os.listdir(data_root):
-            if d.startswith("v") and int(d[1:]) < keep_version:
-                shutil.rmtree(os.path.join(data_root, d))
+            full = os.path.join(data_root, d)
+            if full not in keep:
+                shutil.rmtree(full)
 
     # -- reads (incl. versioned time travel) -------------------------------
 
