@@ -61,3 +61,116 @@ def test_stratified_sample_per_stratum(spark, sf_dir):
     for k, frac in fractions.items():
         if base.get(k, 0) >= 50:
             assert abs(got.get(k, 0) / base[k] - frac) < 0.12, k
+
+
+# -- PII redaction ---------------------------------------------------------
+
+
+def test_redaction_scrubs_and_counts(spark):
+    from urban_mobility_data_lakehouse_spark.text.redact import (
+        redact_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at ana.garcia+x@example.org or call +34 91 123 45 67"),
+            (2, "see https://example.com/a?b=c#d and 10.0.0.1"),
+            (3, "card 4111 1111 1111 1111 iban ES91 2100 0418 4502 0005 1332"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_redactions"])
+        for r in redact_documents(docs).collect()
+    }
+    assert out[1] == ("mail me at <EMAIL> or call <PHONE>", 2)
+    assert out[2] == ("see <URL> and <IP>", 2)
+    assert out[3] == ("card <CARD> iban <IBAN>", 2)
+    assert out[4] == ("nothing sensitive here", 0)
+
+
+def test_redaction_is_pure_catalyst(spark):
+    """The scrub chain must stay in codegen — no Python in the row path."""
+    from urban_mobility_data_lakehouse_spark.text.redact import (
+        redact_documents,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        redact_documents(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+# -- sequence packing ------------------------------------------------------
+
+
+def test_pack_sequences_respects_budget(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 64
+    packed = pack_sequences(docs, budget=budget, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+    fills: dict[tuple, list[int]] = {}
+    for r in rows:
+        fills.setdefault((r["shard"], r["bin"]), []).append(r["n_tokens"])
+    for (shard, b), toks in fills.items():
+        if any(t > budget for t in toks):
+            # an over-budget doc always sits alone
+            assert len(toks) == 1, (shard, b, toks)
+        else:
+            assert sum(toks) <= budget, (shard, b, toks)
+
+
+def test_pack_sequences_deterministic_under_repartition(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"], r["shard"], r["bin"])
+        for r in pack_sequences(docs, budget=64, n_shards=4).collect()
+    }
+    b = {
+        (r["doc_id"], r["shard"], r["bin"])
+        for r in pack_sequences(
+            docs.repartition(7), budget=64, n_shards=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_bin_stats_fill_accounting(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.packing import (
+        bin_stats,
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, budget=64, n_shards=4)
+    stats = {r["shard"]: r for r in bin_stats(packed, budget=64).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    for r in stats.values():
+        assert 0 < r["avg_fill"] <= 1.0
+        assert 0 <= r["waste_frac"] < 1.0
+        assert abs((1 - r["waste_frac"]) - r["avg_fill"]) < 1e-3
