@@ -174,3 +174,46 @@ def test_bin_stats_fill_accounting(spark, sf_dir):
         assert 0 < r["avg_fill"] <= 1.0
         assert 0 <= r["waste_frac"] < 1.0
         assert abs((1 - r["waste_frac"]) - r["avg_fill"]) < 1e-3
+
+
+# -- repetition filters ----------------------------------------------------
+
+
+def test_repetition_features(spark):
+    from urban_mobility_data_lakehouse_spark.text.analysis import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "header\nbody one\nheader\nbody two\nheader"),
+            (4, "solo"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_line_frac"], r["top_bigram_frac"])
+        for r in repetition_features(docs).collect()
+    }
+    assert out[1][0] == 0.0 and out[1][1] < 0.2   # prose passes filters
+    assert out[2][1] >= 0.5                        # template spam flagged
+    assert out[3][0] == 0.4                        # 2 of 5 lines are repeats
+    assert out[4] == (0.0, 0.0) and out[5] == (0.0, 0.0)  # edges
+
+
+def test_repetition_features_pure_catalyst(spark):
+    from urban_mobility_data_lakehouse_spark.text.analysis import (
+        repetition_features,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        repetition_features(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan

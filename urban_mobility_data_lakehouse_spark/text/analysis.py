@@ -128,3 +128,63 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e.
+    the max frequency of any value — as one row-local `aggregate`
+    recurrence (struct accumulator: previous element, current run,
+    best run).  Frequency-of-mode inside a row can't be a groupBy
+    (that would shuffle per-doc token lists); the higher-order
+    aggregate keeps it codegen and embarrassingly parallel."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step, lambda acc: acc["best"])
+
+
+def repetition_features(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    strongest cheap signals that a document is boilerplate/template
+    spam rather than prose.
+
+      * dup_line_frac — fraction of lines that are repeats of an
+        earlier line;
+      * top_bigram_frac — fraction of all word bigrams taken by the
+        single most frequent bigram.
+
+    Both are pure row-local array expressions (split / array_distinct /
+    zip_with / sort_array / aggregate) — no shuffle, no UDF; the usual
+    pretraining thresholds (e.g. drop if dup_line_frac > 0.3 or
+    top_bigram_frac > 0.2) stay a downstream filter decision."""
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines, 4
+    )
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram_frac = F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.round(_max_run(F.sort_array(bigrams)) / (n - 1), 4)
+    )
+    return documents.select(
+        "doc_id",
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    ).orderBy("doc_id")
