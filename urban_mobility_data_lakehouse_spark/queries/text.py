@@ -15,6 +15,18 @@ from . import register
 
 _EN = "'the','and','of','to','a'"
 
+# lookbehind-free PII patterns, portable Java-regex ∩ RE2 (the library's
+# phone/IBAN rules use lookbehind, which RE2 lacks — counted locally only)
+_PII_PATTERNS = (
+    r"(?i)\bhttps?://[^\s<>]+",
+    r"(?i)\b[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}\b",
+    r"\b\d{1,3}(?:\.\d{1,3}){3}\b",
+    r"\b\d{4}(?:[ -]\d{4}){3}\b",
+)
+_PII_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '{p}'))" for p in _PII_PATTERNS
+)
+
 
 @register(
     "doc_profile",
@@ -26,6 +38,11 @@ _EN = "'the','and','of','to','a'"
         FROM documents
     )
     SELECT doc_id,
+           CAST(len(string_split(text, chr(10)))
+                - len(list_distinct(string_split(text, chr(10))))
+               AS BIGINT) AS n_dup_lines,
+           CAST(COALESCE(tb.c, 0) AS BIGINT) AS top_bigram_count,
+           CAST({_PII_SQL} AS BIGINT) AS n_pii,
            CAST(n_chars AS BIGINT) AS n_chars,
            CAST(nc AS BIGINT) AS n_chars_actual,
            CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -55,27 +72,64 @@ _EN = "'the','and','of','to','a'"
                          CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
                      AS BIGINT) % 10000 < 9000 THEN 'val'
                 ELSE 'test' END AS split
-    FROM t ORDER BY doc_id
+    FROM t, LATERAL (
+        SELECT max(cnt) AS c FROM (
+            SELECT count(*) AS cnt
+            FROM unnest(list_transform(
+                     generate_series(1, greatest(len(toks) - 1, 0)),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS u(g)
+            GROUP BY g)
+    ) tb
+    ORDER BY doc_id
     """,
     tags=("text", "tokens", "quality"),
     bench=True,
 )
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token stats + quality features + deterministic
-    80/10/10 train/val/test assignment in one row-local pass (token
-    counting, BPE-ish subtoken split, punctuation/digit/stopword
-    ratios, composite quality score, content-hash split — stable
-    across runs/partitionings, unlike rand(seed)).  Row-local exprs —
-    no shuffle; joins the two operator outputs on doc_id."""
+    """Per-document token stats + quality features + repetition/PII
+    counts + deterministic 80/10/10 train/val/test assignment in one
+    row-local pass (token counting, BPE-ish subtoken split,
+    punctuation/digit/stopword ratios, composite quality score,
+    duplicate-line and top-bigram counts as exact integers — the
+    Gopher-filter numerators, float-free for the value-hash — PII
+    match count over the lookbehind-free rule subset, content-hash
+    split — stable across runs/partitionings, unlike rand(seed)).
+    Row-local exprs — no shuffle; joins the operator outputs on
+    doc_id."""
     import pyspark.sql.functions as F
 
+    from ..text.analysis import _max_run
     from ..text.curation import split_label
 
     docs = load_table(spark, sf_dir, "documents")
     stats = T.token_stats(docs)
     quality = T.quality_features(docs).drop("n_tokens")
+    lines = F.split("text", "\n")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_pii = None
+    for p in _PII_PATTERNS:
+        c = F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0)))
+        n_pii = c if n_pii is None else n_pii + c
+    rep = docs.select(
+        "doc_id",
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("long")
+        .alias("n_dup_lines"),
+        F.when(n <= 1, F.lit(0))
+        .otherwise(_max_run(F.sort_array(bigrams)))
+        .cast("long")
+        .alias("top_bigram_count"),
+        n_pii.cast("long").alias("n_pii"),
+    )
     return (
         stats.join(quality, "doc_id")
+        .join(rep, "doc_id")
         .withColumn("split", split_label(F.col("doc_id").cast("string")))
         .orderBy("doc_id")
     )
