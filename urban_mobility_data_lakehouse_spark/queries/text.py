@@ -217,9 +217,54 @@ _WINNOW_SQL = f"""
 """
 
 
+# suite-level packing parameters: a small budget exercises bin
+# boundaries densely on the fixture corpus
+_PACK_BUDGET = 64
+_PACK_SHARDS = 4
+
+_PACK_HASH = (
+    "CAST(CAST(CONCAT('0x', substr(md5('pack:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+)
+
+# DuckDB CAN express the sequential greedy recurrence — as a recursive
+# CTE stepping row_number per shard — which is exactly why it works as
+# the oracle for the applyInPandas packing operator.
+_PACK_SQL = f"""
+pack_base AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           {_PACK_HASH} % {_PACK_SHARDS} AS shard,
+           md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+    FROM documents
+),
+pack_rn AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+               AS rnum,
+           least(n_tokens, {_PACK_BUDGET}) AS c
+    FROM pack_base
+),
+pack_packed AS (
+    SELECT doc_id, n_tokens, shard, rnum, c,
+           CAST(0 AS BIGINT) AS bin, c AS used
+    FROM pack_rn WHERE rnum = 1
+    UNION ALL
+    SELECT r.doc_id, r.n_tokens, r.shard, r.rnum, r.c,
+           CASE WHEN p.used + r.c > {_PACK_BUDGET}
+                THEN p.bin + 1 ELSE p.bin END,
+           CASE WHEN p.used + r.c > {_PACK_BUDGET}
+                THEN r.c ELSE p.used + r.c END
+    FROM pack_rn r
+    JOIN pack_packed p ON r.shard = p.shard AND r.rnum = p.rnum + 1
+)
+"""
+
+
 @register(
     "text_pairs_suite",
     oracle=f"""
+    WITH RECURSIVE {_PACK_SQL}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -236,12 +281,19 @@ _WINNOW_SQL = f"""
           FROM documents WHERE doc_id < 5)
     UNION ALL
     {_WINNOW_SQL}
+    UNION ALL
+    SELECT 'pack',
+           CAST(doc_id AS BIGINT),
+           CAST(shard AS BIGINT),
+           CAST(n_tokens AS VARCHAR),
+           bin
+    FROM pack_packed
     ORDER BY part, k1, k2, n
     """,
-    tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow"),
+    tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack"),
 )
 def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three tokenizer-at-scale primitives in one labeled union.
+    """Four tokenizer-at-scale primitives in one labeled union.
 
     `levenshtein`: pairwise edit distances over a (small, broadcast)
     name dimension — at 100 TB fuzzy joins go through blocking
@@ -251,7 +303,11 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     window after it.  `winnow`: rolling-hash winnowing fingerprints
     (text/winnow.py) over every document — k1=doc_id, k2=selected gram
     position, n=fingerprint hash.  Per-document exact fingerprints
-    (md5) are driver-checked inside exact_dup_groups."""
+    (md5) are driver-checked inside exact_dup_groups.  `pack`:
+    deterministic greedy sequence packing (text/packing.py) —
+    k1=doc_id, k2=shard, token=n_tokens, n=bin; the oracle replays the
+    sequential greedy recurrence as a DuckDB recursive CTE, verifying
+    the applyInPandas operator bin-for-bin."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
@@ -296,8 +352,22 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("token"),
         F.col("fp").alias("n"),
     )
+    from ..text.packing import pack_sequences
+
+    packed = pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        budget=_PACK_BUDGET,
+        n_shards=_PACK_SHARDS,
+    ).select(
+        F.lit("pack").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("shard").cast("long").alias("k2"),
+        F.col("n_tokens").cast("string").alias("token"),
+        F.col("bin").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
+        .unionByName(packed)
         .orderBy("part", "k1", "k2", "n")
     )

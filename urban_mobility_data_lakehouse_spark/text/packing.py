@@ -63,11 +63,14 @@ def pack_sequences(
         docs = documents.select(
             "doc_id", F.col(token_col).cast("int").alias("n_tokens")
         )
+    # engine-portable hash (same md5-60bit pattern as dedup/curation):
+    # shard routing and intra-shard order derive from ONE md5
     key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    key60 = F.conv(F.substring(key, 1, 15), 16, 10).cast("long")
     docs = docs.select(
         "doc_id",
         "n_tokens",
-        F.pmod(F.crc32(key), F.lit(n_shards)).cast("int").alias("shard"),
+        F.pmod(key60, F.lit(n_shards)).cast("int").alias("shard"),
         key.alias("ord"),
     )
 
