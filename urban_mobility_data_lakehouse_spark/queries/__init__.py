@@ -8,19 +8,35 @@ exposes this registry to the verification driver.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# The verification driver runs spark-vs-oracle at this scale factor;
+# data-dependent oracle generators (e.g. knn_ivf's trained centroids)
+# are resolved against it when the driver asks for oracle_sql().
+DRIVER_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str = static SQL; callable = sf_dir -> SQL, for oracles whose
+    # constants are derived from the data (generated at ask-time so the
+    # same generator serves every scale factor)
+    oracle: str | Callable[[str], str] | None
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
+
+    def oracle_for(self, sf_dir: str) -> str | None:
+        if callable(self.oracle):
+            return self.oracle(sf_dir)
+        return self.oracle
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -28,7 +44,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(
     name: str,
-    oracle: str | None,
+    oracle: str | Callable[[str], str] | None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
 ) -> Callable:
@@ -44,10 +60,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.builder for name, spec in REGISTRY.items()}
 
 
-def all_oracles() -> dict[str, str]:
+def all_oracles(sf_dir: str = DRIVER_SF_DIR) -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+        name: spec.oracle_for(sf_dir)
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
     }
 
 

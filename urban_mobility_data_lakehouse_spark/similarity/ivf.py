@@ -34,29 +34,21 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from .knn import _as_double, cosine
 
 
-def train_centroids(
-    embeddings: DataFrame,
-    n_cells: int = 16,
-    seed: int = 42,
-    sample_size: int = 2048,
-    n_iter: int = 10,
+def lloyd(
+    x, n_cells: int = 16, seed: int = 42, n_iter: int = 10
 ) -> list[list[float]]:
-    """Driver-side Lloyd's k-means on a deterministic sample.
+    """Pure-numpy seeded Lloyd's over a float64 sample matrix.
 
-    The sample is the `sample_size` lowest vec_ids (stable across runs
-    and partitionings — `.sample()` would not be); init is a seeded
-    choice without replacement.  Empty cells are re-seeded from the
-    farthest points so all n_cells survive.
+    Shared by the Spark training path AND the DuckDB oracle generator
+    (`queries/similarity.py`): running the identical code on the
+    identical sample yields bit-identical float64 centroids, which is
+    what lets the oracle inline them as exact literals.  Init is a
+    seeded choice without replacement; empty cells are re-seeded from
+    the farthest points so all n_cells survive.
     """
     import numpy as np
 
-    pdf = (
-        embeddings.orderBy("vec_id")
-        .limit(sample_size)
-        .select(_as_double(F.col("embedding")).alias("e"))
-        .toPandas()  # Arrow path: array columns collect ~5× faster than Row conversion
-    )
-    x = np.array(pdf["e"].tolist(), dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(n_iter):
@@ -70,6 +62,55 @@ def train_centroids(
             else:  # re-seed dead cell with the worst-served point
                 cents[c] = x[d2.min(axis=1).argmax()]
     return cents.tolist()
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_size: int = 2048,
+    n_iter: int = 10,
+) -> list[list[float]]:
+    """Driver-side Lloyd's k-means on a deterministic sample.
+
+    The sample is the `sample_size` lowest vec_ids (stable across runs
+    and partitionings — `.sample()` would not be).
+    """
+    import numpy as np
+
+    pdf = (
+        embeddings.orderBy("vec_id")
+        .limit(sample_size)
+        .select(_as_double(F.col("embedding")).alias("e"))
+        .toPandas()  # Arrow path: array columns collect ~5× faster than Row conversion
+    )
+    x = np.array(pdf["e"].tolist(), dtype=np.float64)
+    return lloyd(x, n_cells=n_cells, seed=seed, n_iter=n_iter)
+
+
+def train_centroids_from_parquet(
+    sf_dir: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_size: int = 2048,
+    n_iter: int = 10,
+) -> list[list[float]]:
+    """Spark-free twin of `train_centroids` for oracle construction:
+    reads `embeddings.parquet` with pyarrow, takes the same
+    lowest-vec_id sample, and runs the same `lloyd`.  float32→float64
+    widening is exact, so both paths see identical inputs and produce
+    bit-identical centroids."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vec_ids = np.asarray(tbl.column("vec_id").to_pylist())
+    embs = tbl.column("embedding").to_pylist()
+    order = np.argsort(vec_ids, kind="stable")[:sample_size]
+    x = np.array([embs[i] for i in order], dtype=np.float64)
+    return lloyd(x, n_cells=n_cells, seed=seed, n_iter=n_iter)
 
 
 def centroid_table(
