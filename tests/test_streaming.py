@@ -10,11 +10,29 @@ from urban_mobility_data_lakehouse_spark.pipeline.fixtures import (
     write_fixtures,
 )
 from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
-from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+from urban_mobility_data_lakehouse_spark.sources.testdata import (
+    load_table,
+    normalize_event_ts,
+)
 from urban_mobility_data_lakehouse_spark.streaming.daily import (
     daily_file_ingest,
     hourly_rollup_stream,
 )
+
+
+def _events_stream(spark, sf_dir, stream_dir, filenames=("events.parquet",)):
+    """File stream over copies of events.parquet, with the ts column
+    normalized exactly the way ``load_table`` does — one shared site to
+    absorb the next driver-side timestamp-encoding drift."""
+    import shutil
+
+    stream_dir.mkdir()
+    for name in filenames:
+        shutil.copy(f"{sf_dir}/events.parquet", stream_dir / name)
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(str(stream_dir))
+    )
 
 
 def test_daily_file_ingest_exactly_once(spark, tmp_path):
@@ -42,20 +60,7 @@ def test_hourly_rollup_stream_matches_batch(spark, sf_dir, tmp_path):
     # equal the batch aggregation
     events = load_table(spark, sf_dir, "events")
     # file streams need a directory source
-    stream_dir = tmp_path / "events_stream"
-    stream_dir.mkdir()
-    import shutil
-
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    stream_in = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(stream_dir))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    )
+    stream_in = _events_stream(spark, sf_dir, tmp_path / "events_stream")
     rolled = hourly_rollup_stream(stream_in)
     q = (
         rolled.writeStream.format("memory")
@@ -98,26 +103,13 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionization: a single availableNow
     batch must reproduce the batch gaps-and-islands operator exactly
     (same sessions, bounds, counts, value sums)."""
-    import shutil
-
     from urban_mobility_data_lakehouse_spark.streaming.sessions import (
         sessionize,
         sessionize_stream,
     )
 
     events = load_table(spark, sf_dir, "events")
-    stream_dir = tmp_path / "sess_stream"
-    stream_dir.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    stream_in = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(stream_dir))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    )
+    stream_in = _events_stream(spark, sf_dir, tmp_path / "sess_stream")
     q = (
         sessionize_stream(stream_in)
         .writeStream.format("memory")
@@ -150,24 +142,13 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     within 1 hour, both sides streaming, must equal the identical
     inequality join on the batch frames (watermarks are batch no-ops,
     so the same function is its own oracle)."""
-    import shutil
-
     from urban_mobility_data_lakehouse_spark.streaming.joins import (
         clicks_purchases,
         interval_join,
     )
 
     events = load_table(spark, sf_dir, "events")
-    stream_dir = tmp_path / "join_stream"
-    stream_dir.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    stream_in = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream_in = _events_stream(spark, sf_dir, tmp_path / "join_stream")
     q = (
         interval_join(*clicks_purchases(stream_in))
         .writeStream.format("memory")
@@ -198,25 +179,14 @@ def test_stream_dedup_exactly_once(spark, sf_dir, tmp_path):
     """Duplicated input files → dropDuplicatesWithinWatermark must emit
     each event_id exactly once (the at-least-once → exactly-once
     repair)."""
-    import shutil
-
     from urban_mobility_data_lakehouse_spark.streaming.daily import (
         dedup_stream,
     )
 
-    stream_dir = tmp_path / "dup_stream"
-    stream_dir.mkdir()
     # same file twice = every event duplicated at the source
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "b.parquet")
-    stream_in = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(stream_dir))
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    stream_in = _events_stream(
+        spark, sf_dir, tmp_path / "dup_stream",
+        filenames=("a.parquet", "b.parquet"),
     )
     q = (
         dedup_stream(stream_in)
@@ -239,24 +209,13 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     """Stream-static broadcast enrichment: the events stream joined to
     the static customer dim must equal the identical batch join (the
     static side makes this exact — no watermark closure caveat)."""
-    import shutil
-
     from urban_mobility_data_lakehouse_spark.streaming.joins import (
         enrich_with_dim,
     )
 
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
-    stream_dir = tmp_path / "enrich_stream"
-    stream_dir.mkdir()
-    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "events.parquet")
-    stream_in = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream_in = _events_stream(spark, sf_dir, tmp_path / "enrich_stream")
     q = (
         enrich_with_dim(stream_in, customer)
         .writeStream.format("memory")

@@ -5,10 +5,15 @@ Parity note: mirrors the reference's parquet scan + view registration
 `read_parquet(path)` + `CREATE VIEW` becomes `spark.read.parquet` +
 `createOrReplaceTempView`.
 
-`events.parquet` is written with TIMESTAMP(NANOS), which Spark 4 only
-reads via `spark.sql.legacy.parquet.nanosAsLong=true` (surfacing the
-column as raw nanos).  We rebuild a proper TimestampType column so every
-downstream operator sees the same instants DuckDB does.
+The driver has regenerated `events.parquet` with different physical
+timestamp types across rounds — TIMESTAMP(NANOS) (which Spark 4 only
+reads via `spark.sql.legacy.parquet.nanosAsLong=true`, surfacing the
+column as raw nanos) and plain `timestamp[us]` (which Spark 4 reads as
+TIMESTAMP_NTZ).  `normalize_event_ts` absorbs every reading into one
+session-TZ TimestampType column so downstream operators see the same
+instants DuckDB does (session TZ is pinned UTC in session.py, so the
+NTZ→timestamp cast is instant-exact).  Any future drift lands here —
+one function, one fix.
 """
 
 from __future__ import annotations
@@ -32,16 +37,39 @@ TESTDATA_TABLES: tuple[str, ...] = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to session-TZ TimestampType.
+
+    Handles every physical reading the driver has shipped so far; works
+    on batch and (pre-start) streaming DataFrames alike:
+
+    - ``bigint`` (TIMESTAMP(NANOS) under ``nanosAsLong``): nanos →
+      micros via integer division; truncation matches DuckDB, which
+      also truncates nanos to micros on read.  (Double division would
+      round-trip through a 53-bit mantissa and perturb ~13% of
+      2023-era nanos by 1 µs.)
+    - ``timestamp_ntz`` (``timestamp[us]`` in the parquet footer):
+      cast to TimestampType — with the session TZ pinned to UTC the
+      wall-clock reading becomes the identical instant DuckDB's naive
+      timestamps represent.
+    - ``timestamp``: already normal; no-op.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table; normalizes the events nanos timestamp."""
+    """Load one synthetic table; normalizes the events timestamp."""
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros via integer division; losing sub-microsecond
-        # precision matches DuckDB, which also truncates nanos to micros
-        # on read.  (Double division would round-trip through a 53-bit
-        # mantissa and perturb ~13% of 2023-era nanos by 1 µs.)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -62,9 +62,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag(F.col("ts")).over(w)
+    # cast-to-timestamp makes the gap test tolerant of TIMESTAMP_NTZ
+    # inputs (unix_micros rejects NTZ); a no-op on TimestampType.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     brk = F.when(
-        prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > gap_us),
+        prev.isNull() | (us(F.col("ts")) - us(prev) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
