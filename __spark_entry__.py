@@ -31,4 +31,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracle SQL per query name.
+
+    The driver contract gives this function no sf_dir parameter, and the
+    driver executes the comparison at sf=0.01 — so data-derived callable
+    oracles (knn_ivf's trained centroids) are resolved against
+    DRIVER_SF_DIR (default /root/testdata/sf0.01, overridable via
+    SPARK_GRAFT_ORACLE_SF_DIR should the driver ever move).  Static SQL
+    oracles are scale-independent and unaffected.
+    """
     return all_oracles()

@@ -78,6 +78,23 @@ def test_minhash_lsh_recall_floor(spark, sf_dir):
     assert recall >= 0.75, f"LSH recall {recall:.2f} over {len(truth)} pairs"
 
 
+def test_ivf_trainer_paths_bit_identical(spark, sf_dir):
+    """The knn_ivf oracle's whole validity rests on one invariant: the
+    Spark trainer (orderBy/limit sample) and the pyarrow trainer
+    (stable-argsort sample) feed `lloyd` identical inputs and therefore
+    return bit-identical float64 centroids.  Assert exact equality on
+    both the test and the driver-oracle scale factors."""
+    from tests.conftest import SF_ORACLE_DIR
+
+    for d in (sf_dir, SF_ORACLE_DIR):
+        emb = load_table(spark, d, "embeddings")
+        spark_cents = ivf.train_centroids(emb, n_cells=16, seed=42)
+        arrow_cents = ivf.train_centroids_from_parquet(
+            d, n_cells=16, seed=42
+        )
+        assert spark_cents == arrow_cents  # exact ==, not approx
+
+
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf.train_centroids(emb, n_cells=8)

@@ -22,7 +22,8 @@ ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 def test_oracle_parity(spark, sf_dir, name):
     spec = REGISTRY[name]
     df = spec.builder(spark, sf_dir)
-    assert_frames_match(df, spec.oracle, sf_dir, name)
+    # oracle_for resolves callable (data-derived) oracles at this sf_dir
+    assert_frames_match(df, spec.oracle_for(sf_dir), sf_dir, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

@@ -186,10 +186,100 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> str:
+    """Generate the DuckDB oracle for knn_ivf at a given sf_dir.
+
+    IVF is deterministic once the centroids are fixed, and the centroids
+    ARE reproducible outside Spark: `train_centroids_from_parquet`
+    (similarity/ivf.py) reads the same lowest-vec_id sample with pyarrow
+    and runs the same seeded `lloyd`, yielding bit-identical float64
+    centroids.  They are inlined as exact literals (repr round-trips
+    doubles; the knn_lsh trick), then DuckDB replays the whole pipeline:
+    sequential-fold L2 cell distances (same order as Spark's
+    aggregate/zip_with, so ties and all), rank cells per vector
+    (distance, cell id), assign = rank-1 cell, probe = first n_probe,
+    candidate join on neighbor-cell ∈ query-probe, cosine re-rank.
+    """
+    from ..similarity.ivf import train_centroids_from_parquet
+
+    cents = train_centroids_from_parquet(
+        sf_dir, n_cells=n_cells, seed=seed
+    )
+    dim = len(cents[0])
+    values = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    # sequential left folds reproduce Spark's aggregate() order exactly
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (v.e[i] - cc.c[i]) * (v.e[i] - cc.c[i])), (a, b) -> a + b)"
+    )
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> vq.e[i] * vb.e[i]), (a, b) -> a + b)"
+    )
+    norm = ("sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            "(x, y) -> x + y))")
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents(cell, c) AS (VALUES
+        {values}
+    ),
+    ranked_cells AS (
+        SELECT v.vec_id, cc.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {l2} ASC, cc.cell ASC) AS r
+        FROM v, cents cc
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM ranked_cells WHERE r = 1
+    ),
+    probed AS (
+        SELECT vec_id, cell FROM ranked_cells WHERE r <= {n_probe}
+    ),
+    cands AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM probed q JOIN assigned b ON q.cell = b.cell
+        WHERE q.vec_id < {n_queries} AND b.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.neighbor_id,
+               {dot} / ({norm.format(a="vq.e")} * {norm.format(a="vb.e")})
+                   AS cos
+        FROM cands c
+        JOIN v vq ON vq.vec_id = c.query_id
+        JOIN v vb ON vb.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
 @register(
     "knn_ivf",
-    oracle=None,  # approximate by construction (k-means cells); recall
-    # vs the exact brute-force baseline is asserted in tests instead
+    oracle=_ivf_oracle,  # callable: centroids are data-derived, so the
+    # oracle is generated per sf_dir at ask-time
     tags=("similarity", "ann", "ivf", "scale"),
     bench=True,
 )
