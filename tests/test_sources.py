@@ -3,6 +3,8 @@ repair (S7, driven offline via file:// URLs), bronze CSV contract."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from urban_mobility_data_lakehouse_spark.sources.csv import (
@@ -233,7 +235,8 @@ def test_lakehouse_crash_leaves_no_half_commit(spark, tmp_path):
     ) == committed
     assert len(lake.snapshots("silver", "fact")) == 1
 
-    # the retried writer reuses/overwrites the orphan dir and commits
+    # the retried writer stages its own fresh directory and commits;
+    # the orphan stays unreferenced until vacuum reclaims it
     lake.overwrite_partitions(
         day2, "silver", "fact", partition_col="partition_date"
     )
@@ -357,7 +360,7 @@ def test_lakehouse_merge_into(spark, tmp_path):
     ]
     # day-1's partition mapping is untouched (still the v0 directory)
     part_map, _ = lake._manifest("silver", "m")
-    assert part_map["2024-01-01"][0].endswith("v0")
+    assert os.path.basename(part_map["2024-01-01"][0]).startswith("v0-")
     # merge is a normal versioned commit: time travel still sees v0
     v0 = sorted(
         (r["event_id"], r["value"])
@@ -399,7 +402,7 @@ def test_lakehouse_delete_where(spark, tmp_path):
     )
     assert got == [1, 2, 4]
     part_map, _ = lake._manifest("silver", "del")
-    assert part_map["2024-01-01"][0].endswith("v0")
+    assert os.path.basename(part_map["2024-01-01"][0]).startswith("v0-")
     cdc = sorted(
         (r["_change_type"], r["event_id"])
         for r in lake.read_changes(spark, "silver", "del", 0).collect()
@@ -424,6 +427,117 @@ def test_lakehouse_delete_where(spark, tmp_path):
         F.col("event_id") == 999, partition_col="partition_date",
     )
     assert len(lake.snapshots("silver", "del")) == n_before
+
+
+def test_lakehouse_delete_where_null_predicate(spark, tmp_path):
+    """SQL/Delta DELETE three-valued logic: rows where the predicate
+    evaluates to NULL survive — even when their partition is rewritten
+    because sibling rows matched.  (A plain `~cond` filter would
+    silently drop them: NOT NULL is NULL, which filter discards.)"""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "2024-01-01"),
+            (2, None, "2024-01-01"),  # predicate → NULL
+            (3, 30.0, "2024-01-01"),
+        ],
+        "event_id long, value double, partition_date string",
+    ).withColumn("partition_date", F.to_date("partition_date"))
+    lake.overwrite_partitions(
+        df, "silver", "nulldel", partition_col="partition_date"
+    )
+    lake.delete_where(
+        spark, "silver", "nulldel",
+        F.col("value") > 15.0, partition_col="partition_date",
+    )
+    got = sorted(
+        r["event_id"]
+        for r in lake.read(spark, "silver", "nulldel").collect()
+    )
+    assert got == [1, 2]  # row 2 (NULL predicate) must survive
+
+
+def test_lakehouse_empty_append_readable(spark, tmp_path):
+    """A commit whose frame is empty writes a directory with no parquet
+    files; reads must skip it instead of failing schema inference."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01")],
+        "event_id long, value double, partition_date string",
+    ).withColumn("partition_date", F.to_date("partition_date"))
+    lake.overwrite_partitions(
+        df, "silver", "ea", partition_col="partition_date"
+    )
+    lake.append(df.limit(0), "silver", "ea")  # empty commit
+    assert len(lake.snapshots("silver", "ea")) == 2
+    assert lake.read(spark, "silver", "ea").count() == 1
+
+
+def test_lakehouse_merge_into_key_validation(spark, tmp_path):
+    """merge_into rejects ambiguous updates (duplicate keys) and, when
+    asked, updates whose keys already live outside the affected
+    partitions (the row-moved-partitions hazard)."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [(i, float(v), d) for i, v, d in rows],
+            "event_id long, value double, partition_date string",
+        ).withColumn("partition_date", F.to_date("partition_date"))
+
+    lake.overwrite_partitions(
+        rows_df([(1, 10, "2024-01-01"), (3, 30, "2024-01-02")]),
+        "silver", "mv", partition_col="partition_date",
+    )
+    # duplicate key in updates → ambiguous merge
+    with pytest.raises(ValueError, match="duplicate keys"):
+        lake.merge_into(
+            spark, "silver", "mv",
+            rows_df([(3, 300, "2024-01-02"), (3, 301, "2024-01-02")]),
+            key="event_id", partition_col="partition_date",
+        )
+    # key 1 lives in day-1; updating it "in" day-2 would duplicate it
+    with pytest.raises(ValueError, match="outside the affected"):
+        lake.merge_into(
+            spark, "silver", "mv",
+            rows_df([(1, 100, "2024-01-02")]),
+            key="event_id", partition_col="partition_date",
+            validate_cross_partition=True,
+        )
+    # clean merge still works with validation on
+    lake.merge_into(
+        spark, "silver", "mv",
+        rows_df([(3, 300, "2024-01-02")]),
+        key="event_id", partition_col="partition_date",
+        validate_cross_partition=True,
+    )
+    got = sorted(
+        (r["event_id"], r["value"])
+        for r in lake.read(spark, "silver", "mv").collect()
+    )
+    assert got == [(1, 10.0), (3, 300.0)]
 
 
 def test_lakehouse_schema_evolution(spark, tmp_path):

@@ -27,11 +27,16 @@ into:
     analog (S12)
 
 Storage is copy-on-write, exactly the Delta protocol shape: every
-commit writes NEW files under `_data/v<version>/` and then appends one
-line to the commit log — the log append IS the commit point, so a
-crash mid-write leaves an orphan directory but never a half-visible
-table, and old versions stay readable until `compact(vacuum=True)`
-(the OPTIMIZE+VACUUM analog) reclaims them.
+commit writes NEW files under a writer-unique `_data/v<version>-<id>/`
+staging directory and then appends one line to the commit log — the
+log append IS the commit point, so a crash mid-write leaves an orphan
+directory but never a half-visible table, and old versions stay
+readable until `compact(vacuum=True)` (the OPTIMIZE+VACUUM analog)
+reclaims them.  Commits are optimistic-concurrency-checked
+(`ConcurrentWriteError`): disjoint-partition writers merge cleanly,
+overlapping writers must re-read and retry — the reference's
+8-parallel-day-writer cloud mode (docs/report/main.tex:260) without
+its shared-catalog Postgres.
 
 Scale notes: partition granularity is the reference's own (one DATE
 per partition ≈ 10M rows/day at production scale — healthy parquet
@@ -46,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
@@ -53,6 +59,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 SNAPSHOT_LOG = "_snapshots.jsonl"
 TXN_LOG = "_txns.jsonl"
+LOCK_FILE = "_commit.lock"
+
+# ops whose effect spans the whole table: they conflict with ANY
+# interleaved commit (Delta's serializable-vs-full-table rule)
+_FULL_TABLE_OPS = {"overwrite", "compact", "compact_partitioned", "restore"}
+
+
+class ConcurrentWriteError(Exception):
+    """Optimistic-concurrency conflict (Delta ConcurrentModification
+    analog): another writer committed a change that overlaps this
+    write's base snapshot.  Re-read the table, recompute, and retry —
+    or abort."""
+
+
+def _commits_conflict(mine: dict, other: dict) -> bool:
+    """Can `mine` (a staged entry, key `op`) be appended after `other`
+    (an already-logged line, key `operation`) landed between my base
+    version and now?  The matrix mirrors Delta's:
+
+      - append vs append: commute (both live in the replay's extra set)
+      - append vs partition overwrite: commute (partition supersession
+        never shadows appended directories in the replay algebra)
+      - partition overwrite vs partition overwrite: conflict iff they
+        touch a common partition (the 8-parallel-day-writers cloud mode
+        — docs/report/main.tex:260 — merges cleanly; a same-day race
+        conflicts, protecting read-modify-write callers like merge_into
+        and delete_where from lost updates)
+      - anything vs a full-table op (overwrite/compact/restore): always
+        a conflict
+    """
+    a, b = mine["op"], other["operation"]
+    if a in _FULL_TABLE_OPS or b in _FULL_TABLE_OPS:
+        return True
+    if a == "append" or b == "append":
+        return False
+    return bool(
+        set(mine.get("partitions", ())) & set(other.get("partitions", ()))
+    )
 
 
 @dataclass
@@ -73,11 +117,61 @@ class Lakehouse:
 
     # -- writes (S9/S10/S11/S13) ------------------------------------------
 
+    @contextmanager
+    def _table_lock(self, path: str):
+        """Exclusive per-table commit lock (advisory flock).
+
+        The local stand-in for what serializes commits in a real
+        deployment: an object store's conditional-put on the next log
+        entry (Delta on S3) or a catalog database's unique (table,
+        version) constraint (DuckLake's Neon Postgres catalog,
+        utils_db.py:49-84).  Held only around the read-check-append of
+        one log line — never around data-file writes, which happen
+        before, unserialized, into unique staging directories.
+        """
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, LOCK_FILE), "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     def _next_data_dir(self, schema: str, name: str) -> tuple[int, str]:
+        """(base version, unique staging dir).  The dir name embeds a
+        writer-unique suffix so concurrent stagers never clobber each
+        other's files; which staged dir becomes live is decided later,
+        at the serialized log append (`_commit`)."""
         version = len(self.snapshots(schema, name))
+        uniq = f"{time.time_ns():x}-{os.getpid():x}"
         return version, os.path.join(
-            self._table_dir(schema, name), "_data", f"v{version}"
+            self._table_dir(schema, name), "_data", f"v{version}-{uniq}"
         )
+
+    def _commit(
+        self, schema: str, name: str, entry: dict, base_version: int
+    ) -> None:
+        """Optimistic commit: under the table lock, every line that
+        landed after `base_version` is checked against this write's
+        footprint; disjoint writers (different partitions, appends)
+        merge cleanly with consecutive version numbers, overlapping
+        writers raise `ConcurrentWriteError` for the caller to re-read
+        and retry.  No lost updates, linear history, and the lock is
+        held only for log-line arithmetic — data files were already
+        written outside it."""
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            for other in self._raw_snapshots(schema, name)[base_version:]:
+                if _commits_conflict(entry, other):
+                    raise ConcurrentWriteError(
+                        f"{schema}.{name}: commit of {entry['op']!r} based "
+                        f"on version {base_version} conflicts with "
+                        f"interleaved version {other['version']} "
+                        f"({other['operation']!r}); re-read and retry"
+                    )
+            self._append_log_line(path, **entry)
 
     def _stage_overwrite_partitions(
         self, df: DataFrame, schema: str, name: str,
@@ -125,13 +219,18 @@ class Lakehouse:
         `partitions` overrides the superseded set (normally derived
         from `df`) — needed when a partition's new state is EMPTY
         (e.g. `delete_where` removed every row): it must still be
-        superseded even though no data directory is written for it."""
-        path = self._table_dir(schema, name)
-        _, data_dir = self._next_data_dir(schema, name)
+        superseded even though no data directory is written for it.
+
+        Concurrency: raises `ConcurrentWriteError` if another writer
+        committed an overlapping change since this writer's base
+        snapshot; writers touching disjoint partitions commit
+        concurrently without conflict (the reference's 8-parallel-day
+        cloud mode)."""
+        base, data_dir = self._next_data_dir(schema, name)
         entry = self._stage_overwrite_partitions(
             df, schema, name, partition_col, data_dir, partitions
         )
-        self._log_snapshot(path, **entry)
+        self._commit(schema, name, entry, base)
 
     def merge_into(
         self,
@@ -141,6 +240,7 @@ class Lakehouse:
         updates: DataFrame,
         key: str | list[str],
         partition_col: str,
+        validate_cross_partition: bool = False,
     ) -> None:
         """Row-level MERGE INTO (Delta MERGE analog) as a
         partition-scoped copy-on-write rewrite: WHEN MATCHED on `key`
@@ -159,12 +259,56 @@ class Lakehouse:
         is built around.  An update must not move a row across
         partitions (that needs a delete on the source partition;
         express it as an explicit delete+merge instead).
+
+        `updates` must be unique per key: a key appearing twice (same
+        or different partitions) would make the merge ambiguous — and a
+        cross-partition duplicate would silently materialize the same
+        key in two partitions.  Validated here with one cheap aggregate
+        on the (small) updates side; Delta MERGE raises the equivalent
+        multiple-source-rows error at run time.
+
+        `validate_cross_partition=True` additionally asserts no update
+        key already lives in a partition OUTSIDE the affected set (the
+        row-moved-partitions hazard).  That check is a semi-join scan
+        of the unaffected partitions — pay it in correctness-critical
+        backfills, skip it in the steady-state daily upsert where keys
+        embed the partition date and can't move.
         """
         keys = [key] if isinstance(key, str) else list(key)
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_into {schema}.{name}: updates contain duplicate "
+                f"keys {[tuple(r[k] for k in keys) for r in dup]} — "
+                "one source row per key required"
+            )
         affected = [
             str(r[0])
             for r in updates.select(partition_col).distinct().collect()
         ]
+        if validate_cross_partition:
+            strays = (
+                self.read(spark, schema, name)
+                .filter(~F.col(partition_col).cast("string").isin(affected))
+                .join(updates.select(*keys).distinct(), keys, "left_semi")
+                .select(*keys, partition_col)
+                .limit(5)
+                .collect()
+            )
+            if strays:
+                raise ValueError(
+                    f"merge_into {schema}.{name}: update keys already "
+                    f"exist outside the affected partitions: "
+                    f"{[tuple(r) for r in strays]} — a merge cannot "
+                    "move rows across partitions (delete from the "
+                    "source partition first)"
+                )
         current = self.read(spark, schema, name).filter(
             F.col(partition_col).cast("string").isin(affected)
         )
@@ -194,6 +338,11 @@ class Lakehouse:
         scan of the table to find affected partitions (prunable if the
         predicate constrains `partition_col`) plus a rewrite of only
         those partitions.
+
+        SQL/Delta DELETE three-valued logic: only rows where the
+        predicate is TRUE are deleted — NULL-predicate rows survive
+        (plain `~condition` would silently drop them whenever their
+        partition gets rewritten).
         """
         current = self.read(spark, schema, name)
         affected = [
@@ -207,26 +356,20 @@ class Lakehouse:
             return
         survivors = current.filter(
             F.col(partition_col).cast("string").isin(affected)
-        ).filter(~condition)
+        ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected
         )
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
-        path = self._table_dir(schema, name)
-        _, data_dir = self._next_data_dir(schema, name)
-        self._log_snapshot(
-            path,
-            **self._stage_full_write(df, schema, name, "overwrite", data_dir),
-        )
+        base, data_dir = self._next_data_dir(schema, name)
+        entry = self._stage_full_write(df, schema, name, "overwrite", data_dir)
+        self._commit(schema, name, entry, base)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
-        path = self._table_dir(schema, name)
-        _, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
-        self._log_snapshot(
-            path,
-            **self._stage_full_write(df, schema, name, "append", data_dir),
-        )
+        base, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
+        entry = self._stage_full_write(df, schema, name, "append", data_dir)
+        self._commit(schema, name, entry, base)
 
     # -- multi-table transactions (S11) ------------------------------------
 
@@ -272,18 +415,20 @@ class Lakehouse:
         journal = self._journal_entries()
         if not journal:
             return
-        raw = self._raw_snapshots(schema, name)
-        seen = {e.get("txn_id") for e in raw if e.get("txn_id")}
-        for j in journal:
-            if j["txn_id"] in seen:
-                continue
-            for t in j["tables"]:
-                if t["schema"] == schema and t["name"] == name:
-                    self._log_snapshot(
-                        self._table_dir(schema, name),
-                        txn_id=j["txn_id"],
-                        **t["entry"],
-                    )
+        path = self._table_dir(schema, name)
+        # check-and-append under the table lock so two concurrent
+        # healers can't both append the same missing line
+        with self._table_lock(path):
+            raw = self._raw_snapshots(schema, name)
+            seen = {e.get("txn_id") for e in raw if e.get("txn_id")}
+            for j in journal:
+                if j["txn_id"] in seen:
+                    continue
+                for t in j["tables"]:
+                    if t["schema"] == schema and t["name"] == name:
+                        self._append_log_line(
+                            path, txn_id=j["txn_id"], **t["entry"]
+                        )
 
     def compact(
         self,
@@ -338,21 +483,29 @@ class Lakehouse:
                 str(r[0])
                 for r in df.select(partition_col).distinct().collect()
             )
-            self._log_snapshot(
-                path, op="compact_partitioned",
-                partitions=parts, partition_col=partition_col,
-                data_dir=os.path.relpath(data_dir, path),
-                files_before=before,
+            self._commit(
+                schema, name,
+                dict(
+                    op="compact_partitioned",
+                    partitions=parts, partition_col=partition_col,
+                    data_dir=os.path.relpath(data_dir, path),
+                    files_before=before,
+                ),
+                version,
             )
         else:
             compacted = df.coalesce(target_files_per_partition)
             if sort_by:
                 compacted = compacted.sortWithinPartitions(*sort_by)
             compacted.write.mode("overwrite").parquet(data_dir)
-            self._log_snapshot(
-                path, op="compact",
-                data_dir=os.path.relpath(data_dir, path),
-                files_before=before,
+            self._commit(
+                schema, name,
+                dict(
+                    op="compact",
+                    data_dir=os.path.relpath(data_dir, path),
+                    files_before=before,
+                ),
+                version,
             )
         if vacuum:
             self.vacuum(schema, name, keep_version=version)
@@ -448,9 +601,8 @@ class Lakehouse:
                 f"{schema}.{name}: cannot restore to version {version} "
                 f"(history has {n} commits)"
             )
-        self._log_snapshot(
-            self._table_dir(schema, name),
-            op="restore", of_version=version,
+        self._commit(
+            schema, name, dict(op="restore", of_version=version), n
         )
 
     def read(
@@ -478,7 +630,14 @@ class Lakehouse:
             .parquet(d)
             .filter(F.col(pcol).cast("string").isin(values))
             for d, (pcol, values) in sorted(by_dir.items())
-        ] + [spark.read.parquet(d) for d in sorted(extra)]
+        ] + [
+            # an append/overwrite of an EMPTY frame commits a directory
+            # with no parquet files; reading it would fail schema
+            # inference, so skip — the commit stays in history
+            spark.read.parquet(d)
+            for d in sorted(extra)
+            if _count_data_files(d) > 0
+        ]
         if not frames:
             raise FileNotFoundError(
                 f"{schema}.{name} has no data at version {version}"
@@ -606,6 +765,16 @@ class Lakehouse:
         return self._raw_snapshots(schema, name)
 
     def _log_snapshot(self, path: str, op: str, **extra) -> None:
+        """Serialized version-assign + append (no conflict check — used
+        by paths that are conflict-free by construction, e.g. journal
+        healing, which replays already-committed transactions)."""
+        with self._table_lock(path):
+            self._append_log_line(path, op, **extra)
+
+    def _append_log_line(self, path: str, op: str, **extra) -> None:
+        """Assign the next version number and append one log line.
+        Caller must hold the table lock (or otherwise be the only
+        writer); the append itself is the commit point."""
         os.makedirs(path, exist_ok=True)
         log = os.path.join(path, SNAPSHOT_LOG)
         version = len(
@@ -695,8 +864,11 @@ class Transaction:
                 for s, n, e in self.pending
             ],
         }
-        with open(self.lake._journal_path(), "a") as f:
-            f.write(json.dumps(line) + "\n")
+        # journal appends serialize on a lakehouse-level lock so
+        # concurrent transactions each land as one intact line
+        with self.lake._table_lock(self.lake.root):
+            with open(self.lake._journal_path(), "a") as f:
+                f.write(json.dumps(line) + "\n")
 
     def _commit_table_logs(self) -> None:
         """Post-commit convenience appends; a crash here is repaired by
