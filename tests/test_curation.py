@@ -90,6 +90,29 @@ def test_redaction_scrubs_and_counts(spark):
     assert out[4] == ("nothing sensitive here", 0)
 
 
+def test_redaction_count_ignores_preexisting_placeholders(spark):
+    """n_redactions counts replacements performed, not placeholder
+    tokens in the output — source text that already contains `<EMAIL>`
+    must not inflate the audit metric."""
+    from urban_mobility_data_lakehouse_spark.text.redact import (
+        redact_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "literal <EMAIL> placeholder, nothing real"),
+            (2, "<URL> plus a real one: bob@example.com"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_redactions"])
+        for r in redact_documents(docs).collect()
+    }
+    assert out[1] == ("literal <EMAIL> placeholder, nothing real", 0)
+    assert out[2] == ("<URL> plus a real one: <EMAIL>", 1)
+
+
 def test_redaction_is_pure_catalyst(spark):
     """The scrub chain must stay in codegen — no Python in the row path."""
     from urban_mobility_data_lakehouse_spark.text.redact import (

@@ -50,13 +50,22 @@ def redact_documents(
     documents: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """documents + `text` redacted in place + `n_redactions` (how many
-    placeholder tokens the scrub produced — the audit metric a curation
-    pipeline tracks per batch)."""
-    red = redact_text(F.col(text_col))
-    n = None
-    for placeholder, _ in RULES:
-        c = F.size(F.split(red, placeholder)) - F.lit(1)
-        n = c if n is None else n + c
-    return documents.withColumn("n_redactions", n).withColumn(
-        text_col, red
+    replacements the scrub actually performed — the audit metric a
+    curation pipeline tracks per batch).
+
+    Counts come from `regexp_count` on the intermediate text right
+    before each rule applies — NOT from counting placeholder tokens in
+    the output, which would also count `<EMAIL>`-style literals already
+    present in the source and inflate the metric.  Counting on the
+    intermediate (not original) text keeps the count consistent with
+    what each rule can still match after earlier rules consumed their
+    spans (an email inside a URL is one `<URL>`, not two hits).
+    """
+    out = F.col(text_col)
+    n: Column = F.lit(0)
+    for placeholder, pattern in RULES:
+        n = n + F.regexp_count(out, F.lit(pattern))
+        out = F.regexp_replace(out, pattern, placeholder)
+    return documents.withColumn("n_redactions", n.cast("long")).withColumn(
+        text_col, out
     )
