@@ -37,7 +37,7 @@ def test_decode_stub_gating(spark, sf_dir):
     """Compressed/unknown payloads still raise (text bytes are neither
     PPM nor BMP); fake=True keeps the plumbing testable."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    with pytest.raises(Exception, match="compressed image codecs"):
+    with pytest.raises(Exception, match="codecs needing external"):
         decode_image(media.limit(2), fake=False).collect()
     decoded = decode_image(media.limit(5), fake=True).collect()
     assert len(decoded) == 5
@@ -106,6 +106,139 @@ def _wav_bytes(rate, samples):
         + b"data" + len(data).to_bytes(4, "little") + data
     )
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _png_bytes(px, color_type=2, filters=(0,)):
+    """Minimal PNG writer — test-side twin of decode_png.  Applies the
+    spec's FORWARD filter per scanline (cycling through `filters`), so
+    decoding must exactly invert Sub/Up/Average/Paeth to recover the
+    pixels."""
+    import zlib
+
+    import numpy as np
+
+    h, w, c = px.shape
+    flat = px.reshape(h, w * c).astype(np.int16)
+    raw = bytearray()
+    for y in range(h):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * c, np.int16)
+        f = filters[y % len(filters)]
+        out = np.zeros(w * c, np.int16)
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            out[x] = (int(row[x]) - pred) & 0xFF
+        raw.append(f)
+        raw += out.astype(np.uint8).tobytes()
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    idat = zlib.compress(bytes(raw))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        # split IDAT to exercise chunk concatenation
+        + chunk(b"IDAT", idat[: len(idat) // 2])
+        + chunk(b"IDAT", idat[len(idat) // 2:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_pixel_exact_all_filters():
+    """decode_png must exactly invert every spec filter type
+    (None/Sub/Up/Average/Paeth) on an adversarial pixel pattern —
+    pixel-for-pixel equality, not just dims."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    # every filter type used at least twice across 13 rows
+    got = decode_png(_png_bytes(px, filters=(0, 1, 2, 3, 4)))
+    assert got.shape == (13, 9, 3)
+    assert (got == px).all()
+    # single-filter streams too (each inverse in isolation)
+    for f in range(5):
+        assert (decode_png(_png_bytes(px, filters=(f,))) == px).all()
+
+
+def test_png_decode_color_types():
+    """RGBA drops alpha; grayscale replicates to 3 channels."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    rgba = rng.randint(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    got = decode_png(_png_bytes(rgba, color_type=6, filters=(4, 2)))
+    assert (got == rgba[..., :3]).all()
+
+    gray = rng.randint(0, 256, size=(6, 5, 1), dtype=np.uint8)
+    got = decode_png(_png_bytes(gray, color_type=0, filters=(1, 3)))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+
+
+def test_png_decodes_through_dataframe_path(spark):
+    """The PNG decoder works inside the distributed mapInPandas decode
+    operator, alongside other formats, with real channel means."""
+    import numpy as np
+
+    px = _gradient_image(8, 6)
+    media = _media_df(
+        spark, [("image/png", _png_bytes(px, filters=(0, 1, 2, 3, 4)))]
+    )
+    (r,) = decode_image(media).collect()
+    means = px.reshape(-1, 3).mean(axis=0)
+    assert (r["width"], r["height"], r["n_channels"]) == (8, 6, 3)
+    assert r["mean_r"] == round(float(means[0]), 4)
+    assert r["mean_g"] == round(float(means[1]), 4)
+    assert r["mean_b"] == round(float(means[2]), 4)
+
+
+def test_png_decode_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_png,
+    )
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    good = _png_bytes(px)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF" + good)
+    # corrupt the IHDR bit depth to 16
+    bad = bytearray(good)
+    bad[24] = 16
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(bad))
 
 
 def _media_df(spark, rows):
@@ -217,5 +350,5 @@ def test_resize_stub_plumbing(spark, sf_dir):
 
     import pytest as _pytest
 
-    with _pytest.raises(Exception, match="compressed image codecs"):
+    with _pytest.raises(Exception, match="codecs needing external"):
         resize_image(media.limit(2), 8, 6).collect()

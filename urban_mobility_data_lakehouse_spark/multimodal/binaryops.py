@@ -1,12 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-Decode is REAL for uncompressed formats — pure-numpy header parse +
-frombuffer for PPM (P6) and BMP (24-bit BI_RGB) images and PCM WAV
-audio; nearest-neighbor resize is a real pixel operation with PPM
-re-encode.  Only *compressed* codecs (JPEG/PNG/MP3…) are stubbed
-(NotImplementedError, or a deterministic fake under `fake=True`)
-because the container ships no codec libraries.
+Decode is REAL for every format reachable without codec libraries —
+pure-numpy header parse + frombuffer for PPM (P6) and BMP (24-bit
+BI_RGB) images and PCM WAV audio, and a full stdlib-zlib PNG decoder
+(chunk walk + inflate + all five scanline unfilters).  Only codecs
+that genuinely need external libraries (JPEG/WebP/MP3…) are stubbed
+(NotImplementedError, or a deterministic fake under `fake=True`).
 
 Scale: payloads stay distributed end-to-end (no collect); mapInPandas
 streams Arrow record batches, so peak executor memory is one batch of
@@ -175,23 +175,123 @@ def decode_wav(b: bytes):
     return sample_rate, samples.reshape(-1, n_channels)
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG spec §9.4 Paeth predictor (left, up, upper-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(b: bytes):
+    """8-bit non-interlaced PNG → uint8 array (h, w, 3), stdlib-only.
+
+    The one compressed format reachable without codec libraries: the
+    pixel stream is a zlib deflate stream (stdlib `zlib.decompress`)
+    of `h` scanlines, each a filter-type byte plus `w*channels`
+    filtered bytes.  This implements the full chunk walk (IHDR/IDAT
+    concatenation/IEND) and all five spec filters — None, Sub, Up,
+    Average, Paeth (§9, all arithmetic mod 256).  Grayscale replicates
+    to 3 channels; alpha is dropped.  Palette, 16-bit, and Adam7
+    interlace raise ValueError (genuinely out of scope — they need
+    PLTE indirection / sub-image reassembly, not a codec library).
+    """
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(b):
+        size = int.from_bytes(b[i : i + 4], "big")
+        ctype = b[i + 4 : i + 8]
+        if ctype == b"IHDR":
+            ihdr = b[i + 8 : i + 8 + size]
+        elif ctype == b"IDAT":
+            idat += b[i + 8 : i + 8 + size]
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError("palette PNG not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG pixel stream")
+    bpp = channels  # bytes per pixel at bit depth 8
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub — sequential left-to-right recurrence
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up — vectorized (uint8 wrap IS the spec's mod 256)
+            row += prev
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = row
+    px = out.reshape(h, w, channels)
+    if color_type == 0:  # grayscale
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:  # grayscale + alpha
+        return np.repeat(px[..., :1], 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA→RGB
+
+
+def _is_decodable(b: bytes) -> bool:
+    return b[:2] in (b"P6", b"BM") or b[:8] == PNG_SIGNATURE
+
+
 def _decode_pixels(b: bytes):
     """Dispatch on magic bytes → uint8 (h, w, 3), or raise
-    NotImplementedError for compressed formats."""
+    NotImplementedError for formats needing codec libraries."""
     if b[:2] == b"P6":
         return decode_ppm(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
+    if b[:8] == PNG_SIGNATURE:
+        return decode_png(b)
     raise NotImplementedError(
-        "compressed image codecs (JPEG/PNG/…) are not available in this "
-        "container — uncompressed PPM/BMP decode is supported"
+        "image codecs needing external libraries (JPEG/WebP/…) are not "
+        "available in this container — PPM/BMP/PNG decode is supported"
     )
 
 
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Image decode: REAL pure-numpy decode for uncompressed PPM (P6)
-    and 24-bit BMP payloads — header parse + frombuffer, no codec
-    libraries.  Compressed formats raise NotImplementedError unless
+    """Image decode: REAL decode for PPM (P6), 24-bit BMP, and 8-bit
+    PNG payloads — pure numpy + stdlib zlib, no codec libraries.
+    Formats needing external codecs raise NotImplementedError unless
     fake=True (deterministic pseudo-decode from payload length, kept
     for plumbing tests).  Emits per-channel means so tests can assert
     actual pixel values, not just dims.
@@ -204,7 +304,7 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if fake and b[:2] not in (b"P6", b"BM"):
+                if fake and not _is_decodable(b):
                     n = len(b)
                     out.append(
                         (int(mid), n % 640 + 1, n % 480 + 1, 3,
@@ -334,7 +434,7 @@ def resize_image(
             payloads = []
             for b in pdf["payload"]:
                 b = bytes(b)
-                if fake and b[:2] not in (b"P6", b"BM"):
+                if fake and not _is_decodable(b):
                     payloads.append(
                         (b * (target // max(len(b), 1) + 1))[:target]
                     )
