@@ -96,6 +96,7 @@ def _load_all() -> None:
     from . import domain  # noqa: F401
     from . import text  # noqa: F401
     from . import functions_suite  # noqa: F401
+    from . import multimodal_suite  # noqa: F401
     _loaded = True
     n = len(REGISTRY)
     assert n <= 50, f"registry has {n} queries; driver checks only 50"

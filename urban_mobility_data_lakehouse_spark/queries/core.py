@@ -7,6 +7,7 @@ because the driver hashes values after sorting columns by name.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import relational as R
@@ -496,24 +497,60 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_suite",
     oracle="""
     SELECT * FROM (
-        SELECT p_partkey, p_name, p_brand, p_type,
-               CAST(p_size AS BIGINT) AS p_size,
-               round(p_retailprice * 0.05, 4) AS fee
-        FROM part
-        WHERE p_name LIKE '%widget%'
-          AND p_brand NOT LIKE '%#1'
-          AND p_type IN ('ECONOMY', 'PROMO', 'LARGE')
-          AND regexp_matches(p_brand, '#\\d{2}$')
-          AND p_size != 0
-    ) WHERE fee > 10.0
-    ORDER BY p_partkey
+        SELECT 'filters' AS part, p_partkey, p_name, p_brand, p_type,
+               p_size, fee, CAST(NULL AS VARCHAR) AS event_date
+        FROM (
+            SELECT p_partkey, p_name, p_brand, p_type,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   round(p_retailprice * 0.05, 4) AS fee
+            FROM part
+            WHERE p_name LIKE '%widget%'
+              AND p_brand NOT LIKE '%#1'
+              AND p_type IN ('ECONOMY', 'PROMO', 'LARGE')
+              AND regexp_matches(p_brand, '#\\d{2}$')
+              AND p_size != 0
+        ) WHERE fee > 10.0
+        UNION ALL
+        SELECT 'distinct_days', CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), event_date
+        FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+              FROM events ORDER BY 1 LIMIT 5)
+    )
+    ORDER BY part, p_partkey, event_date
     """,
-    tags=("P3", "P4", "P6", "P7", "P8"),
+    tags=("P3", "P4", "P6", "P7", "P8", "P9", "O3"),
 )
 def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4/P6/P7 predicate family + P8 lateral-alias filter (the
-    trailing select→filter chain on the computed `fee` alias)."""
-    return R.filter_suite(_t(spark, sf_dir, "part"))
+    trailing select→filter chain on the computed `fee` alias), plus a
+    NULL-padded `distinct_days` preview part (P9 SELECT DISTINCT + O3
+    bare LIMIT, deterministic: ordered first) folded in to keep the
+    driver registry at 50."""
+    filters = (
+        R.filter_suite(_t(spark, sf_dir, "part"))
+        .select(
+            F.lit("filters").alias("part"),
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size", "fee",
+            F.lit(None).cast("string").alias("event_date"),
+        )
+    )
+    days = (
+        R.distinct_days(_t(spark, sf_dir, "events"))
+        .limit(5)
+        .select(
+            F.lit("distinct_days").alias("part"),
+            F.lit(None).cast("long").alias("p_partkey"),
+            F.lit(None).cast("string").alias("p_name"),
+            F.lit(None).cast("string").alias("p_brand"),
+            F.lit(None).cast("string").alias("p_type"),
+            F.lit(None).cast("long").alias("p_size"),
+            F.lit(None).cast("double").alias("fee"),
+            "event_date",
+        )
+    )
+    return filters.unionByName(days).orderBy("part", "p_partkey", "event_date")
 
 
 @register(
@@ -532,20 +569,6 @@ def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def try_cast_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.try_cast_clean(_t(spark, sf_dir, "events"))
-
-
-@register(
-    "distinct_limit_preview",
-    oracle="""
-    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
-    FROM events ORDER BY 1 LIMIT 5
-    """,
-    tags=("P9", "O3"),
-)
-def distinct_limit_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 SELECT DISTINCT + O3 bare LIMIT (deterministic: ordered
-    first) in one preview query."""
-    return R.distinct_days(_t(spark, sf_dir, "events")).limit(5)
 
 
 @register(
