@@ -179,6 +179,23 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_embedding_near_dups_has_no_all_pairs_join(spark, sf_dir):
+    """The driver-checked embedding near-dup query must plan as an
+    equi-join on the LSH (band, key) — never a cartesian product or
+    broadcast nested loop, which is what an all-pairs `vec_a < vec_b`
+    condition would produce and what cannot survive 100× data."""
+    from urban_mobility_data_lakehouse_spark.queries import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    df = REGISTRY["embedding_near_dups"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_selfjoin_reuses_fingerprint_exchange(spark, sf_dir):
     """The banded self-join's two sides derive from the same expensive
     fingerprint aggregation; AQE must materialize that exchange ONCE

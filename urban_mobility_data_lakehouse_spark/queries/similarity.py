@@ -133,56 +133,92 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dups",
-    oracle="""
+def _banded_near_dups_oracle(
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """DuckDB replay of `banded_near_dups`: seed-derived planes inlined
+    as exact literals → sign-bit signatures (same MSB-first packing) →
+    r-bit band keys → DISTINCT candidate pairs sharing any band →
+    exact cosine (same fold order) ≥ threshold."""
+    from ..similarity.knn import hyperplanes
+
+    r = n_planes // n_bands
+    planes = hyperplanes(dim, n_planes, seed)
+    values = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    dot_vp = ("list_reduce(list_transform(generate_series(1, {n}), "
+              "i -> {a}[i] * {b}[i]), (x, y) -> x + y)")
+    norm = ("sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            "(x, y) -> x + y))")
+    bands_list = ", ".join(str(b) for b in range(n_bands))
+    return f"""
     WITH v AS (
-        SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ),
-    pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               list_reduce(
-                   list_transform(generate_series(1, len(a.e)),
-                                  i -> a.e[i] * b.e[i]),
-                   (x, y) -> x + y)
-               / (sqrt(list_reduce(list_transform(a.e, x -> x * x),
-                                   (x, y) -> x + y))
-                  * sqrt(list_reduce(list_transform(b.e, x -> x * x),
-                                     (x, y) -> x + y))) AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    planes(pid, p) AS (VALUES
+        {values}
+    ),
+    bits AS (
+        SELECT v.vec_id, pl.pid,
+               CASE WHEN {dot_vp.format(n=dim, a="v.e", b="pl.p")} >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM v, planes pl
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(bit AS BIGINT) << ({n_planes - 1} - pid))
+                    AS BIGINT) AS sig
+        FROM bits GROUP BY vec_id
+    ),
+    bands AS (
+        SELECT vec_id, band,
+               (sig >> (({n_bands - 1} - band) * {r})) & {(1 << r) - 1}
+                   AS key
+        FROM sigs CROSS JOIN (SELECT unnest([{bands_list}]) AS band)
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.vec_a, c.vec_b,
+               {dot_vp.format(n=dim, a="va.e", b="vb.e")}
+               / ({norm.format(a="va.e")} * {norm.format(a="vb.e")}) AS cos
+        FROM cands c
+        JOIN v va ON va.vec_id = c.vec_a
+        JOIN v vb ON vb.vec_id = c.vec_b
     )
     SELECT vec_a, vec_b, round(cos, 4) AS cosine_sim
-    FROM pairs
-    WHERE cos >= 0.45
+    FROM scored
+    WHERE cos >= {threshold}
     ORDER BY vec_a, vec_b
-    """,
-    tags=("similarity", "dedup", "embedding"),
+    """
+
+
+@register(
+    "embedding_near_dups",
+    oracle=_banded_near_dups_oracle(),  # planes inlined as literals
+    tags=("similarity", "dedup", "embedding", "scale"),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the last dedup modality):
-    exact all-pairs at oracle scale; the LSH-bucketed path (knn_lsh)
-    is the 100 TB candidate-generation strategy for the same check."""
-    from ..similarity.knn import _as_double, cosine
+    """Embedding-cosine near-duplicate pairs (the last dedup modality),
+    via banded random-hyperplane candidates + exact cosine verify —
+    the checked path IS the 100 TB plan: an equi-join on (band, key),
+    no all-pairs product anywhere (asserted by a plan test).  The
+    oracle replays the identical banding, so the driver hash checks
+    the exact candidate set and similarity values."""
+    from ..similarity.knn import banded_near_dups
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        _as_double(F.col("embedding")).alias("ea"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        _as_double(F.col("embedding")).alias("eb"),
-    )
-    cos = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.45)  # filter before rounding (oracle parity)
-        .select(
-            "vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim")
-        )
-        .orderBy("vec_a", "vec_b")
+    return banded_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.45
     )
 
 

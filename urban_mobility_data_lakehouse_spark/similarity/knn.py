@@ -105,6 +105,78 @@ def lsh_signatures(
     return embeddings.select("vec_id", sig.alias("lsh_sig"))
 
 
+def banded_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs via banded random-hyperplane LSH — the
+    100 TB-shaped plan: candidates are pairs agreeing on ALL bits of at
+    least one band (equi-join on (band, key), never a cross product),
+    then exact cosine verifies each candidate once.
+
+    Work is bounded by bucket co-membership (n_bands × Σ bucket²), not
+    |V|²; on a cluster the band key becomes the shuffle/bucketing key.
+    Like all banded LSH this trades recall at low thresholds (the
+    r=n_planes/n_bands sign-bit band gives
+    P[candidate] = 1-(1-(1-θ/π)^r)^b ≈ 0.54 at cos 0.45, ≈ 0.97 at the
+    0.9+ thresholds real near-dup pipelines run) — deterministic
+    either way because the planes are seed-derived, which is what lets
+    a SQL oracle replay the identical candidate set bit-for-bit.
+    """
+    r = n_planes // n_bands
+    sigs = lsh_signatures(embeddings, n_planes, seed, dim)
+    with_sig = embeddings.join(sigs, "vec_id").select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+        "lsh_sig",
+    )
+    bands = with_sig.select(
+        "vec_id",
+        "e",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("lsh_sig"), (n_bands - 1 - b) * r
+                        )
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "vec_id", "e",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        "band", "key",
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        "band", "key",
+    )
+    cands = (
+        a.join(b, ["band", "key"])  # equi-join, NOT all-pairs
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])  # multi-band dedup
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        cands.filter(cos >= threshold)  # filter before rounding
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cosine_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     n_queries: int = 10,
