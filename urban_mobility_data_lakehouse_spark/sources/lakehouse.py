@@ -105,6 +105,12 @@ class Lakehouse:
     (bronze/silver/gold → subdirectories, the CREATE SCHEMA analog)."""
 
     root: str
+    # Delta's dataSkippingNumIndexedCols analog: commit-log entries
+    # carry per-file min/max/null_count footer stats for the first
+    # `stats_max_columns` leaf columns (collect_stats=False opts out;
+    # older logs without stats stay readable — pruning just no-ops).
+    collect_stats: bool = True
+    stats_max_columns: int = 32
 
     def _table_dir(self, schema: str, name: str) -> str:
         return os.path.join(self.root, schema, name)
@@ -173,6 +179,18 @@ class Lakehouse:
                     )
             self._append_log_line(path, **entry)
 
+    def _attach_stats(self, entry: dict, data_dir: str) -> dict:
+        """Record per-file footer stats in the commit entry (the Delta
+        add-action stats analog) — the data-skipping index consulted by
+        `read_where`.  Driver-side footer reads only; no Spark job."""
+        if self.collect_stats:
+            from .skipping import collect_file_stats
+
+            entry["files"] = collect_file_stats(
+                data_dir, max_columns=self.stats_max_columns
+            )
+        return entry
+
     def _stage_overwrite_partitions(
         self, df: DataFrame, schema: str, name: str,
         partition_col: str, data_dir: str,
@@ -190,10 +208,13 @@ class Lakehouse:
                 for r in df.select(partition_col).distinct().collect()
             ]
         )
-        return dict(
-            op="overwrite_partitions",
-            partitions=sorted(parts), partition_col=partition_col,
-            data_dir=os.path.relpath(data_dir, path),
+        return self._attach_stats(
+            dict(
+                op="overwrite_partitions",
+                partitions=sorted(parts), partition_col=partition_col,
+                data_dir=os.path.relpath(data_dir, path),
+            ),
+            data_dir,
         )
 
     def _stage_full_write(
@@ -201,7 +222,9 @@ class Lakehouse:
     ) -> dict:
         path = self._table_dir(schema, name)
         df.write.mode("overwrite").parquet(data_dir)
-        return dict(op=op, data_dir=os.path.relpath(data_dir, path))
+        return self._attach_stats(
+            dict(op=op, data_dir=os.path.relpath(data_dir, path)), data_dir
+        )
 
     def overwrite_partitions(
         self,
@@ -439,6 +462,7 @@ class Lakehouse:
         target_files_per_partition: int = 1,
         vacuum: bool = True,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
         files into `target_files_per_partition` right-sized ones.
@@ -449,6 +473,16 @@ class Lakehouse:
         columns, so later range/point filters skip whole row groups at
         scan time — the cheap data-skipping layer under Catalyst's
         pushed filters.
+
+        `zorder_by` is the TRUE multi-column form (Delta `OPTIMIZE …
+        ZORDER BY (a, b)`): rows are range-partitioned and sorted by a
+        Morton (Z-curve) key that bit-interleaves the listed columns,
+        so ALL of them get tight per-file and per-row-group min/max
+        ranges at once — a box predicate on any subset then skips most
+        files via `read_where`, where a linear `sort_by` gives tight
+        ranges only on its leading column.  The curve computation is
+        pure Column arithmetic (one tiny min/max agg for scale bounds,
+        then bit shifts — no UDF); see `skipping.zorder_key`.
 
         The small-files problem is the canonical lakehouse failure mode
         at 100 TB — a streaming/daily writer leaves thousands of KB-
@@ -461,16 +495,30 @@ class Lakehouse:
         full history stays readable.  Returns {files_before,
         files_after}.
         """
+        if sort_by and zorder_by:
+            raise ValueError(
+                "compact: sort_by and zorder_by are exclusive — zorder "
+                "IS the multi-column ordering"
+            )
         path = self._table_dir(schema, name)
         before = _count_data_files(path)
         df = self.read(spark, schema, name)
+        zcol = "__zorder_key"
+        if zorder_by:
+            from .skipping import zorder_key
+
+            df = df.withColumn(zcol, zorder_key(df, zorder_by))
         version, data_dir = self._next_data_dir(schema, name)
         if partition_col is not None:
             # hash-repartition by the partition column: every value's
             # rows land in ONE task → exactly one file per partition
             # directory after the write (one shuffle total)
             compacted = df.repartition(F.col(partition_col))
-            if sort_by:
+            if zorder_by:
+                compacted = compacted.sortWithinPartitions(
+                    partition_col, zcol
+                ).drop(zcol)
+            elif sort_by:
                 compacted = compacted.sortWithinPartitions(
                     partition_col, *sort_by
                 )
@@ -485,25 +533,42 @@ class Lakehouse:
             )
             self._commit(
                 schema, name,
-                dict(
-                    op="compact_partitioned",
-                    partitions=parts, partition_col=partition_col,
-                    data_dir=os.path.relpath(data_dir, path),
-                    files_before=before,
+                self._attach_stats(
+                    dict(
+                        op="compact_partitioned",
+                        partitions=parts, partition_col=partition_col,
+                        data_dir=os.path.relpath(data_dir, path),
+                        files_before=before,
+                    ),
+                    data_dir,
                 ),
                 version,
             )
         else:
-            compacted = df.coalesce(target_files_per_partition)
-            if sort_by:
-                compacted = compacted.sortWithinPartitions(*sort_by)
+            if zorder_by:
+                # range-partition on the curve so each output file owns
+                # a contiguous Z-range (→ a compact multi-dim tile)
+                compacted = (
+                    df.repartitionByRange(
+                        target_files_per_partition, F.col(zcol)
+                    )
+                    .sortWithinPartitions(zcol)
+                    .drop(zcol)
+                )
+            else:
+                compacted = df.coalesce(target_files_per_partition)
+                if sort_by:
+                    compacted = compacted.sortWithinPartitions(*sort_by)
             compacted.write.mode("overwrite").parquet(data_dir)
             self._commit(
                 schema, name,
-                dict(
-                    op="compact",
-                    data_dir=os.path.relpath(data_dir, path),
-                    files_before=before,
+                self._attach_stats(
+                    dict(
+                        op="compact",
+                        data_dir=os.path.relpath(data_dir, path),
+                        files_before=before,
+                    ),
+                    data_dir,
                 ),
                 version,
             )
@@ -648,6 +713,91 @@ class Lakehouse:
             # add columns; rows from earlier commits surface NULL there
             out = out.unionByName(f, allowMissingColumns=True)
         return out
+
+    def read_where(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        predicates: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read (Delta's stats-based file pruning): like
+        `read`, but a conjunctive predicate — ``[(col, op, value),
+        ...]`` with ops ``= < <= > >= in`` — is first evaluated against
+        the per-file min/max stats recorded in the commit log, and only
+        files that can possibly hold a matching row are handed to
+        Spark.  The same predicate is then re-applied as a real filter,
+        so pruning is advisory: a stats gap costs I/O, never rows.
+
+        Three pruning layers compose here: superseded-partition
+        exclusion (directory), footer-stats skipping (file — this),
+        and parquet row-group zonemaps (page, free once files are
+        sorted/z-ordered by `compact`).  At 100 TB the file layer is
+        what turns a needle query from "schedule 80k tasks" into
+        "schedule the 3 files whose range matches".
+        """
+        from .skipping import file_survives, predicates_to_column
+
+        part_map, extra = self._manifest(schema, name, version)
+        path = self._table_dir(schema, name)
+        stats_by_dir: dict[str, list[dict]] = {
+            os.path.join(path, e["data_dir"]): e["files"]
+            for e in self.snapshots(schema, name)
+            if e.get("data_dir") is not None and e.get("files") is not None
+        }
+        residual = predicates_to_column(predicates)
+
+        def surviving(d: str) -> list[str] | None:
+            """Absolute paths of files worth reading, or None for
+            'no stats — read the whole directory'."""
+            files = stats_by_dir.get(d)
+            if files is None:
+                return None
+            return [
+                os.path.join(d, f["path"])
+                for f in files
+                if file_survives(f, predicates)
+            ]
+
+        by_dir: dict[str, tuple[str, list[str]]] = {}
+        for value, (d, pcol) in part_map.items():
+            if _count_data_files(d) == 0:
+                continue
+            by_dir.setdefault(d, (pcol, []))[1].append(value)
+        frames = []
+        for d, (pcol, values) in sorted(by_dir.items()):
+            keep = surviving(d)
+            src = (
+                spark.read.option("basePath", d).parquet(d)
+                if keep is None
+                else spark.read.option("basePath", d).parquet(*keep)
+                if keep
+                else None
+            )
+            if src is not None:
+                frames.append(
+                    src.filter(F.col(pcol).cast("string").isin(values))
+                )
+        for d in sorted(extra):
+            if _count_data_files(d) == 0:
+                continue
+            keep = surviving(d)
+            if keep is None:
+                frames.append(spark.read.parquet(d))
+            elif keep:
+                frames.append(spark.read.parquet(*keep))
+        if not frames:
+            # every file provably irrelevant: an empty frame with the
+            # table's schema (Catalyst folds the FALSE filter away —
+            # no file is opened)
+            return self.read(spark, schema, name, version).filter(
+                F.lit(False)
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out.filter(residual)
 
     def read_snapshot(
         self, spark: SparkSession, schema: str, name: str, version: int
