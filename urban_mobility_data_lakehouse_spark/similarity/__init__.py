@@ -1,1 +1,1 @@
-from . import knn  # noqa: F401
+from . import ivf, knn, persistent_ivf  # noqa: F401
