@@ -110,3 +110,50 @@ def test_first_batch_bootstraps_and_finds_within_batch_pairs(
     idx = NearDupIndex(lake, threshold=THRESHOLD)
     pairs = _pairs(idx.ingest(spark, docs, "all"))
     assert pairs == _pairs(near_duplicates(docs, threshold=THRESHOLD))
+
+
+def test_streaming_ingest_dedups_stream_against_history(
+    spark, sf_dir, tmp_path
+):
+    """foreachBatch micro-batches drain into the index exactly-once:
+    the persisted pair log equals the full-corpus recompute, and a
+    restart from the same checkpoint processes nothing new."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 250)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for k in range(3):  # one file per micro-batch (maxFilesPerTrigger)
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+            str(stream_dir / f"slice{k}")
+        )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("gold")
+    idx = NearDupIndex(lake, threshold=THRESHOLD)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/slice*")
+    )
+    q = idx.streaming_ingest(spark, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    logged = idx.pairs(spark)
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in logged.collect()
+    )
+    assert got, "doc slice must contain near-dup pairs"
+    assert got == _pairs(near_duplicates(docs, threshold=THRESHOLD))
+    assert logged.select("ingest_batch").distinct().count() >= 2
+
+    n_index = idx.signatures(spark).count()
+    # restart with the same checkpoint: nothing re-processed
+    q2 = idx.streaming_ingest(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/slice*"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(180)
+    assert idx.signatures(spark).count() == n_index
+    assert idx.pairs(spark).count() == len(got)

@@ -200,3 +200,53 @@ class NearDupIndex:
             partition_col=BATCH_COL,
         )
         return pairs
+
+    # -- persisted pair log + streaming ingest -----------------------------
+
+    def ingest_and_log(
+        self, spark: SparkSession, batch_docs: DataFrame, batch_id: str
+    ) -> None:
+        """`ingest`, then persist the emitted pairs to a companion
+        `<name>_pairs` table — ALSO partitioned by batch id, so a
+        replayed batch rewrites its own pair slice instead of appending
+        duplicates.  Index commit and pair commit are two idempotent
+        writes keyed by the same batch id: any crash-retry converges."""
+        pairs = self.ingest(spark, batch_docs, batch_id)
+        self.lake.overwrite_partitions(
+            pairs.withColumn(BATCH_COL, F.lit(str(batch_id))),
+            self.schema,
+            f"{self.name}_pairs",
+            partition_col=BATCH_COL,
+        )
+
+    def pairs(self, spark: SparkSession) -> DataFrame:
+        """Every near-dup pair ever emitted (doc_a, doc_b, jaccard,
+        ingest_batch) — by the exactness contract, equal to a full-
+        corpus `near_duplicates` over everything ingested."""
+        return self.lake.read(spark, self.schema, f"{self.name}_pairs")
+
+    def streaming_ingest(
+        self,
+        spark: SparkSession,
+        stream_docs: DataFrame,
+        checkpoint_dir: str,
+    ):
+        """Deduplicate a document STREAM against all history: each
+        micro-batch becomes one index batch (`foreachBatch`, the
+        standard Structured-Streaming-to-lakehouse bridge).  Exactly-
+        once composition: the checkpoint makes batch ids stable across
+        restarts, and both writes are idempotent per batch id — a
+        replayed micro-batch overwrites its own partitions.  Returns
+        the started query (AvailableNow trigger: drain-and-stop, the
+        daily-ingest shape; hand a different trigger to the returned
+        builder pattern if continuous)."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest_and_log(spark, batch_df, batch_id=f"mb{batch_id}")
+
+        return (
+            stream_docs.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
