@@ -111,6 +111,15 @@ class Lakehouse:
     # older logs without stats stay readable — pruning just no-ops).
     collect_stats: bool = True
     stats_max_columns: int = 32
+    # Delta checkpoint analog: every `checkpoint_interval` commits the
+    # writer snapshots the REPLAYED manifest to `_checkpoints/v<N>.json`,
+    # so readers replay only the log suffix after the newest checkpoint
+    # ≤ their target version instead of the whole history.  Metadata
+    # cost per read becomes O(interval), not O(total commits) — the
+    # difference between a streaming table with 100k commits being
+    # readable and not.  0 disables writing; existing checkpoints are
+    # always honored, tables without any stay fully readable.
+    checkpoint_interval: int = 32
 
     def _table_dir(self, schema: str, name: str) -> str:
         return os.path.join(self.root, schema, name)
@@ -612,19 +621,86 @@ class Lakehouse:
     ) -> tuple[dict[str, tuple[str, str]], list[str]]:
         """Replay the commit log up to `version` (inclusive; None =
         latest) → (partition → (data_dir, partition_col), extra dirs).
-        Pure log arithmetic — no filesystem listing, no Spark job."""
+        Pure log arithmetic — no filesystem listing, no Spark job.
+        Seeds from the newest checkpoint ≤ `version` when one exists,
+        replaying only the log suffix after it."""
+        entries = self.snapshots(schema, name)
+        path = self._table_dir(schema, name)
+        cp = self._load_checkpoint(path, version)
+        if cp is None:
+            return self._replay(entries, path, version)
+        seed = (
+            {
+                value: (os.path.join(path, d), pcol)
+                for value, (d, pcol) in cp["part_map"].items()
+            },
+            [os.path.join(path, d) for d in cp["extra"]],
+        )
         return self._replay(
-            self.snapshots(schema, name),
-            self._table_dir(schema, name),
-            version,
+            entries, path, version, seed=seed, start_after=cp["version"]
         )
 
+    def _checkpoints_dir(self, path: str) -> str:
+        return os.path.join(path, "_checkpoints")
+
+    def _load_checkpoint(
+        self, path: str, version: int | None
+    ) -> dict | None:
+        """Newest checkpoint with version ≤ `version` (None = any)."""
+        d = self._checkpoints_dir(path)
+        if not os.path.isdir(d):
+            return None
+        best = None
+        for fname in os.listdir(d):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            v = int(fname[1:-5])
+            if version is not None and v > version:
+                continue
+            if best is None or v > best:
+                best = v
+        if best is None:
+            return None
+        with open(os.path.join(d, f"v{best:08d}.json")) as f:
+            return json.load(f)
+
+    def _write_checkpoint(self, path: str, entries: list[dict]) -> None:
+        """Snapshot the replayed manifest at the log head (caller holds
+        the table lock).  Atomic via tmp + rename; data dirs are stored
+        relative to the table so the tree stays relocatable."""
+        part_map, extra = self._replay(entries, path, None)
+        version = entries[-1]["version"]
+        cp = {
+            "version": version,
+            "part_map": {
+                value: [os.path.relpath(d, path), pcol]
+                for value, (d, pcol) in part_map.items()
+            },
+            "extra": [os.path.relpath(d, path) for d in extra],
+        }
+        d = self._checkpoints_dir(path)
+        os.makedirs(d, exist_ok=True)
+        target = os.path.join(d, f"v{version:08d}.json")
+        tmp = target + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cp, f)
+        os.replace(tmp, target)
+
     def _replay(
-        self, entries: list[dict], path: str, version: int | None
+        self,
+        entries: list[dict],
+        path: str,
+        version: int | None,
+        seed: tuple[dict, list] | None = None,
+        start_after: int = -1,
     ) -> tuple[dict[str, tuple[str, str]], list[str]]:
         part_map: dict[str, tuple[str, str]] = {}
         extra: list[str] = []
+        if seed is not None:
+            part_map, extra = dict(seed[0]), list(seed[1])
         for e in entries:
+            if e["version"] <= start_after:
+                continue
             if version is not None and e["version"] > version:
                 break
             op = e["operation"]
@@ -938,6 +1014,14 @@ class Lakehouse:
         }
         with open(log, "a") as f:
             f.write(json.dumps(entry) + "\n")
+        if (
+            self.checkpoint_interval
+            and (version + 1) % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(
+                path,
+                self._raw_snapshots(*_schema_name_from(path, self.root)),
+            )
 
 
 def _schema_name_from(path: str, root: str) -> tuple[str, str]:
