@@ -73,6 +73,12 @@ class ConcurrentWriteError(Exception):
     or abort."""
 
 
+class ConstraintViolationError(Exception):
+    """A staged write contains rows whose CHECK constraint evaluates
+    to FALSE (Delta CHECK constraint / DeltaInvariantViolation analog).
+    Nothing was committed."""
+
+
 def _commits_conflict(mine: dict, other: dict) -> bool:
     """Can `mine` (a staged entry, key `op`) be appended after `other`
     (an already-logged line, key `operation`) landed between my base
@@ -188,6 +194,84 @@ class Lakehouse:
                     )
             self._append_log_line(path, **entry)
 
+    # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog) -------
+
+    CONSTRAINTS_FILE = "_constraints.json"
+
+    def constraints(self, schema: str, name: str) -> dict[str, str]:
+        p = os.path.join(
+            self._table_dir(schema, name), self.CONSTRAINTS_FILE
+        )
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def add_constraint(
+        self, schema: str, name: str, cname: str, predicate: str
+    ) -> None:
+        """Register a CHECK constraint (a SQL boolean expression over
+        the table's columns).  Every subsequent write — direct or in a
+        transaction — validates its staged rows BEFORE the data write;
+        a violation raises `ConstraintViolationError` with sample rows
+        and commits nothing.  SQL-standard three-valued semantics: a
+        row passes when the predicate is TRUE **or UNKNOWN** (express
+        non-nullness explicitly: `col IS NOT NULL`).  Constraints live
+        in the table's catalog sidecar, not the commit log — adding
+        one does not validate existing data (Delta validates history
+        on ADD; call `validate(...)` for that check here)."""
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            cs = self.constraints(schema, name)
+            cs[cname] = predicate
+            with open(os.path.join(path, self.CONSTRAINTS_FILE), "w") as f:
+                json.dump(cs, f)
+
+    def drop_constraint(self, schema: str, name: str, cname: str) -> None:
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            cs = self.constraints(schema, name)
+            cs.pop(cname, None)
+            with open(os.path.join(path, self.CONSTRAINTS_FILE), "w") as f:
+                json.dump(cs, f)
+
+    def validate(self, spark: SparkSession, schema: str, name: str) -> None:
+        """Check the CURRENT table state against all constraints (what
+        Delta runs when a constraint is added over existing data)."""
+        self._enforce_constraints(
+            self.read(spark, schema, name), schema, name
+        )
+
+    def _enforce_constraints(
+        self, df: DataFrame, schema: str, name: str
+    ) -> None:
+        cs = self.constraints(schema, name)
+        if not cs:
+            return
+        # one pass for all constraints: a row violates iff ANY
+        # predicate is FALSE (UNKNOWN passes — SQL CHECK semantics)
+        viol = F.lit(False)
+        for pred in cs.values():
+            viol = viol | ~F.coalesce(F.expr(pred), F.lit(True))
+        bad = df.filter(viol).limit(3).collect()
+        if bad:
+            failing = {
+                cname: pred
+                for cname, pred in cs.items()
+                if any(
+                    not r[0]
+                    for r in df.filter(viol)
+                    .limit(50)
+                    .select(F.coalesce(F.expr(pred), F.lit(True)))
+                    .collect()
+                )
+            }
+            raise ConstraintViolationError(
+                f"{schema}.{name}: write violates CHECK constraint(s) "
+                f"{failing or set(cs)}; sample rows: "
+                f"{[r.asDict() for r in bad]}"
+            )
+
     def _attach_stats(self, entry: dict, data_dir: str) -> dict:
         """Record per-file footer stats in the commit entry (the Delta
         add-action stats analog) — the data-skipping index consulted by
@@ -206,6 +290,7 @@ class Lakehouse:
         partitions: list[str] | None = None,
     ) -> dict:
         path = self._table_dir(schema, name)
+        self._enforce_constraints(df, schema, name)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(
             data_dir
         )
@@ -230,6 +315,7 @@ class Lakehouse:
         self, df: DataFrame, schema: str, name: str, op: str, data_dir: str
     ) -> dict:
         path = self._table_dir(schema, name)
+        self._enforce_constraints(df, schema, name)
         df.write.mode("overwrite").parquet(data_dir)
         return self._attach_stats(
             dict(op=op, data_dir=os.path.relpath(data_dir, path)), data_dir
