@@ -30,7 +30,8 @@ def main() -> None:
     # warm the JVM (codegen, shuffle machinery, parquet footer cache) so
     # per-query numbers measure the query, not session bootstrap
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10).collect()
+    for table in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").limit(10).collect()
 
     specs_items = sorted(specs.items())
     timings: dict[str, float] = {}
