@@ -50,7 +50,7 @@ def test_concurrent_disjoint_day_writers_all_commit(spark, tmp_path):
     assert got.select("partition_date").distinct().count() == 8
     assert got.count() == 24
     # every day's partition is mapped exactly once (no lost update)
-    part_map, _ = lake._manifest("silver", "fact")
+    part_map, _, _ = lake._manifest("silver", "fact")
     assert sorted(part_map) == days
 
 

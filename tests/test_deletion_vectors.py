@@ -1,0 +1,151 @@
+"""Merge-on-read deletes (Delta deletion-vector analog): a delete
+commits O(deleted rows) of positions instead of rewriting partitions;
+readers anti-join the vectors out; compaction materializes them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = Lakehouse(str(tmp_path / "lake"))
+    lk.create_schemas("silver")
+    return lk
+
+
+def _seed(spark, lake, name="t"):
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+    lake.overwrite_partitions(df, "silver", name, partition_col="p")
+    return df
+
+
+def test_dv_delete_removes_rows_without_rewriting_data(spark, lake):
+    _seed(spark, lake)
+    files_before = sorted(lake.read(spark, "silver", "t").inputFiles())
+    lake.delete_where(
+        spark, "silver", "t",
+        F.col("id").between(100, 109),
+        partition_col="p",
+        mode="merge_on_read",
+    )
+    after = lake.read(spark, "silver", "t")
+    ids = sorted(r["id"] for r in after.collect())
+    assert ids == [i for i in range(1000) if not 100 <= i <= 109]
+    # the data files are untouched — only a vector was added
+    assert sorted(
+        f for f in after.inputFiles() if "/_data/v0-" in f
+    ) == files_before
+    assert lake.snapshots("silver", "t")[-1]["operation"] == "delete_dv"
+    # schema unchanged vs the pre-delete read: no position columns leak
+    assert after.columns == lake.read_snapshot(
+        spark, "silver", "t", 0
+    ).columns
+
+
+def test_dv_three_valued_logic_and_stacking(spark, lake):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, "b", -1.0), (4, "b", 2.0)],
+        "id long, p string, v double",
+    )
+    lake.overwrite_partitions(df, "silver", "n", partition_col="p")
+    # NULL predicate rows survive a DV delete (TRUE rows only)
+    lake.delete_where(
+        spark, "silver", "n", F.col("v") < 0,
+        partition_col="p", mode="merge_on_read",
+    )
+    assert sorted(
+        r["id"] for r in lake.read(spark, "silver", "n").collect()
+    ) == [1, 2, 4]
+    # second DV stacks on the first
+    lake.delete_where(
+        spark, "silver", "n", F.col("id") == 1,
+        partition_col="p", mode="merge_on_read",
+    )
+    assert sorted(
+        r["id"] for r in lake.read(spark, "silver", "n").collect()
+    ) == [2, 4]
+    # no-match delete commits nothing
+    versions = len(lake.snapshots("silver", "n"))
+    lake.delete_where(
+        spark, "silver", "n", F.col("id") == 999,
+        partition_col="p", mode="merge_on_read",
+    )
+    assert len(lake.snapshots("silver", "n")) == versions
+
+
+def test_dv_time_travel_cdc_and_compaction(spark, lake):
+    _seed(spark, lake)  # v0
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") < 5,
+        partition_col="p", mode="merge_on_read",
+    )  # v1
+
+    # time travel: v0 still shows the deleted rows
+    assert lake.read_snapshot(spark, "silver", "t", 0).count() == 1000
+    assert lake.read(spark, "silver", "t").count() == 995
+
+    # CDC: the DV delete diffs as exactly its rows, change_type=delete
+    changes = lake.read_changes(spark, "silver", "t", 0)
+    rows = [(r["id"], r["_change_type"]) for r in changes.collect()]
+    assert sorted(rows) == [(i, "delete") for i in range(5)]
+
+    # compaction materializes the vectors and clears them
+    lake.compact(spark, "silver", "t", partition_col="p", vacuum=False)
+    assert lake.read(spark, "silver", "t").count() == 995
+    assert lake._manifest("silver", "t")[2] == []  # no live DVs
+    # and the compaction itself is row-neutral in CDC terms
+    v = len(lake.snapshots("silver", "t")) - 1
+    post = lake.read_changes(spark, "silver", "t", v - 1, v)
+    assert post.count() == 0
+
+
+def test_dv_read_where_still_prunes_and_filters(spark, lake):
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 1000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1)
+        lake.append(df, "silver", "s")
+    lake.delete_where(
+        spark, "silver", "s", F.col("id") == 2500,
+        partition_col="id", mode="merge_on_read",
+    )
+    out = lake.read_where(spark, "silver", "s", [("id", ">=", 2400)])
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [i for i in range(2400, 3000) if i != 2500]
+    # stats pruning still drops the two low dirs (DV dir is no data dir)
+    data_files = [f for f in out.inputFiles() if "/_data/" in f]
+    assert all("v0-" not in f and "v1-" not in f for f in data_files) or \
+        len({f.rsplit("/_data/", 1)[1].split("/")[0] for f in data_files}) <= 2
+
+
+def test_dv_survives_vacuum_and_checkpoint(spark, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"), checkpoint_interval=3)
+    lake.create_schemas("silver")
+    _seed(spark, lake)
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") < 10,
+        partition_col="p", mode="merge_on_read",
+    )
+    for i in range(4):  # push past a checkpoint boundary
+        lake.append(
+            spark.range(5000 + i, 5001 + i).select(
+                F.col("id"),
+                F.lit("z").alias("p"),
+                (F.col("id") * 2).alias("v"),
+            ),
+            "silver",
+            "t",
+        )
+    keep = len(lake.snapshots("silver", "t")) - 1
+    lake.vacuum("silver", "t", keep_version=keep)
+    ids = sorted(r["id"] for r in lake.read(spark, "silver", "t").collect())
+    assert ids == list(range(10, 1000)) + list(range(5000, 5004))

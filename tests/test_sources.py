@@ -359,7 +359,7 @@ def test_lakehouse_merge_into(spark, tmp_path):
         ("insert", 5, 500.0),
     ]
     # day-1's partition mapping is untouched (still the v0 directory)
-    part_map, _ = lake._manifest("silver", "m")
+    part_map, _, _ = lake._manifest("silver", "m")
     assert os.path.basename(part_map["2024-01-01"][0]).startswith("v0-")
     # merge is a normal versioned commit: time travel still sees v0
     v0 = sorted(
@@ -401,7 +401,7 @@ def test_lakehouse_delete_where(spark, tmp_path):
         r["event_id"] for r in lake.read(spark, "silver", "del").collect()
     )
     assert got == [1, 2, 4]
-    part_map, _ = lake._manifest("silver", "del")
+    part_map, _, _ = lake._manifest("silver", "del")
     assert os.path.basename(part_map["2024-01-01"][0]).startswith("v0-")
     cdc = sorted(
         (r["_change_type"], r["event_id"])

@@ -62,8 +62,13 @@ TXN_LOG = "_txns.jsonl"
 LOCK_FILE = "_commit.lock"
 
 # ops whose effect spans the whole table: they conflict with ANY
-# interleaved commit (Delta's serializable-vs-full-table rule)
-_FULL_TABLE_OPS = {"overwrite", "compact", "compact_partitioned", "restore"}
+# interleaved commit (Delta's serializable-vs-full-table rule).
+# delete_dv is conservative: a deletion vector may reference files in
+# any partition, so it serializes against everything (Delta's DV
+# deletes likewise conflict with concurrent writes to the same files).
+_FULL_TABLE_OPS = {
+    "overwrite", "compact", "compact_partitioned", "restore", "delete_dv",
+}
 
 
 class ConcurrentWriteError(Exception):
@@ -444,6 +449,7 @@ class Lakehouse:
         name: str,
         condition,
         partition_col: str,
+        mode: str = "copy_on_write",
     ) -> None:
         """Row-level DELETE: rewrite only the partitions that contain
         matching rows, keeping the non-matching rows (GDPR-erasure /
@@ -461,7 +467,24 @@ class Lakehouse:
         predicate is TRUE are deleted — NULL-predicate rows survive
         (plain `~condition` would silently drop them whenever their
         partition gets rewritten).
-        """
+
+        ``mode="merge_on_read"`` is the Delta deletion-vector path:
+        instead of rewriting partitions, commit ONE small parquet of
+        the matching rows' physical positions (file path, row index);
+        readers anti-join it out.  Write cost becomes O(deleted rows)
+        — a single-row GDPR erasure on a 10 TB partition no longer
+        rewrites the partition — at the price of a broadcast anti-join
+        on every read until `compact()` materializes the deletes and
+        clears the vectors.  Same three-valued logic (only TRUE rows
+        are named); time travel, CDC, and restore all see DV deletes
+        as ordinary commits."""
+        if mode == "merge_on_read":
+            return self._delete_where_dv(spark, schema, name, condition)
+        if mode != "copy_on_write":
+            raise ValueError(
+                f"delete_where: unknown mode {mode!r} "
+                "(copy_on_write | merge_on_read)"
+            )
         current = self.read(spark, schema, name)
         affected = [
             str(r[0])
@@ -477,6 +500,35 @@ class Lakehouse:
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected
+        )
+
+    def _delete_where_dv(
+        self, spark: SparkSession, schema: str, name: str, condition
+    ) -> None:
+        """Merge-on-read delete: commit the matching rows' physical
+        positions as a deletion vector (one parquet write, no data
+        rewritten).  Reading with positions already excludes earlier
+        DVs, so vectors never name an already-deleted row twice."""
+        path = self._table_dir(schema, name)
+        matches = (
+            self.read(spark, schema, name, with_positions=True)
+            .filter(condition)  # TRUE rows only (3-valued logic)
+            .select(
+                F.col("__dv_file").alias("file_path"),
+                F.col("__dv_pos").alias("row_index"),
+            )
+        )
+        if matches.limit(1).count() == 0:
+            return  # no matches → no commit (CoW parity)
+        base, data_dir = self._next_data_dir(schema, name)
+        matches.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        self._commit(
+            schema, name,
+            dict(
+                op="delete_dv",
+                data_dir=os.path.relpath(data_dir, path),
+            ),
+            base,
         )
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
@@ -692,9 +744,10 @@ class Lakehouse:
             return
         keep: set[str] = set()
         for v in range(keep_version, entries[-1]["version"] + 1):
-            part_map, extra = self._manifest(schema, name, v)
+            part_map, extra, dvs = self._manifest(schema, name, v)
             keep.update(d for d, _ in part_map.values())
             keep.update(extra)
+            keep.update(dvs)  # live deletion vectors stay reachable
         for d in os.listdir(data_root):
             full = os.path.join(data_root, d)
             if full not in keep:
@@ -704,12 +757,13 @@ class Lakehouse:
 
     def _manifest(
         self, schema: str, name: str, version: int | None = None
-    ) -> tuple[dict[str, tuple[str, str]], list[str]]:
+    ) -> tuple[dict[str, tuple[str, str]], list[str], list[str]]:
         """Replay the commit log up to `version` (inclusive; None =
-        latest) → (partition → (data_dir, partition_col), extra dirs).
-        Pure log arithmetic — no filesystem listing, no Spark job.
-        Seeds from the newest checkpoint ≤ `version` when one exists,
-        replaying only the log suffix after it."""
+        latest) → (partition → (data_dir, partition_col), extra dirs,
+        live deletion-vector dirs).  Pure log arithmetic — no
+        filesystem listing, no Spark job.  Seeds from the newest
+        checkpoint ≤ `version` when one exists, replaying only the log
+        suffix after it."""
         entries = self.snapshots(schema, name)
         path = self._table_dir(schema, name)
         cp = self._load_checkpoint(path, version)
@@ -721,6 +775,7 @@ class Lakehouse:
                 for value, (d, pcol) in cp["part_map"].items()
             },
             [os.path.join(path, d) for d in cp["extra"]],
+            [os.path.join(path, d) for d in cp.get("dvs", [])],
         )
         return self._replay(
             entries, path, version, seed=seed, start_after=cp["version"]
@@ -754,7 +809,7 @@ class Lakehouse:
         """Snapshot the replayed manifest at the log head (caller holds
         the table lock).  Atomic via tmp + rename; data dirs are stored
         relative to the table so the tree stays relocatable."""
-        part_map, extra = self._replay(entries, path, None)
+        part_map, extra, dvs = self._replay(entries, path, None)
         version = entries[-1]["version"]
         cp = {
             "version": version,
@@ -763,6 +818,7 @@ class Lakehouse:
                 for value, (d, pcol) in part_map.items()
             },
             "extra": [os.path.relpath(d, path) for d in extra],
+            "dvs": [os.path.relpath(d, path) for d in dvs],
         }
         d = self._checkpoints_dir(path)
         os.makedirs(d, exist_ok=True)
@@ -777,13 +833,16 @@ class Lakehouse:
         entries: list[dict],
         path: str,
         version: int | None,
-        seed: tuple[dict, list] | None = None,
+        seed: tuple[dict, list, list] | None = None,
         start_after: int = -1,
-    ) -> tuple[dict[str, tuple[str, str]], list[str]]:
+    ) -> tuple[dict[str, tuple[str, str]], list[str], list[str]]:
         part_map: dict[str, tuple[str, str]] = {}
         extra: list[str] = []
+        dvs: list[str] = []  # live deletion-vector dirs
         if seed is not None:
-            part_map, extra = dict(seed[0]), list(seed[1])
+            part_map, extra, dvs = (
+                dict(seed[0]), list(seed[1]), list(seed[2]),
+            )
         for e in entries:
             if e["version"] <= start_after:
                 continue
@@ -793,7 +852,7 @@ class Lakehouse:
             if op == "restore":
                 # reset to the state as of the restored version — the
                 # rollback is one log line, no data is copied
-                part_map, extra = self._replay(
+                part_map, extra, dvs = self._replay(
                     entries, path, e["of_version"]
                 )
                 continue
@@ -802,15 +861,22 @@ class Lakehouse:
                 continue
             d = os.path.join(path, d)
             if op in ("overwrite", "compact"):
-                part_map, extra = {}, [d]
+                # full rewrite: data was read THROUGH the DV filter, so
+                # the new files are clean — vectors reset
+                part_map, extra, dvs = {}, [d], []
             elif op == "append":
                 extra.append(d)
+            elif op == "delete_dv":
+                dvs.append(d)
             elif op in ("overwrite_partitions", "compact_partitioned"):
                 if op == "compact_partitioned":
-                    part_map, extra = {}, []
+                    part_map, extra, dvs = {}, [], []
                 for p in e["partitions"]:
                     part_map[p] = (d, e["partition_col"])
-        return part_map, extra
+                # a partition overwrite leaves vectors in place: DV rows
+                # referencing superseded files go inert (their file
+                # paths are no longer scanned); compaction reclaims them
+        return part_map, extra, dvs
 
     def restore(self, schema: str, name: str, version: int) -> None:
         """RESTORE TABLE ... TO VERSION AS OF analog: make the table's
@@ -832,18 +898,69 @@ class Lakehouse:
             schema, name, dict(op="restore", of_version=version), n
         )
 
+    # deletion-vector plumbing: hidden physical-position columns used
+    # to anti-join DV rows out of merge-on-read scans
+    _POS_COLS = ("__dv_file", "__dv_pos")
+
+    @staticmethod
+    def _with_positions(df: DataFrame) -> DataFrame:
+        """Attach (file path, row index) from parquet scan metadata —
+        must happen per scan frame, before any union (`_metadata` is a
+        per-relation pseudo-column)."""
+        return df.withColumns(
+            {
+                "__dv_file": F.col("_metadata.file_path"),
+                "__dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+
+    def _read_dv_keys(
+        self, spark: SparkSession, dvs: list[str]
+    ) -> DataFrame | None:
+        live = [d for d in dvs if _count_data_files(d) > 0]
+        if not live:
+            return None
+        return spark.read.parquet(*live).select(
+            F.col("file_path").alias("__dv_file"),
+            F.col("row_index").alias("__dv_pos"),
+        )
+
+    def _apply_dvs(
+        self,
+        spark: SparkSession,
+        out: DataFrame,
+        dvs: list[str],
+        keep_positions: bool = False,
+    ) -> DataFrame:
+        """Anti-join the union of live deletion vectors out of a scan
+        whose frames carry position columns.  The DV side is broadcast:
+        its size is O(deleted rows), which is exactly why merge-on-read
+        exists — if it were large you would have compacted."""
+        keys = self._read_dv_keys(spark, dvs)
+        if keys is not None:
+            out = out.join(
+                F.broadcast(keys), list(self._POS_COLS), "left_anti"
+            )
+        return out if keep_positions else out.drop(*self._POS_COLS)
+
     def read(
         self,
         spark: SparkSession,
         schema: str,
         name: str,
         version: int | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Read the table as of `version` (None = latest) by unioning
         each commit directory's still-live slice.  Superseded partitions
         are excluded with partition-column filters — directory-level
-        pruning, no data rows ever read from dead partitions."""
-        part_map, extra = self._manifest(schema, name, version)
+        pruning, no data rows ever read from dead partitions.  Live
+        deletion vectors (merge-on-read deletes) are anti-joined out;
+        `with_positions=True` keeps the physical (__dv_file, __dv_pos)
+        columns — the handle `delete_where(mode="merge_on_read")` uses
+        to name rows."""
+        part_map, extra, dvs = self._manifest(schema, name, version)
+        tag = with_positions or bool(dvs)
         by_dir: dict[str, tuple[str, list[str]]] = {}
         for value, (d, pcol) in part_map.items():
             # a partition superseded to EMPTY (delete_where removed all
@@ -869,11 +986,17 @@ class Lakehouse:
             raise FileNotFoundError(
                 f"{schema}.{name} has no data at version {version}"
             )
+        if tag:
+            frames = [self._with_positions(f) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             # schema evolution (Delta mergeSchema analog): a commit may
             # add columns; rows from earlier commits surface NULL there
             out = out.unionByName(f, allowMissingColumns=True)
+        if tag:
+            out = self._apply_dvs(
+                spark, out, dvs, keep_positions=with_positions
+            )
         return out
 
     def read_where(
@@ -901,7 +1024,7 @@ class Lakehouse:
         """
         from .skipping import file_survives, predicates_to_column
 
-        part_map, extra = self._manifest(schema, name, version)
+        part_map, extra, dvs = self._manifest(schema, name, version)
         path = self._table_dir(schema, name)
         stats_by_dir: dict[str, list[dict]] = {
             os.path.join(path, e["data_dir"]): e["files"]
@@ -956,9 +1079,13 @@ class Lakehouse:
             return self.read(spark, schema, name, version).filter(
                 F.lit(False)
             )
+        if dvs:
+            frames = [self._with_positions(f) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
+        if dvs:
+            out = self._apply_dvs(spark, out, dvs)
         return out.filter(residual)
 
     def read_snapshot(
@@ -992,22 +1119,59 @@ class Lakehouse:
         instead of reprocessing the full table.  A compaction rewrites
         bytes but not rows, so its diff is empty — logical CDC, like
         Delta's.
-        """
-        old_map, old_extra = self._manifest(schema, name, from_version)
-        new_map, new_extra = self._manifest(schema, name, to_version)
 
-        def changed(side_map, side_extra, other_map, other_extra):
-            """Slices present on this side whose mapping differs."""
+        Deletion vectors integrate by construction: each side is the
+        DV-FILTERED state as of its version, and any slice whose DV
+        coverage changed between the versions counts as changed — so a
+        merge-on-read delete diffs as exactly its deleted rows, and
+        the compaction that later materializes those vectors still
+        diffs empty.
+        """
+        old_map, old_extra, old_dvs = self._manifest(
+            schema, name, from_version
+        )
+        new_map, new_extra, new_dvs = self._manifest(
+            schema, name, to_version
+        )
+
+        # dirs holding files whose DV coverage changed between versions
+        dv_delta = [
+            d
+            for d in set(old_dvs).symmetric_difference(new_dvs)
+        ]
+        dv_touched: set[str] = set()
+        if dv_delta:
+            keys = self._read_dv_keys(spark, dv_delta)
+            if keys is not None:
+                touched_files = [
+                    r[0] for r in keys.select("__dv_file").distinct().collect()
+                ]
+                all_dirs = {d for d, _ in old_map.values()} | set(old_extra) \
+                    | {d for d, _ in new_map.values()} | set(new_extra)
+                for f in touched_files:
+                    fpath = f
+                    if fpath.startswith("file:"):
+                        fpath = fpath[5:]
+                        while fpath.startswith("//"):
+                            fpath = fpath[1:]
+                    for d in all_dirs:
+                        if fpath.startswith(d + os.sep):
+                            dv_touched.add(d)
+
+        def changed(side_map, side_extra, other_map, other_extra, side_dvs):
+            """Slices on this side whose mapping OR DV coverage differs
+            — each read through this side's deletion vectors."""
             by_dir: dict[str, tuple[str, list[str]]] = {}
             for value, (d, pcol) in side_map.items():
-                if other_map.get(value) != (d, pcol) and (
-                    _count_data_files(d) > 0  # emptied-partition commit
-                ):
+                if (
+                    other_map.get(value) != (d, pcol) or d in dv_touched
+                ) and _count_data_files(d) > 0:  # emptied-partition commit
                     by_dir.setdefault(d, (pcol, []))[1].append(value)
             dirs = [
                 d
                 for d in side_extra
-                if d not in set(other_extra) and _count_data_files(d) > 0
+                if (d not in set(other_extra) or d in dv_touched)
+                and _count_data_files(d) > 0
             ]
             frames = [
                 spark.read.option("basePath", d)
@@ -1015,6 +1179,8 @@ class Lakehouse:
                 .filter(F.col(pcol).cast("string").isin(values))
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [spark.read.parquet(d) for d in sorted(dirs)]
+            if side_dvs and frames:
+                frames = [self._with_positions(f) for f in frames]
             out = None
             for f in frames:
                 out = (
@@ -1022,10 +1188,12 @@ class Lakehouse:
                     if out is None
                     else out.unionByName(f, allowMissingColumns=True)
                 )
+            if out is not None and side_dvs:
+                out = self._apply_dvs(spark, out, side_dvs)
             return out
 
-        old_df = changed(old_map, old_extra, new_map, new_extra)
-        new_df = changed(new_map, new_extra, old_map, old_extra)
+        old_df = changed(old_map, old_extra, new_map, new_extra, old_dvs)
+        new_df = changed(new_map, new_extra, old_map, old_extra, new_dvs)
         if old_df is None and new_df is None:
             raise FileNotFoundError(
                 f"{schema}.{name}: no commits in ({from_version}, "
