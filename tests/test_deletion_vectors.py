@@ -149,3 +149,76 @@ def test_dv_survives_vacuum_and_checkpoint(spark, tmp_path):
     lake.vacuum("silver", "t", keep_version=keep)
     ids = sorted(r["id"] for r in lake.read(spark, "silver", "t").collect())
     assert ids == list(range(10, 1000)) + list(range(5000, 5004))
+
+
+def test_mor_merge_matches_cow_merge(spark, lake, tmp_path):
+    """merge_into(mode=merge_on_read) produces exactly the rows the
+    copy-on-write merge produces — updates replace, inserts append —
+    in one atomic commit, and a row may move partitions."""
+    seed_rows = [(i, str(i % 3), float(i)) for i in range(60)]
+    updates_rows = (
+        [(5, "moved", -5.0)]          # update that MOVES partitions
+        + [(7, str(7 % 3), -7.0)]     # in-place update
+        + [(100, "x", 100.0)]         # brand-new insert
+    )
+    schema_str = "id long, p string, v double"
+
+    cow = Lakehouse(str(tmp_path / "cowlake"))
+    cow.create_schemas("silver")
+    for lk, nm, mode in ((lake, "mor", "merge_on_read"),):
+        lk.overwrite_partitions(
+            spark.createDataFrame(seed_rows, schema_str),
+            "silver", nm, partition_col="p",
+        )
+        lk.merge_into(
+            spark, "silver", nm,
+            spark.createDataFrame(updates_rows, schema_str),
+            key="id", partition_col="p", mode=mode,
+        )
+    # CoW reference (cannot move partitions → delete the mover first)
+    cow.overwrite_partitions(
+        spark.createDataFrame(seed_rows, schema_str),
+        "silver", "ref", partition_col="p",
+    )
+    cow.delete_where(
+        spark, "silver", "ref", F.col("id") == 5, partition_col="p"
+    )
+    cow.merge_into(
+        spark, "silver", "ref",
+        spark.createDataFrame(updates_rows, schema_str),
+        key="id", partition_col="p",
+    )
+
+    got = sorted(
+        (r["id"], r["p"], r["v"])
+        for r in lake.read(spark, "silver", "mor").collect()
+    )
+    expect = sorted(
+        (r["id"], r["p"], r["v"])
+        for r in cow.read(spark, "silver", "ref").collect()
+    )
+    assert got == expect
+    assert lake.snapshots("silver", "mor")[-1]["operation"] == "update_mor"
+    # one commit, not two
+    assert len(lake.snapshots("silver", "mor")) == 2
+
+    # CDC across the MoR merge: updates as delete+insert pairs,
+    # insert-only rows as bare inserts
+    changes = lake.read_changes(spark, "silver", "mor", 0)
+    by_type = {}
+    for r in changes.collect():
+        by_type.setdefault(r["_change_type"], []).append(
+            (r["id"], r["p"], r["v"])
+        )
+    assert sorted(by_type["delete"]) == [(5, "2", 5.0), (7, "1", 7.0)]
+    assert sorted(by_type["insert"]) == [
+        (5, "moved", -5.0), (7, "1", -7.0), (100, "x", 100.0),
+    ]
+
+    # compaction materializes: same rows, vectors gone
+    lake.compact(spark, "silver", "mor", partition_col="p", vacuum=False)
+    assert sorted(
+        (r["id"], r["p"], r["v"])
+        for r in lake.read(spark, "silver", "mor").collect()
+    ) == expect
+    assert lake._manifest("silver", "mor")[2] == []

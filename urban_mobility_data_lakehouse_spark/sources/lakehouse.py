@@ -63,11 +63,13 @@ LOCK_FILE = "_commit.lock"
 
 # ops whose effect spans the whole table: they conflict with ANY
 # interleaved commit (Delta's serializable-vs-full-table rule).
-# delete_dv is conservative: a deletion vector may reference files in
-# any partition, so it serializes against everything (Delta's DV
-# deletes likewise conflict with concurrent writes to the same files).
+# delete_dv/update_mor are conservative: a deletion vector may
+# reference files in any partition, so they serialize against
+# everything (Delta's DV writes likewise conflict with concurrent
+# writes to the same files).
 _FULL_TABLE_OPS = {
-    "overwrite", "compact", "compact_partitioned", "restore", "delete_dv",
+    "overwrite", "compact", "compact_partitioned", "restore",
+    "delete_dv", "update_mor",
 }
 
 
@@ -364,6 +366,7 @@ class Lakehouse:
         key: str | list[str],
         partition_col: str,
         validate_cross_partition: bool = False,
+        mode: str = "copy_on_write",
     ) -> None:
         """Row-level MERGE INTO (Delta MERGE analog) as a
         partition-scoped copy-on-write rewrite: WHEN MATCHED on `key`
@@ -396,6 +399,14 @@ class Lakehouse:
         of the unaffected partitions — pay it in correctness-critical
         backfills, skip it in the steady-state daily upsert where keys
         embed the partition date and can't move.
+
+        ``mode="merge_on_read"`` (Delta DV-backed MERGE): matched rows
+        are deleted by POSITION via a deletion vector and the updates
+        appended, all in ONE atomic log line (`update_mor`) — write
+        cost O(|updates|), no partition rewritten, and a row may move
+        partitions freely (its old position is deleted wherever it
+        lives, so the cross-partition hazard doesn't exist).  Readers
+        pay the DV anti-join until `compact()` materializes.
         """
         keys = [key] if isinstance(key, str) else list(key)
         dup = (
@@ -410,6 +421,13 @@ class Lakehouse:
                 f"merge_into {schema}.{name}: updates contain duplicate "
                 f"keys {[tuple(r[k] for k in keys) for r in dup]} — "
                 "one source row per key required"
+            )
+        if mode == "merge_on_read":
+            return self._merge_into_mor(spark, schema, name, updates, keys)
+        if mode != "copy_on_write":
+            raise ValueError(
+                f"merge_into: unknown mode {mode!r} "
+                "(copy_on_write | merge_on_read)"
             )
         affected = [
             str(r[0])
@@ -500,6 +518,44 @@ class Lakehouse:
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected
+        )
+
+    def _merge_into_mor(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        updates: DataFrame,
+        keys: list[str],
+    ) -> None:
+        """Merge-on-read MERGE: stage (a) the updates as new data files
+        and (b) a deletion vector naming the matched rows' positions,
+        then commit both with one `update_mor` log line — the atomic
+        point, exactly like every other commit."""
+        path = self._table_dir(schema, name)
+        self._enforce_constraints(updates, schema, name)
+        current = self.read(spark, schema, name, with_positions=True)
+        matches = current.join(
+            updates.select(*keys).distinct(), keys, "left_semi"
+        ).select(
+            F.col("__dv_file").alias("file_path"),
+            F.col("__dv_pos").alias("row_index"),
+        )
+        base, data_dir = self._next_data_dir(schema, name)
+        dv_dir = data_dir + "-dv"
+        matches.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        updates.write.mode("overwrite").parquet(data_dir)
+        self._commit(
+            schema, name,
+            self._attach_stats(
+                dict(
+                    op="update_mor",
+                    data_dir=os.path.relpath(data_dir, path),
+                    dv_dir=os.path.relpath(dv_dir, path),
+                ),
+                data_dir,
+            ),
+            base,
         )
 
     def _delete_where_dv(
@@ -868,6 +924,12 @@ class Lakehouse:
                 extra.append(d)
             elif op == "delete_dv":
                 dvs.append(d)
+            elif op == "update_mor":
+                # merge-on-read MERGE: one atomic line = new rows
+                # (append semantics) + a vector deleting their old
+                # versions
+                extra.append(d)
+                dvs.append(os.path.join(path, e["dv_dir"]))
             elif op in ("overwrite_partitions", "compact_partitioned"):
                 if op == "compact_partitioned":
                     part_map, extra, dvs = {}, [], []
