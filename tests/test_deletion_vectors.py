@@ -222,3 +222,25 @@ def test_mor_merge_matches_cow_merge(spark, lake, tmp_path):
         for r in lake.read(spark, "silver", "mor").collect()
     ) == expect
     assert lake._manifest("silver", "mor")[2] == []
+
+
+def test_dv_survives_table_relocation(spark, tmp_path):
+    """Vectors store table-RELATIVE file paths: moving the whole lake
+    tree (storage migration) must not resurrect deleted rows."""
+    import shutil
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    _seed(spark, lake)
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") < 100,
+        partition_col="p", mode="merge_on_read",
+    )
+    assert lake.read(spark, "silver", "t").count() == 900
+
+    shutil.move(str(tmp_path / "lake"), str(tmp_path / "relocated"))
+    moved = Lakehouse(str(tmp_path / "relocated"))
+    assert moved.read(spark, "silver", "t").count() == 900
+    assert sorted(
+        r["id"] for r in moved.read(spark, "silver", "t").collect()
+    ) == list(range(100, 1000))

@@ -965,13 +965,23 @@ class Lakehouse:
     _POS_COLS = ("__dv_file", "__dv_pos")
 
     @staticmethod
-    def _with_positions(df: DataFrame) -> DataFrame:
+    def _with_positions(df: DataFrame, path: str) -> DataFrame:
         """Attach (file path, row index) from parquet scan metadata —
         must happen per scan frame, before any union (`_metadata` is a
-        per-relation pseudo-column)."""
+        per-relation pseudo-column).  The file path is made RELATIVE
+        to the table dir (each side — DV write and later reads — uses
+        its own current absolute prefix), so vectors keep deleting the
+        right rows after the whole table tree is relocated, same as
+        the checkpoint/log relative-path contract."""
+        norm = F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/*", "/"
+        )
+        rel = F.substring(
+            norm, len(path.rstrip(os.sep)) + 2, 2_000_000
+        )
         return df.withColumns(
             {
-                "__dv_file": F.col("_metadata.file_path"),
+                "__dv_file": rel,
                 "__dv_pos": F.col("_metadata.row_index"),
             }
         )
@@ -1049,7 +1059,8 @@ class Lakehouse:
                 f"{schema}.{name} has no data at version {version}"
             )
         if tag:
-            frames = [self._with_positions(f) for f in frames]
+            tdir = self._table_dir(schema, name)
+            frames = [self._with_positions(f, tdir) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             # schema evolution (Delta mergeSchema analog): a commit may
@@ -1142,7 +1153,7 @@ class Lakehouse:
                 F.lit(False)
             )
         if dvs:
-            frames = [self._with_positions(f) for f in frames]
+            frames = [self._with_positions(f, path) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
@@ -1205,17 +1216,14 @@ class Lakehouse:
         if dv_delta:
             keys = self._read_dv_keys(spark, dv_delta)
             if keys is not None:
+                tdir = self._table_dir(schema, name)
                 touched_files = [
-                    r[0] for r in keys.select("__dv_file").distinct().collect()
+                    os.path.join(tdir, r[0])  # stored table-relative
+                    for r in keys.select("__dv_file").distinct().collect()
                 ]
                 all_dirs = {d for d, _ in old_map.values()} | set(old_extra) \
                     | {d for d, _ in new_map.values()} | set(new_extra)
-                for f in touched_files:
-                    fpath = f
-                    if fpath.startswith("file:"):
-                        fpath = fpath[5:]
-                        while fpath.startswith("//"):
-                            fpath = fpath[1:]
+                for fpath in touched_files:
                     for d in all_dirs:
                         if fpath.startswith(d + os.sep):
                             dv_touched.add(d)
@@ -1242,7 +1250,10 @@ class Lakehouse:
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [spark.read.parquet(d) for d in sorted(dirs)]
             if side_dvs and frames:
-                frames = [self._with_positions(f) for f in frames]
+                tdir = self._table_dir(schema, name)
+                frames = [
+                    self._with_positions(f, tdir) for f in frames
+                ]
             out = None
             for f in frames:
                 out = (
