@@ -9,7 +9,8 @@ the bench runs on.
 
 Off by default (it roughly doubles suite wall time); enable with
 ``SPARK_GRAFT_SLOW=1 python -m pytest tests/test_sf01_sweep.py -q``.
-Last full run: 50/50 passed in 156 s on local[8] (2026-08-13).
+Last full run (with test_sf01_features.py): 53/53 passed in 185 s on
+local[8] (2026-08-14).
 """
 
 from __future__ import annotations
