@@ -735,3 +735,58 @@ def test_lakehouse_vacuum_is_reachability_based(spark, tmp_path):
         r["event_id"] for r in lake.read(spark, "silver", "vac").collect()
     )
     assert got == [1, 2]
+
+
+def test_describe_detail_from_log_arithmetic(spark, tmp_path):
+    """DESCRIBE DETAIL: file/row/byte totals from the commit log's
+    footer stats only — cross-checked against actual reads — and
+    partition supersession attributes files to live slices."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    lake.overwrite_partitions(df, "silver", "d", partition_col="p")
+    # supersede partition "0" with fewer rows + append an extra slice
+    lake.overwrite_partitions(
+        spark.range(0, 10).select(
+            F.col("id"), F.lit("0").alias("p")
+        ),
+        "silver", "d", partition_col="p",
+    )
+    lake.append(
+        spark.range(200, 230).select(
+            F.col("id"), F.lit("x").alias("p")
+        ),
+        "silver", "d",
+    )
+    detail = lake.describe_detail("silver", "d")
+    actual = lake.read(spark, "silver", "d")
+    assert detail["num_rows"] == actual.count() == 90
+    # live files only — fewer than the raw relation listing, which
+    # still includes superseded partition slices
+    assert 3 <= detail["num_files"] <= len(actual.inputFiles())
+    assert detail["partition_columns"] == ["p"]
+    assert detail["version"] == 2
+    assert detail["size_bytes"] > 0
+    assert detail["num_deletion_vectors"] == 0
+
+    # after compaction the count is exact: one file per partition
+    lake.compact(spark, "silver", "d", partition_col="p")
+    compacted = lake.describe_detail("silver", "d")
+    assert compacted["num_files"] == 3  # partitions 0, 1, x
+    assert compacted["num_rows"] == 90
+
+    lake.delete_where(
+        spark, "silver", "d", F.col("id") < 5,
+        partition_col="p", mode="merge_on_read",
+    )
+    d2 = lake.describe_detail("silver", "d")
+    assert d2["num_deletion_vectors"] == 1
+    assert d2["num_rows"] == 90  # physical rows, pre-DV

@@ -1295,6 +1295,78 @@ class Lakehouse:
 
     # -- catalog / snapshots (S12) ----------------------------------------
 
+    def describe_detail(self, schema: str, name: str) -> dict:
+        """DESCRIBE DETAIL analog — current version, live file count,
+        physical row count, and bytes, computed from LOG ARITHMETIC
+        plus the commit entries' footer stats: no Spark job, no data
+        read.  `num_rows` is the physical count (before deletion-
+        vector filtering; `num_deletion_vectors` says whether any
+        apply) and is None if any live file predates stats collection.
+        """
+        part_map, extra, dvs = self._manifest(schema, name)
+        path = self._table_dir(schema, name)
+        entries = self.snapshots(schema, name)
+        stats_by_dir = {
+            os.path.join(path, e["data_dir"]): e["files"]
+            for e in entries
+            if e.get("data_dir") is not None and e.get("files") is not None
+        }
+
+        def live_files(d: str, values: list[str] | None, pcol: str | None):
+            """(relpath) files of `d` belonging to live partitions."""
+            files = stats_by_dir.get(d)
+            if files is None:
+                return None  # pre-stats commit: unknown
+            if values is None:
+                return files
+            prefixes = tuple(f"{pcol}={v}{os.sep}" for v in values)
+            return [f for f in files if f["path"].startswith(prefixes)]
+
+        by_dir: dict[str, tuple[str, list[str]]] = {}
+        for value, (d, pcol) in part_map.items():
+            by_dir.setdefault(d, (pcol, []))[1].append(value)
+        num_files = 0
+        num_rows: int | None = 0
+        size_bytes = 0
+        partition_cols: set[str] = set()
+        slices = [
+            (d, values, pcol) for d, (pcol, values) in by_dir.items()
+        ] + [(d, None, None) for d in extra]
+        for d, values, pcol in slices:
+            if pcol:
+                partition_cols.add(pcol)
+            files = live_files(d, values, pcol)
+            if files is None:
+                # fall back to walking the dir; rows stay unknown
+                num_rows = None
+                for root, _dirs, fnames in os.walk(d):
+                    for fn in fnames:
+                        if fn.endswith(".parquet"):
+                            num_files += 1
+                            size_bytes += os.path.getsize(
+                                os.path.join(root, fn)
+                            )
+                continue
+            for f in files:
+                num_files += 1
+                if num_rows is not None:
+                    num_rows += f["rows"]
+                fpath = os.path.join(d, f["path"])
+                if os.path.exists(fpath):
+                    size_bytes += os.path.getsize(fpath)
+        return {
+            "name": f"{schema}.{name}",
+            "version": entries[-1]["version"] if entries else None,
+            "num_files": num_files,
+            "num_rows": num_rows,
+            "size_bytes": size_bytes,
+            "num_deletion_vectors": len(
+                [d for d in dvs if _count_data_files(d) > 0]
+            ),
+            "partition_columns": sorted(partition_cols),
+            "constraints": self.constraints(schema, name),
+        }
+
     def list_tables(self, schema: str) -> list[str]:
         d = os.path.join(self.root, schema)
         if not os.path.isdir(d):
