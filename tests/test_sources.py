@@ -790,3 +790,34 @@ def test_describe_detail_from_log_arithmetic(spark, tmp_path):
     d2 = lake.describe_detail("silver", "d")
     assert d2["num_deletion_vectors"] == 1
     assert d2["num_rows"] == 90  # physical rows, pre-DV
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    import os
+
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    lake.overwrite_partitions(df, "silver", "v", partition_col="p")
+    lake.overwrite(df, "silver", "v")  # supersedes v0 entirely
+    latest = len(lake.snapshots("silver", "v")) - 1
+
+    preview = lake.vacuum("silver", "v", keep_version=latest, dry_run=True)
+    assert len(preview["dirs"]) == 1 and preview["bytes"] > 0
+    assert all(os.path.isdir(d) for d in preview["dirs"])  # untouched
+    # time travel still works after the dry run
+    assert lake.read_snapshot(spark, "silver", "v", 0).count() == 50
+
+    real = lake.vacuum("silver", "v", keep_version=latest)
+    assert real["dirs"] == preview["dirs"]
+    assert real["bytes"] == preview["bytes"]
+    assert not any(os.path.isdir(d) for d in real["dirs"])
+    assert lake.read(spark, "silver", "v").count() == 50

@@ -780,7 +780,13 @@ class Lakehouse:
         after = _count_data_files(path)
         return {"files_before": before, "files_after": after}
 
-    def vacuum(self, schema: str, name: str, keep_version: int) -> None:
+    def vacuum(
+        self,
+        schema: str,
+        name: str,
+        keep_version: int,
+        dry_run: bool = False,
+    ) -> dict:
         """Reclaim data directories unreachable from every retained
         version (>= `keep_version`).  Reachability-based, not
         name-based: a directory is deleted only if NO retained
@@ -789,25 +795,42 @@ class Lakehouse:
         transaction-written `t<txn_id>` directories are reclaimed like
         version directories, and a restore inside the retained range
         keeps its target's directories alive.  The commit log itself
-        is never truncated."""
+        is never truncated.
+
+        `dry_run=True` (Delta `VACUUM ... DRY RUN`) deletes nothing
+        and reports what would go.  Returns {"dirs": [...],
+        "bytes": N} of reclaimed (or reclaimable) directories either
+        way — the preview a retention policy reviews before the
+        irreversible step."""
         import shutil
 
         data_root = os.path.join(self._table_dir(schema, name), "_data")
         if not os.path.isdir(data_root):
-            return
+            return {"dirs": [], "bytes": 0}
         entries = self.snapshots(schema, name)
         if not entries:
-            return
+            return {"dirs": [], "bytes": 0}
         keep: set[str] = set()
         for v in range(keep_version, entries[-1]["version"] + 1):
             part_map, extra, dvs = self._manifest(schema, name, v)
             keep.update(d for d, _ in part_map.values())
             keep.update(extra)
             keep.update(dvs)  # live deletion vectors stay reachable
-        for d in os.listdir(data_root):
+        doomed: list[str] = []
+        nbytes = 0
+        for d in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, d)
-            if full not in keep:
+            if full in keep:
+                continue
+            doomed.append(full)
+            for root, _dirs, fnames in os.walk(full):
+                nbytes += sum(
+                    os.path.getsize(os.path.join(root, fn))
+                    for fn in fnames
+                )
+            if not dry_run:
                 shutil.rmtree(full)
+        return {"dirs": doomed, "bytes": nbytes}
 
     # -- reads (incl. versioned time travel) -------------------------------
 
