@@ -80,6 +80,14 @@ class ConcurrentWriteError(Exception):
     or abort."""
 
 
+class HistoryUnavailableError(FileNotFoundError):
+    """A versioned read (time travel / CDC) referenced data directories
+    that vacuum has reclaimed.  Raised instead of silently serving a
+    partial or wrong answer — the Delta-CDF contract: change feeds and
+    snapshots are only readable as far back as retention kept their
+    files.  Catch it and fall back to a full recompute."""
+
+
 class ConstraintViolationError(Exception):
     """A staged write contains rows whose CHECK constraint evaluates
     to FALSE (Delta CHECK constraint / DeltaInvariantViolation analog).
@@ -110,6 +118,23 @@ def _commits_conflict(mine: dict, other: dict) -> bool:
     return bool(
         set(mine.get("partitions", ())) & set(other.get("partitions", ()))
     )
+
+
+def _with_meta(entry: dict, extra_meta: dict | None) -> dict:
+    """Merge caller metadata into a staged commit entry (recorded on
+    the log line, atomic with the commit — how a consumer ties applied
+    work to the exact commit that carries it, e.g. a materialized
+    view's `mv_base_version` watermark).  Reserved keys are protected:
+    metadata can annotate a commit, never alter its replay semantics."""
+    if not extra_meta:
+        return entry
+    clash = set(extra_meta) & (
+        set(entry) | {"version", "timestamp", "operation", "txn_id"}
+    )
+    if clash:
+        raise ValueError(f"extra_meta keys collide with commit fields: {clash}")
+    entry.update(extra_meta)
+    return entry
 
 
 @dataclass
@@ -335,6 +360,7 @@ class Lakehouse:
         name: str,
         partition_col: str,
         partitions: list[str] | None = None,
+        extra_meta: dict | None = None,
     ) -> None:
         """Idempotent partition upsert: only partitions present in `df`
         are replaced; everything else is untouched.  Copy-on-write: the
@@ -355,7 +381,7 @@ class Lakehouse:
         entry = self._stage_overwrite_partitions(
             df, schema, name, partition_col, data_dir, partitions
         )
-        self._commit(schema, name, entry, base)
+        self._commit(schema, name, _with_meta(entry, extra_meta), base)
 
     def merge_into(
         self,
@@ -587,10 +613,16 @@ class Lakehouse:
             base,
         )
 
-    def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        schema: str,
+        name: str,
+        extra_meta: dict | None = None,
+    ) -> None:
         base, data_dir = self._next_data_dir(schema, name)
         entry = self._stage_full_write(df, schema, name, "overwrite", data_dir)
-        self._commit(schema, name, entry, base)
+        self._commit(schema, name, _with_meta(entry, extra_meta), base)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         base, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
@@ -1055,6 +1087,10 @@ class Lakehouse:
         columns — the handle `delete_where(mode="merge_on_read")` uses
         to name rows."""
         part_map, extra, dvs = self._manifest(schema, name, version)
+        self._require_dirs(
+            schema, name, version,
+            {d for d, _ in part_map.values()} | set(extra) | set(dvs),
+        )
         tag = with_positions or bool(dvs)
         by_dir: dict[str, tuple[str, list[str]]] = {}
         for value, (d, pcol) in part_map.items():
@@ -1184,6 +1220,23 @@ class Lakehouse:
             out = self._apply_dvs(spark, out, dvs)
         return out.filter(residual)
 
+    def _require_dirs(
+        self, schema: str, name: str, version, dirs: set[str]
+    ) -> None:
+        """Versioned reads must see every directory their manifest
+        references; a missing one means vacuum reclaimed that history.
+        O(|manifest|) stat calls — no listing, no data read."""
+        missing = sorted(d for d in dirs if not os.path.isdir(d))
+        if missing:
+            raise HistoryUnavailableError(
+                f"{schema}.{name} (version {'latest' if version is None else version}): "
+                f"{len(missing)} referenced data director"
+                f"{'y is' if len(missing) == 1 else 'ies are'} gone — "
+                f"reclaimed by vacuum (e.g. {os.path.relpath(missing[0], self.root)}); "
+                "time travel / CDC cannot reach past retention — "
+                "recompute from the current state instead"
+            )
+
     def read_snapshot(
         self, spark: SparkSession, schema: str, name: str, version: int
     ) -> DataFrame:
@@ -1228,6 +1281,15 @@ class Lakehouse:
         )
         new_map, new_extra, new_dvs = self._manifest(
             schema, name, to_version
+        )
+        # vacuum may have reclaimed the from-side's files (e.g. a
+        # default OPTIMIZE+VACUUM landed inside the window): refuse to
+        # serve a diff that would misreport surviving rows as inserts
+        self._require_dirs(
+            schema, name, from_version,
+            {d for d, _ in old_map.values()} | set(old_extra) | set(old_dvs)
+            | {d for d, _ in new_map.values()} | set(new_extra)
+            | set(new_dvs),
         )
 
         # dirs holding files whose DV coverage changed between versions
