@@ -123,23 +123,91 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "date_spine",
     oracle="""
-    SELECT r_name,
-           strftime(CAST(d AS DATE), '%Y-%m-%d') AS spine_date,
-           CAST(isodow(CAST(d AS DATE)) AS BIGINT) AS spine_isodow
-    FROM region
-    CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-01-31',
-                               INTERVAL 1 DAY) t(d)
-    ORDER BY 1, 2
+    WITH spine AS (
+        SELECT CAST(d AS DATE) AS d
+        FROM generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                             INTERVAL 1 DAY) t(d)
+    ),
+    spine_part AS (
+        SELECT 'spine' AS part, r_name AS series,
+               strftime(d, '%Y-%m-%d') AS spine_date,
+               CAST(isodow(d) AS BIGINT) AS spine_isodow,
+               CAST(NULL AS DOUBLE) AS raw,
+               CAST(NULL AS DOUBLE) AS locf,
+               CAST(NULL AS DOUBLE) AS interp
+        FROM region CROSS JOIN spine
+    ),
+    observed AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+                   AS raw
+        FROM events
+        WHERE day(ts) % 3 = 0
+        GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT k.event_type, s.d, o.raw,
+               datediff('day', DATE '2024-01-01', s.d) AS idx
+        FROM (SELECT DISTINCT event_type FROM events
+              WHERE day(ts) % 3 = 0) k
+        CROSS JOIN spine s
+        LEFT JOIN observed o
+          ON o.event_type = k.event_type AND o.d = s.d
+    ),
+    anchored AS (
+        SELECT event_type, d, raw, idx,
+               last_value(raw IGNORE NULLS) OVER w_back AS prev_v,
+               last_value(CASE WHEN raw IS NOT NULL THEN idx END
+                          IGNORE NULLS) OVER w_back AS prev_t,
+               first_value(raw IGNORE NULLS) OVER w_fwd AS next_v,
+               first_value(CASE WHEN raw IS NOT NULL THEN idx END
+                           IGNORE NULLS) OVER w_fwd AS next_t
+        FROM dense
+        WINDOW
+          w_back AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_fwd AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    fill_part AS (
+        SELECT 'fill' AS part, event_type AS series,
+               strftime(d, '%Y-%m-%d') AS spine_date,
+               CAST(isodow(d) AS BIGINT) AS spine_isodow,
+               raw,
+               prev_v AS locf,
+               round(CASE WHEN raw IS NOT NULL THEN raw
+                          WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                            THEN prev_v + (next_v - prev_v)
+                                 * (idx - prev_t) / (next_t - prev_t)
+                          ELSE coalesce(prev_v, next_v) END, 4) AS interp
+        FROM anchored
+    )
+    SELECT * FROM spine_part
+    UNION ALL
+    SELECT * FROM fill_part
+    ORDER BY part, series, spine_date
     """,
-    tags=("datetime", "J5"),
+    tags=("datetime", "J5", "timeseries", "gap-fill"),
 )
 def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sequence()+explode date spine — replaces the reference's
-    driver-side pd.date_range→XCom hop (mobility_ingestion_pipeline.py
-    :403-411) with a fully distributed spine.  The region crossJoin is
-    J5: the dim×spine bridge every calendar densification needs (same
-    shape as the holiday bridge in pipeline/mobility.py)."""
+    """Calendar densification AND gap filling, one suite.
+
+    Part `spine`: sequence()+explode date spine × region — replaces the
+    reference's driver-side pd.date_range→XCom hop
+    (mobility_ingestion_pipeline.py:403-411) with a fully distributed
+    spine; the dim×spine crossJoin is J5, the bridge every calendar
+    densification needs (same shape as the holiday bridge in
+    pipeline/mobility.py).
+
+    Part `fill`: the step the reference never takes — a deliberately
+    sparsified daily series (observations only every 3rd day) densified
+    over the spine, then LOCF-filled and linearly interpolated via
+    `functions/timeseries.py` (pure window Columns, one shuffle on the
+    series key; day 31 exercises the trailing-gap carry-forward, days
+    1–2 the leading-gap backfill)."""
     from ..functions.datetime_fns import date_sequence
+    from ..functions.timeseries import densify, with_fill_columns
+    from ..operators.relational import dsum
 
     spine = (
         spark.range(1)
@@ -147,13 +215,47 @@ def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(date_sequence("2024-01-01", "2024-01-31")).alias("d")
         )
         .select(
+            F.col("d"),
             F.date_format("d", "yyyy-MM-dd").alias("spine_date"),
             (F.weekday("d") + 1).cast("long").alias("spine_isodow"),
         )
     )
+    null_d = F.lit(None).cast("double")
     region = load_table(spark, sf_dir, "region").select("r_name")
-    return region.crossJoin(broadcast(spine)).orderBy(
-        "r_name", "spine_date"
+    spine_part = region.crossJoin(broadcast(spine.drop("d"))).select(
+        F.lit("spine").alias("part"),
+        F.col("r_name").alias("series"),
+        "spine_date",
+        "spine_isodow",
+        null_d.alias("raw"),
+        null_d.alias("locf"),
+        null_d.alias("interp"),
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    observed = (
+        events.filter(F.dayofmonth("ts") % 3 == 0)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(dsum("value"), 4).alias("raw"))
+    )
+    dense = densify(
+        observed, spine.select("d"), keys=["event_type"], time_col="d"
+    ).withColumn("idx", F.datediff("d", F.lit("2024-01-01")))
+    filled = with_fill_columns(
+        dense, keys=["event_type"], order_col="d", index_col="idx",
+        value_col="raw",
+    )
+    fill_part = filled.select(
+        F.lit("fill").alias("part"),
+        F.col("event_type").alias("series"),
+        F.date_format("d", "yyyy-MM-dd").alias("spine_date"),
+        (F.weekday("d") + 1).cast("long").alias("spine_isodow"),
+        "raw",
+        "locf",
+        F.round("interp", 4).alias("interp"),
+    )
+    return spine_part.unionByName(fill_part).orderBy(
+        "part", "series", "spine_date"
     )
 
 
