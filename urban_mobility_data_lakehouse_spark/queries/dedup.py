@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..dedup import exact, minhash, simhash
+from ..dedup import components, exact, minhash, simhash
 from ..sources.testdata import load_table
 from . import register
 
@@ -101,7 +101,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_pairs",
     oracle=f"""
-    WITH sh AS ({_SHINGLES}),
+    WITH RECURSIVE sh AS ({_SHINGLES}),
     sig AS ({_SIG}),
     bands AS ({_BANDS}),
     cand AS (
@@ -118,20 +118,63 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
         GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               round(n_common * 1.0 / (za.n + zb.n - n_common), 4)
+                   AS jaccard
+        FROM common
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.node
     )
-    SELECT doc_a, doc_b,
-           round(n_common * 1.0 / (za.n + zb.n - n_common), 4) AS jaccard
-    FROM common
-    JOIN sizes za ON za.doc_id = doc_a
-    JOIN sizes zb ON zb.doc_id = doc_b
-    WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.5
-    ORDER BY doc_a, doc_b
+    SELECT 'pair' AS part, doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard
+    FROM pairs
+    UNION ALL
+    SELECT 'cluster' AS part, node AS doc_a, min(label) AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM reach GROUP BY node
+    ORDER BY part, doc_a, doc_b
     """,
-    tags=("dedup", "minhash", "lsh"),
+    tags=("dedup", "minhash", "lsh", "connected-components"),
     bench=True,
 )
 def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash.near_duplicates(load_table(spark, sf_dir, "documents"))
+    """Near-dup PAIRS (banded LSH + exact Jaccard verify) plus their
+    transitive CLUSTER closure (`dedup/components.py` min-label
+    propagation with pointer jumping; oracle replays it as a recursive
+    label-reachability CTE).  Cluster rows: doc_a = member,
+    doc_b = cluster id (min doc id of the component — the survivor
+    under keep-smallest dedup)."""
+    # cached: consumed twice (pair part + the CC loop's edge seed)
+    pairs = minhash.near_duplicates(
+        load_table(spark, sf_dir, "documents")
+    ).persist()
+    clusters = components.duplicate_clusters(
+        pairs.select("doc_a", "doc_b")
+    )
+    pair_part = pairs.select(
+        F.lit("pair").alias("part"), "doc_a", "doc_b", "jaccard"
+    )
+    cluster_part = clusters.select(
+        F.lit("cluster").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_part.unionByName(cluster_part).orderBy(
+        "part", "doc_a", "doc_b"
+    )
 
 
 @register(
