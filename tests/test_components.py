@@ -98,6 +98,46 @@ def test_duplicate_clusters_column_names(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_dedup_corpus_keeps_one_per_cluster(spark, sf_dir):
+    """End-to-end keep-one filter on a corpus with planted duplicates:
+    the doubled corpus (id-shifted copy) collapses back to one survivor
+    per duplicate family, and every survivor is its cluster minimum."""
+    from urban_mobility_data_lakehouse_spark.dedup.components import (
+        dedup_corpus,
+        duplicate_clusters,
+    )
+    from urban_mobility_data_lakehouse_spark.dedup import minhash
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    kept = dedup_corpus(doubled)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    originals = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    # every planted copy (id+1e6) shares a cluster with its original
+    # and is strictly larger than every original in that cluster, so
+    # no copy ever survives keep-smallest dedup.  (Some ORIGINALS drop
+    # too — the corpus has its own near-dup families; that's the point.)
+    assert not (kept_ids & {i + 1_000_000 for i in originals})
+    assert kept_ids <= originals
+    assert kept_ids  # something survives
+    # survivors are exactly (corpus − cluster non-minima)
+    pairs = minhash.near_duplicates(doubled.select("doc_id", "text"))
+    clusters = duplicate_clusters(pairs)
+    losers = {
+        r["doc_id"]
+        for r in clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).collect()
+    }
+    all_ids = originals | {i + 1_000_000 for i in originals}
+    assert kept_ids == all_ids - losers
+
+
 def test_unconverged_raises(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")

@@ -1,1 +1,1 @@
-from . import exact, incremental, minhash, simhash  # noqa: F401
+from . import components, exact, incremental, minhash, simhash  # noqa: F401

@@ -163,3 +163,23 @@ def duplicate_clusters(
     return connected_components(pairs, src, dst).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+def dedup_corpus(
+    documents: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Keep-one-per-cluster corpus filter — the end-to-end shape a
+    training-data pipeline runs: MinHash/LSH pair detection →
+    transitive cluster closure → drop every member except the cluster
+    minimum.  Output = the input minus non-canonical near-duplicates;
+    singletons pass through untouched (they never enter the pair
+    graph, so the graph work is bounded by the duplicate population)."""
+    from . import minhash
+
+    pairs = minhash.near_duplicates(documents, threshold)
+    losers = (
+        duplicate_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return documents.join(losers, [id_col], "left_anti")
