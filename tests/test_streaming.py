@@ -239,3 +239,37 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     # every fixture user_id resolves in the dim — enrichment is total
     assert all(k[2] is not None for k in got)
+
+
+def test_builtin_session_window_agrees_with_custom_sessionize(spark, sf_dir):
+    """Spark's built-in session_window (batch form) and the custom
+    gaps-and-islands sessionize are alternative implementations of the
+    same operator; they must carve identical sessions.  Semantics map:
+    window.start = session_start, window.end = session_end + gap (the
+    built-in extends the window by the gap)."""
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ours = sessionize(events, gap_minutes=30)
+    builtin = (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["session_start"], r["session_end"], r["n_events"]
+    )
+    got_ours = sorted(key(r) for r in ours.collect())
+    got_builtin = sorted(key(r) for r in builtin.collect())
+    assert got_ours == got_builtin

@@ -123,3 +123,57 @@ def range_join_agg(
         )
         .orderBy("tier")
     )
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_minutes: int = 60,
+) -> DataFrame:
+    """Point-in-interval join where BOTH sides are large — the case
+    `range_join_agg`'s broadcast strategy cannot serve.
+
+    Strategy: time is cut into fixed `bin_minutes` bins; every interval
+    row is replicated to each bin it overlaps (sequence+explode), every
+    point carries its single containing bin, and the match becomes an
+    EQUI-join on (keys…, bin) with the exact inclusive
+    `start <= t <= end` predicate applied afterwards.  Because a point
+    lives in exactly ONE bin, each qualifying (point, interval) pair
+    meets exactly once — no dedup pass.
+
+    Scale properties: shuffle volume is |points| + Σ(interval length /
+    bin width) — choose bins on the order of typical interval length so
+    replication stays O(1) per interval; the plan is a plain shuffled
+    equi-join (no BroadcastNestedLoopJoin, no cartesian fallback), so
+    it partitions, spills, and AQE-balances like any other join.
+
+    Column names must be disjoint apart from `on` (rename before
+    calling); timestamps may be TIMESTAMP or TIMESTAMP_NTZ.
+    """
+    on = list(on)
+    overlap = set(points.columns) & set(intervals.columns) - set(on)
+    if overlap:
+        raise ValueError(
+            f"interval_point_join: ambiguous columns {sorted(overlap)} — "
+            "rename so only the join keys are shared"
+        )
+    w_us = bin_minutes * 60 * 1_000_000
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    p = points.withColumn("_bin", F.floor(us(point_ts) / F.lit(w_us)))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(us(start_col) / F.lit(w_us)),
+                F.floor(us(end_col) / F.lit(w_us)),
+            )
+        ),
+    )
+    exact = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    return p.join(i, on + ["_bin"], "inner").filter(exact).drop("_bin")
