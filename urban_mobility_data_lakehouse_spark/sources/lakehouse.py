@@ -624,10 +624,16 @@ class Lakehouse:
         entry = self._stage_full_write(df, schema, name, "overwrite", data_dir)
         self._commit(schema, name, _with_meta(entry, extra_meta), base)
 
-    def append(self, df: DataFrame, schema: str, name: str) -> None:
+    def append(
+        self,
+        df: DataFrame,
+        schema: str,
+        name: str,
+        extra_meta: dict | None = None,
+    ) -> None:
         base, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
         entry = self._stage_full_write(df, schema, name, "append", data_dir)
-        self._commit(schema, name, entry, base)
+        self._commit(schema, name, _with_meta(entry, extra_meta), base)
 
     # -- multi-table transactions (S11) ------------------------------------
 
