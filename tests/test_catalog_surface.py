@@ -1,0 +1,55 @@
+"""Catalog conveniences: TIMESTAMP AS OF time travel and SQL view
+registration (the reference's CREATE VIEW + DuckDB-SQL surface)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = Lakehouse(str(tmp_path / "lake"))
+    lk.create_schemas("silver")
+    return lk
+
+
+def _seed(spark, lake, n, name="t"):
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    lake.overwrite_partitions(df, "silver", name, partition_col="p")
+
+
+def test_read_as_of_timestamp(spark, lake):
+    _seed(spark, lake, 10)
+    ts_v0 = lake.snapshots("silver", "t")[-1]["timestamp"]
+    _seed(spark, lake, 25)
+    # as of v0's wall clock (ties resolve to highest version ≤ instant,
+    # which here may already be v1 if both commits share a second —
+    # use a timestamp strictly before v1 only when the seconds differ)
+    ts_v1 = lake.snapshots("silver", "t")[-1]["timestamp"]
+    got = lake.read_as_of(spark, "silver", "t", ts_v1).count()
+    assert got == 25
+    if ts_v0 < ts_v1:
+        assert lake.read_as_of(spark, "silver", "t", ts_v0).count() == 10
+    with pytest.raises(ValueError, match="no commit at or before"):
+        lake.read_as_of(spark, "silver", "t", "1999-01-01T00:00:00")
+
+
+def test_register_views_sql_surface(spark, lake):
+    _seed(spark, lake, 12, name="trips")
+    _seed(spark, lake, 4, name="zones")
+    views = lake.register_views(spark, "silver")
+    assert views == ["silver_trips", "silver_zones"]
+    n = spark.sql(
+        "SELECT count(*) AS n FROM silver_trips "
+        "WHERE id NOT IN (SELECT id FROM silver_zones)"
+    ).collect()[0]["n"]
+    assert n == 8
+    # prefix override
+    assert lake.register_views(spark, "silver", names=["trips"],
+                               prefix="lh") == ["lh_trips"]
+    assert spark.sql("SELECT count(*) AS n FROM lh_trips").collect()[0]["n"] == 12

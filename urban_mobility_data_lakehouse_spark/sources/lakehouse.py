@@ -1250,6 +1250,47 @@ class Lakehouse:
         read): the table exactly as it was after commit `version`."""
         return self.read(spark, schema, name, version=version)
 
+    def read_as_of(
+        self, spark: SparkSession, schema: str, name: str, timestamp: str
+    ) -> DataFrame:
+        """`TIMESTAMP AS OF` analog: the table as of the newest commit
+        whose wall-clock timestamp is ≤ `timestamp` (ISO-8601
+        `YYYY-MM-DDTHH:MM:SS`, compared lexicographically — the format
+        the commit log records).  Same-second commit ties resolve to
+        the highest version, i.e. the state an observer at that instant
+        would have read.  Raises if `timestamp` predates the table."""
+        entries = self.snapshots(schema, name)
+        eligible = [
+            e["version"] for e in entries if e["timestamp"] <= timestamp
+        ]
+        if not eligible:
+            first = entries[0]["timestamp"] if entries else "<no commits>"
+            raise ValueError(
+                f"{schema}.{name}: no commit at or before {timestamp!r} "
+                f"(first commit: {first})"
+            )
+        return self.read(spark, schema, name, version=max(eligible))
+
+    def register_views(
+        self,
+        spark: SparkSession,
+        schema: str,
+        names: list[str] | None = None,
+        prefix: str | None = None,
+    ) -> list[str]:
+        """Register every table of `schema` as a temp view named
+        `<schema>_<table>` (or `<prefix>_<table>`), so plain
+        `spark.sql` works against the lakehouse — the reference's
+        `CREATE VIEW bronze.x AS SELECT * FROM read_parquet(...)`
+        surface (notebooks cell 19).  Views capture the CURRENT
+        manifest; re-register after writes that must become visible."""
+        out: list[str] = []
+        for n in names or self.list_tables(schema):
+            view = f"{prefix or schema}_{n}"
+            self.read(spark, schema, n).createOrReplaceTempView(view)
+            out.append(view)
+        return out
+
     def read_changes(
         self,
         spark: SparkSession,
