@@ -214,6 +214,49 @@ def test_refresh_is_idempotent_after_replay(spark, lake):
     assert [e["version"] for e in lake.snapshots("gold", "daily")] == versions
 
 
+def test_random_mutation_sequence_always_matches_recompute(spark, lake):
+    """Seeded fuzz: any interleaving of upserts, merges, CoW and MoR
+    deletes, and appends must leave refresh() equal to a from-scratch
+    recompute after every step."""
+    import random
+
+    rng = random.Random(1234)
+    lake.overwrite_partitions(_rows(spark, 0, 200), "silver", "t", "day")
+    mv = _mv(lake)
+    mv.refresh(spark)
+    next_id = 5000
+    for step in range(6):
+        op = rng.choice(["upsert", "merge", "delete", "delete_mor", "append"])
+        if op == "upsert":
+            day = str(rng.randrange(3))
+            lake.overwrite_partitions(
+                _rows(spark, next_id, next_id + 30).filter(
+                    F.col("day") == day
+                ).withColumn("day", F.lit(day)),
+                "silver", "t", "day",
+            )
+            next_id += 30
+        elif op == "merge":
+            lake.merge_into(
+                spark, "silver", "t",
+                _rows(spark, next_id, next_id + 10),
+                key="id", partition_col="day",
+            )
+            next_id += 10
+        elif op == "append":
+            lake.append(_rows(spark, next_id, next_id + 15), "silver", "t")
+            next_id += 15
+        else:
+            lo = rng.randrange(0, next_id)
+            cond = F.col("id").between(lo, lo + 40)
+            lake.delete_where(
+                spark, "silver", "t", cond, partition_col="day",
+                mode="merge_on_read" if op == "delete_mor" else "copy_on_write",
+            )
+        mv.refresh(spark)
+        assert _got(spark, mv) == _expect(spark, lake), f"step {step} ({op})"
+
+
 def test_extra_meta_cannot_shadow_commit_fields(spark, lake):
     df = _rows(spark, 0, 10)
     with pytest.raises(ValueError, match="collide"):
