@@ -150,6 +150,28 @@ def test_group_emptied_by_delete_disappears(spark, lake):
     assert not any(r[0] == "2" for r in got)
 
 
+def test_base_emptied_entirely(spark, lake):
+    """Deleting every base row must refresh the view to empty, not
+    crash on the unreadable base."""
+    lake.overwrite_partitions(_rows(spark, 0, 30), "silver", "t", "day")
+    mv = _mv(lake)
+    mv.refresh(spark)
+    lake.delete_where(
+        spark, "silver", "t", F.lit(True), partition_col="day"
+    )
+    out = mv.refresh(spark)
+    assert out["strategy"] == "incremental"
+    # every group vanished: the view has no live rows left
+    with pytest.raises(FileNotFoundError):
+        mv.read(spark).count()
+    assert mv.refresh(spark)["strategy"] == "noop"
+    # refill after total emptiness: the empty view must not crash the
+    # next incremental refresh
+    lake.overwrite_partitions(_rows(spark, 50, 80), "silver", "t", "day")
+    assert mv.refresh(spark)["strategy"] == "incremental"
+    assert _got(spark, mv) == _expect(spark, lake)
+
+
 def test_compaction_advances_watermark_without_data_commit(spark, lake):
     lake.overwrite_partitions(_rows(spark, 0, 300), "silver", "t", "day")
     mv = _mv(lake)

@@ -171,8 +171,17 @@ class MaterializedView:
                 # (e.g. compaction): advance the watermark, touch no data
                 return self._advance(last, current)
 
-            base_now = self.lake.read(spark, *self.base)
-            mv_now = self.read(spark)
+            # either side may be EMPTY (every partition superseded to
+            # zero rows reads as no-data): an empty base recomputes
+            # affected groups to nothing; an empty view carries nothing
+            try:
+                mv_now = self.read(spark)
+            except FileNotFoundError:
+                mv_now = None
+            try:
+                base_now = self.lake.read(spark, *self.base)
+            except FileNotFoundError:
+                base_now = None
             parts: list[str] | None = None
             if self.partition_col:
                 parts = sorted(
@@ -182,16 +191,35 @@ class MaterializedView:
                     .collect()
                 )
                 pcol = F.col(self.partition_col).cast("string")
-                base_now = base_now.filter(pcol.isin(parts))
-                mv_now = mv_now.filter(pcol.isin(parts))
+                if base_now is not None:
+                    base_now = base_now.filter(pcol.isin(parts))
+                if mv_now is not None:
+                    mv_now = mv_now.filter(pcol.isin(parts))
 
-            recomputed = self._aggregate(
-                base_now.join(F.broadcast(affected), self.group_by, "left_semi")
+            carried = (
+                mv_now.join(F.broadcast(affected), self.group_by, "left_anti")
+                if mv_now is not None
+                else None
             )
-            carried = mv_now.join(
-                F.broadcast(affected), self.group_by, "left_anti"
+            recomputed = (
+                self._aggregate(
+                    base_now.join(
+                        F.broadcast(affected), self.group_by, "left_semi"
+                    )
+                )
+                if base_now is not None
+                else None
             )
-            new_state = carried.unionByName(recomputed)
+            if carried is None and recomputed is None:
+                # nothing live anywhere: the affected groups are
+                # already absent from the (empty) view — just advance
+                return self._advance(last, current)
+            if carried is None:
+                new_state = recomputed
+            elif recomputed is None:
+                new_state = carried
+            else:
+                new_state = carried.unionByName(recomputed)
             meta = {META_KEY: current}
             if self.partition_col:
                 self.lake.overwrite_partitions(
