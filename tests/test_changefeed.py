@@ -92,6 +92,19 @@ def test_two_pipes_track_independent_offsets(spark, lake):
     assert out_a["status"] == "delta" and out_a["rows"] == 4
 
 
+def test_initial_poll_on_emptied_source(spark, lake):
+    """A source whose rows were all deleted still initializes the
+    pipe: empty snapshot, offset recorded, later deltas flow."""
+    lake.overwrite_partitions(_rows(spark, 0, 6), "silver", "t", "p")
+    lake.delete_where(spark, "silver", "t", F.lit(True), partition_col="p")
+    pipe = _pipe(lake)
+    out = pipe.poll(spark)
+    assert out["status"] == "initial" and out["rows"] == 0
+    lake.append(_rows(spark, 10, 13), "silver", "t")
+    out = pipe.poll(spark)
+    assert out["status"] == "delta" and out["rows"] == 3
+
+
 def test_vacuumed_window_refuses(spark, lake):
     lake.overwrite_partitions(_rows(spark, 0, 10), "silver", "t", "p")
     pipe = _pipe(lake)

@@ -74,9 +74,22 @@ class ChangeFeedPipe:
 
         if last is None:
             # initial snapshot: current state as one insert batch
-            cdc = self.lake.read(spark, *self.source).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            try:
+                cdc = self.lake.read(spark, *self.source).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            except FileNotFoundError:
+                # source has commits but zero live rows: the snapshot
+                # is empty — record the offset, write no data
+                self.lake._log_snapshot(
+                    self.lake._table_dir(*self.sink),
+                    "cdc_advance",
+                    **{self._meta_key: current},
+                )
+                return {
+                    "status": "initial", "from": None, "to": current,
+                    "rows": 0,
+                }
         else:
             try:
                 cdc = self.lake.read_changes(
