@@ -79,3 +79,49 @@ def test_register_views_sql_surface(spark, lake):
     assert lake.register_views(spark, "silver", names=["trips"],
                                prefix="lh") == ["lh_trips"]
     assert spark.sql("SELECT count(*) AS n FROM lh_trips").collect()[0]["n"] == 12
+
+
+def test_fsck_clean_and_corrupted(spark, lake):
+    import os
+    import shutil
+
+    _seed(spark, lake, 20)
+    _seed(spark, lake, 30)  # second version
+    rep = lake.fsck("silver", "t")
+    assert rep["ok"] and rep["errors"] == []
+    # the superseded v0 dir is historical, NOT an orphan
+    assert rep["orphans"] == []
+
+    # delete one live data file behind the log's back
+    tdir = os.path.join(lake.root, "silver", "t", "_data")
+    vdirs = sorted(os.listdir(tdir))
+    live = os.path.join(tdir, vdirs[-1])
+    victim = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(live)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.remove(victim)
+    rep = lake.fsck("silver", "t")
+    assert not rep["ok"]
+    assert any("missing file" in e for e in rep["errors"])
+
+    # remove a whole live version dir → missing-dir error
+    shutil.rmtree(live)
+    rep = lake.fsck("silver", "t")
+    assert any("missing data dir" in e for e in rep["errors"])
+
+
+def test_fsck_reports_orphans_after_failed_stage(spark, lake):
+    import os
+
+    _seed(spark, lake, 10)
+    # simulate a crashed writer: staged dir that never got a log line
+    stray = os.path.join(
+        lake.root, "silver", "t", "_data", "v9-deadbeef-1"
+    )
+    os.makedirs(stray)
+    rep = lake.fsck("silver", "t")
+    assert rep["ok"]  # orphans are reclaimable, not errors
+    assert rep["orphans"] == ["_data/v9-deadbeef-1"]

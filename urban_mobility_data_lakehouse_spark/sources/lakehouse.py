@@ -1250,6 +1250,57 @@ class Lakehouse:
         read): the table exactly as it was after commit `version`."""
         return self.read(spark, schema, name, version=version)
 
+    def fsck(self, schema: str, name: str) -> dict:
+        """Integrity audit (an fsck for one table): verifies, WITHOUT
+        reading data rows, that
+          * every directory the current manifest references exists,
+          * every per-file stats entry in live commits points at a file
+            that is still on disk,
+          * every live deletion-vector directory exists,
+          * the commit log's version numbers are dense (0..N, no gaps),
+        and reports orphan directories under `_data/` that no retained
+        version references (vacuum candidates, not errors).  Returns
+        {"ok": bool, "errors": [...], "orphans": [...]} — run it after
+        a restore from backup or a suspected partial copy; `ok` means
+        reads at the current version cannot hit a missing file."""
+        path = self._table_dir(schema, name)
+        errors: list[str] = []
+        entries = self.snapshots(schema, name)
+        versions = [e["version"] for e in entries]
+        if versions != list(range(len(versions))):
+            errors.append(f"non-dense version sequence: {versions}")
+        part_map, extra, dvs = self._manifest(schema, name)
+        live_dirs = {d for d, _ in part_map.values()} | set(extra) | set(dvs)
+        for d in sorted(live_dirs):
+            if not os.path.isdir(d):
+                errors.append(
+                    f"missing data dir: {os.path.relpath(d, path)}"
+                )
+        # stats entries of commits whose dir is live must name real files
+        live_rel = {os.path.relpath(d, path) for d in live_dirs}
+        for e in entries:
+            d = e.get("data_dir")
+            if d is None or d not in live_rel:
+                continue
+            for f in e.get("files", []):
+                fp = os.path.join(path, d, f["path"]) if not os.path.isabs(
+                    f["path"]
+                ) else f["path"]
+                if not os.path.exists(fp):
+                    errors.append(
+                        f"stats entry names missing file: v{e['version']} "
+                        f"{f['path']}"
+                    )
+        # orphans = unreachable from ANY version (vacuum's own
+        # reachability, dry run) — historical dirs are NOT orphans
+        orphans = [
+            os.path.relpath(d, path)
+            for d in self.vacuum(
+                schema, name, keep_version=0, dry_run=True
+            )["dirs"]
+        ]
+        return {"ok": not errors, "errors": errors, "orphans": orphans}
+
     def clone(
         self,
         spark: SparkSession,
