@@ -111,3 +111,49 @@ def test_sf01_persistent_ivf_parity(spark, tmp_path):
     ]
     expect = [tuple(r) for r in knn_ivf(embeddings, n_queries=10, k=3).collect()]
     assert got == expect
+
+
+def test_connected_components_scale_stress(spark):
+    """100k-edge random graph through the CC loop: converges within the
+    round budget, rounds stay flat (the stats-reset guard holds at
+    volume), and the result matches a driver-side union-find."""
+    import random
+    import time
+
+    from urban_mobility_data_lakehouse_spark.dedup.components import (
+        connected_components,
+    )
+
+    rng = random.Random(99)
+    n_nodes, n_edges = 50_000, 100_000
+    edges = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(8)
+    t0 = time.perf_counter()
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    wall = time.perf_counter() - t0
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    # generous envelope: catches an accidental return of the
+    # exponential-planning regression, not machine noise
+    assert wall < 300, f"CC on 100k edges took {wall:.0f}s"
