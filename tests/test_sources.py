@@ -582,6 +582,49 @@ def test_lakehouse_schema_evolution(spark, tmp_path):
     assert cdc == [("insert", 2, "madrid")]
 
 
+def test_merge_into_schema_evolution(spark, tmp_path):
+    """MERGE with updates that ADD a column (Delta autoMerge analog):
+    the rewritten partition unions with allowMissingColumns, surviving
+    rows read NULL in the new column, untouched partitions evolve
+    lazily at read time."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    base = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b")],
+        "id long, v double, d string",
+    )
+    lake.overwrite_partitions(base, "silver", "t", partition_col="d")
+    updates = spark.createDataFrame(
+        [(2, 99.0, "a", "tag2"), (4, 40.0, "a", "tag4")],
+        "id long, v double, d string, label string",
+    )
+    lake.merge_into(
+        spark, "silver", "t", updates, key="id", partition_col="d"
+    )
+    got = {
+        r["id"]: (r["v"], r["label"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert got == {
+        1: (10.0, None),       # survivor in rewritten partition
+        2: (99.0, "tag2"),     # updated
+        3: (30.0, None),       # untouched partition, lazy evolution
+        4: (40.0, "tag4"),     # inserted
+    }
+    # CDC shows exactly the changed rows across the evolution
+    cdc = sorted(
+        (r["_change_type"], r["id"])
+        for r in lake.read_changes(spark, "silver", "t", 0).collect()
+    )
+    assert cdc == [("delete", 2), ("insert", 2), ("insert", 4)]
+
+
 def test_lakehouse_sorted_compaction(spark, tmp_path):
     """OPTIMIZE ... sort_by: compacted files are sorted on the given
     column, so parquet row-group min/max stats become tight and range

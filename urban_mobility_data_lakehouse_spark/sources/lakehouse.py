@@ -483,7 +483,11 @@ class Lakehouse:
             updates.select(*keys).distinct(), keys, "left_anti"
         )
         self.overwrite_partitions(
-            survivors.unionByName(updates), schema, name, partition_col
+            # allowMissingColumns = Delta's MERGE schema evolution
+            # (autoMerge): updates may ADD columns — surviving rows
+            # surface NULL there, exactly like an evolving append
+            survivors.unionByName(updates, allowMissingColumns=True),
+            schema, name, partition_col
         )
 
     def delete_where(
