@@ -113,6 +113,45 @@ def test_fsck_clean_and_corrupted(spark, lake):
     assert any("missing data dir" in e for e in rep["errors"])
 
 
+def test_compact_target_file_bytes(spark, lake):
+    """Byte-targeted OPTIMIZE: a tiny target yields multiple files per
+    partition (deterministic xxhash bucketing), a huge target collapses
+    to one, and the rows are identical either way."""
+    import glob
+    import os
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    lake.overwrite_partitions(df, "silver", "big", partition_col="p")
+    want = sorted(tuple(r) for r in lake.read(spark, "silver", "big").collect())
+
+    out = lake.compact(
+        spark, "silver", "big", partition_col="p",
+        target_file_bytes=20_000, vacuum=False,
+    )
+    live = lake._manifest("silver", "big")[0]
+    d = next(iter(live.values()))[0]
+    per_part = len(glob.glob(os.path.join(d, "p=0", "*.parquet")))
+    assert per_part > 1, out
+    assert sorted(
+        tuple(r) for r in lake.read(spark, "silver", "big").collect()
+    ) == want
+
+    lake.compact(
+        spark, "silver", "big", partition_col="p",
+        target_file_bytes=1 << 30, vacuum=False,
+    )
+    live = lake._manifest("silver", "big")[0]
+    d = next(iter(live.values()))[0]
+    assert len(glob.glob(os.path.join(d, "p=0", "*.parquet"))) == 1
+    assert sorted(
+        tuple(r) for r in lake.read(spark, "silver", "big").collect()
+    ) == want
+
+
 def test_fsck_reports_orphans_after_failed_stage(spark, lake):
     import os
 

@@ -624,6 +624,20 @@ def test_merge_into_schema_evolution(spark, tmp_path):
     )
     assert cdc == [("delete", 2), ("insert", 2), ("insert", 4)]
 
+    # merge-on-read mode evolves identically (DV delete + evolved append)
+    lake2 = Lakehouse(str(tmp_path / "lake2"))
+    lake2.create_schemas("silver")
+    lake2.overwrite_partitions(base, "silver", "t", partition_col="d")
+    lake2.merge_into(
+        spark, "silver", "t", updates, key="id", partition_col="d",
+        mode="merge_on_read",
+    )
+    got_mor = {
+        r["id"]: (r["v"], r["label"])
+        for r in lake2.read(spark, "silver", "t").collect()
+    }
+    assert got_mor == got
+
 
 def test_lakehouse_sorted_compaction(spark, tmp_path):
     """OPTIMIZE ... sort_by: compacted files are sorted on the given

@@ -708,9 +708,19 @@ class Lakehouse:
         vacuum: bool = True,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        target_file_bytes: int | None = None,
     ) -> dict:
         """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
         files into `target_files_per_partition` right-sized ones.
+
+        `target_file_bytes` sizes the output by BYTES instead (Delta's
+        `maxFileSize` knob, ~1 GiB in production): the live size from
+        `describe_detail` (pure log arithmetic) divides into a file
+        count — per partition when partitioned (averaged over live
+        partitions), total otherwise — overriding
+        `target_files_per_partition`.  The knob that matters at 100 TB:
+        a fixed files-per-partition count right for day one is wrong
+        at year three.
 
         `sort_by` additionally sorts rows within each output task
         (Delta `OPTIMIZE ... ZORDER BY`'s single-column analog): parquet
@@ -748,6 +758,18 @@ class Lakehouse:
         path = self._table_dir(schema, name)
         before = _count_data_files(path)
         df = self.read(spark, schema, name)
+        if target_file_bytes is not None:
+            import math
+
+            detail = self.describe_detail(schema, name)
+            live_parts = len(self._manifest(schema, name)[0]) or 1
+            denom = live_parts if partition_col is not None else 1
+            target_files_per_partition = max(
+                1,
+                math.ceil(
+                    detail["size_bytes"] / denom / target_file_bytes
+                ),
+            )
         zcol = "__zorder_key"
         if zorder_by:
             from .skipping import zorder_key
@@ -757,8 +779,28 @@ class Lakehouse:
         if partition_col is not None:
             # hash-repartition by the partition column: every value's
             # rows land in ONE task → exactly one file per partition
-            # directory after the write (one shuffle total)
-            compacted = df.repartition(F.col(partition_col))
+            # directory after the write (one shuffle total).  With a
+            # >1 per-partition file target, a deterministic intra-
+            # partition bucket (xxhash64 of the row, never rand())
+            # splits each partition across that many tasks.
+            hashable = [
+                c for c, t in df.dtypes if not t.startswith("map<")
+            ]  # xxhash64 rejects maps
+            if target_files_per_partition > 1 and hashable:
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in hashable]),
+                    F.lit(target_files_per_partition),
+                )
+                # explicit task count: AQE would otherwise coalesce
+                # small shuffles back to one task per partition
+                n_parts = len(self._manifest(schema, name)[0]) or 1
+                compacted = df.repartition(
+                    n_parts * target_files_per_partition,
+                    F.col(partition_col),
+                    bucket,
+                )
+            else:
+                compacted = df.repartition(F.col(partition_col))
             if zorder_by:
                 compacted = compacted.sortWithinPartitions(
                     partition_col, zcol
