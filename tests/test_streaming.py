@@ -273,3 +273,62 @@ def test_builtin_session_window_agrees_with_custom_sessionize(spark, sf_dir):
     got_ours = sorted(key(r) for r in ours.collect())
     got_builtin = sorted(key(r) for r in builtin.collect())
     assert got_ours == got_builtin
+
+
+def test_stream_to_table_exactly_once_survives_checkpoint_loss(
+    spark, sf_dir, tmp_path
+):
+    """The generic lakehouse stream sink dedups replayed micro-batches
+    at the TABLE (batch id on the commit line), so even deleting the
+    streaming checkpoint — which replays every batch — appends nothing
+    twice."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.streaming.daily import (
+        stream_to_table,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    stream = _events_stream(spark, sf_dir, tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_to_table(
+        stream, lake, "silver", "ev_stream", ckpt,
+        transform=lambda b: b.select("event_id", "ts", "user_id", "value"),
+    )
+    q.awaitTermination(120)
+    n = lake.read(spark, "silver", "ev_stream").count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    # same checkpoint, same source: no new batches, nothing appended
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    rerun = normalize_event_ts(
+        spark.readStream.schema(raw_schema).parquet(str(tmp_path / "in"))
+    )
+    q2 = stream_to_table(
+        rerun, lake, "silver", "ev_stream", ckpt,
+        transform=lambda b: b.select("event_id", "ts", "user_id", "value"),
+    )
+    q2.awaitTermination(120)
+    assert lake.read(spark, "silver", "ev_stream").count() == n
+
+    # checkpoint LOST: batch 0 replays with the same id → the
+    # table-level dedup must make the re-run a no-op
+    shutil.rmtree(ckpt)
+    q3 = stream_to_table(
+        normalize_event_ts(
+            spark.readStream.schema(raw_schema).parquet(str(tmp_path / "in"))
+        ),
+        lake, "silver", "ev_stream", ckpt,
+        transform=lambda b: b.select("event_id", "ts", "user_id", "value"),
+    )
+    q3.awaitTermination(120)
+    assert lake.read(spark, "silver", "ev_stream").count() == n
+    # exactly one data commit carries batch id 0
+    marks = [
+        e["stream_batch_id"]
+        for e in lake.snapshots("silver", "ev_stream")
+        if "stream_batch_id" in e
+    ]
+    assert marks == [0]

@@ -113,3 +113,50 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    lake: Lakehouse,
+    schema: str,
+    name: str,
+    checkpoint_dir: str,
+    stream_id: str | None = None,
+    transform=None,
+) -> StreamingQuery:
+    """Exactly-once APPEND sink for any stream into a lakehouse table.
+
+    Idempotence is enforced at the TABLE, not just the checkpoint:
+    every append commit records (stream_source, stream_batch_id) on its
+    log line, and a replayed micro-batch — crashed sink, deleted
+    checkpoint, re-run pipeline — is skipped when its batch id is
+    already committed.  That is the transactional-sink half of
+    exactly-once that a bare parquet `foreachBatch` append lacks: the
+    streaming checkpoint alone cannot protect against the sink dying
+    AFTER the write but BEFORE the checkpoint commit.
+
+    `transform` (optional) maps each micro-batch frame before the
+    append; it must be deterministic for replays to be true no-ops.
+    """
+    sid = stream_id or f"{schema}.{name}"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        seen = {
+            e.get("stream_batch_id")
+            for e in lake.snapshots(schema, name)
+            if e.get("stream_source") == sid
+        }
+        if batch_id in seen:
+            return  # replayed batch: already committed
+        out = transform(batch_df) if transform else batch_df
+        lake.append(
+            out, schema, name,
+            extra_meta={"stream_source": sid, "stream_batch_id": batch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
