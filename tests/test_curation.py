@@ -240,3 +240,69 @@ def test_repetition_features_pure_catalyst(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    """Near-dup clusters must not straddle train/val/test: every member
+    gets its cluster representative's split; singletons fall back to
+    the plain per-document split exactly."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.dedup.components import (
+        duplicate_clusters,
+    )
+    from urban_mobility_data_lakehouse_spark.dedup.minhash import (
+        near_duplicates,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.curation import (
+        leakage_safe_split,
+        split_label,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    pairs = near_duplicates(doubled)
+    clusters = duplicate_clusters(pairs.select("doc_a", "doc_b"))
+    out = leakage_safe_split(doubled, clusters).persist()
+
+    # every cluster is split-pure
+    impure = (
+        out.join(
+            clusters.withColumnRenamed("doc_id", "doc_id"), ["doc_id"]
+        )
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert impure == 0
+    # in particular: each planted copy shares its original's split
+    orig = out.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id"), F.col("split").alias("s1")
+    )
+    copy = out.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("split").alias("s2"),
+    )
+    assert orig.join(copy, "doc_id").filter(
+        F.col("s1") != F.col("s2")
+    ).count() == 0
+
+    # singletons match the plain split bit-for-bit
+    clustered_ids = clusters.select("doc_id")
+    singles = out.join(clustered_ids, "doc_id", "left_anti")
+    plain = doubled.join(clustered_ids, "doc_id", "left_anti").select(
+        "doc_id",
+        split_label(F.col("doc_id").cast("string")).alias("plain"),
+    )
+    assert singles.join(plain, "doc_id").filter(
+        F.col("split") != F.col("plain")
+    ).count() == 0
+    # all three splits materialize at corpus size
+    assert out.select("split").distinct().count() == 3
+    out.unpersist()

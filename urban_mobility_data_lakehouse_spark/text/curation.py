@@ -90,3 +90,37 @@ def stratified_hash_sample(
         )
     thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
     return df.filter(hash_bucket(F.col(id_col), salt) < thresh)
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across splits.
+
+    A per-document hash split puts two near-identical documents in
+    different splits with probability ~2·p·(1−p) — training on one and
+    evaluating on the other is contamination, the classic silent eval
+    inflation in LLM data pipelines.  The fix: hash the CLUSTER
+    representative, not the document — every member of a near-dup
+    cluster (the transitive closure from `dedup.components.
+    duplicate_clusters`) shares its representative's bucket, so whole
+    clusters move between splits as units.  Singletons (absent from
+    `clusters`) fall back to their own id — identical to the plain
+    split for them.
+
+    Cost: one broadcast-sized (or shuffled, if the duplicate population
+    is huge) left join on the cluster map, bounded by the duplicate
+    population, then the same pure-Column hash as `split_label`.
+    """
+    rep = F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("string")
+    return (
+        documents.join(
+            clusters.withColumnRenamed("doc_id", id_col), [id_col], "left"
+        )
+        .withColumn("split", split_label(rep, weights=weights, salt=salt))
+        .drop("cluster_id")
+    )
