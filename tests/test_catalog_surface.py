@@ -164,3 +164,48 @@ def test_fsck_reports_orphans_after_failed_stage(spark, lake):
     rep = lake.fsck("silver", "t")
     assert rep["ok"]  # orphans are reclaimable, not errors
     assert rep["orphans"] == ["_data/v9-deadbeef-1"]
+
+
+def test_purge_physically_erases(spark, lake):
+    """After purge, the matching rows' bytes are gone from EVERY file
+    under the table — including history — and reads/time-travel can't
+    reach them."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("p"),
+        F.concat(F.lit("SECRET-"), F.col("id")).alias("payload"),
+    )
+    lake.overwrite_partitions(df, "silver", "t", partition_col="p")
+    # a merge-on-read delete first, so purge must also materialize DVs
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") == 7,
+        partition_col="p", mode="merge_on_read",
+    )
+    out = lake.purge(
+        spark, "silver", "t", F.col("id") < 50, partition_col="p"
+    )
+    assert out["ok"] and out["bytes_reclaimed"] > 0
+
+    remaining = lake.read(spark, "silver", "t")
+    assert remaining.filter(F.col("id") < 50).count() == 0
+    assert remaining.count() == 150  # 200 - 50 (id 7 was already gone)
+
+    # no parquet file anywhere under the table still holds a purged id
+    tdir = os.path.join(lake.root, "silver", "t")
+    purged = {f"SECRET-{i}" for i in range(50)}
+    for fp in glob.glob(os.path.join(tdir, "**", "*.parquet"),
+                        recursive=True):
+        tbl = pq.read_table(fp)
+        if "payload" not in tbl.column_names:
+            continue  # deletion-vector files
+        vals = set(tbl.column("payload").to_pylist())
+        assert not (vals & purged), fp
+
+    # time travel to the pre-purge state is honestly refused
+    with pytest.raises(FileNotFoundError):
+        lake.read_snapshot(spark, "silver", "t", 0).count()

@@ -1296,6 +1296,41 @@ class Lakehouse:
         read): the table exactly as it was after commit `version`."""
         return self.read(spark, schema, name, version=version)
 
+    def purge(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        condition,
+        partition_col: str,
+    ) -> dict:
+        """Physical erasure (the GDPR right-to-be-forgotten workflow):
+        DELETE alone is not erasure — copy-on-write keeps the old
+        partition files for time travel, and a merge-on-read delete
+        keeps the rows' BYTES and merely masks them.  `purge` runs the
+        full chain:
+
+          1. copy-on-write `delete_where` (TRUE rows only, 3VL-safe),
+          2. `compact` to materialize any deletion vectors into clean
+             files (masked bytes rewritten away),
+          3. `vacuum` down to the compacted version, physically
+             reclaiming every superseded directory.
+
+        Afterwards no file under the table contains the purged rows and
+        time travel no longer reaches them — the explicit trade a
+        compliance deletion makes.  Returns {"bytes_reclaimed": N,
+        "ok": fsck-clean} so the caller can log evidence."""
+        self.delete_where(
+            spark, schema, name, condition, partition_col=partition_col
+        )
+        self.compact(
+            spark, schema, name, partition_col=partition_col, vacuum=False
+        )
+        keep = self.snapshots(schema, name)[-1]["version"]
+        rec = self.vacuum(schema, name, keep_version=keep)
+        rep = self.fsck(schema, name)
+        return {"bytes_reclaimed": rec["bytes"], "ok": rep["ok"]}
+
     def fsck(self, schema: str, name: str) -> dict:
         """Integrity audit (an fsck for one table): verifies, WITHOUT
         reading data rows, that
