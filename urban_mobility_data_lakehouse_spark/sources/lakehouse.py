@@ -864,6 +864,41 @@ class Lakehouse:
         after = _count_data_files(path)
         return {"files_before": before, "files_after": after}
 
+    def vacuum_retain(
+        self,
+        schema: str,
+        name: str,
+        hours: float,
+        dry_run: bool = False,
+        _now: str | None = None,
+    ) -> dict:
+        """`VACUUM … RETAIN n HOURS` analog: reclaim history older than
+        the retention window, keeping every version whose commit
+        timestamp is within the last `hours` (plus the latest version
+        unconditionally).  Time travel and CDC remain exact inside the
+        window — the contract a scheduled retention job offers its
+        downstream incremental consumers.  `_now` (ISO seconds) is a
+        test seam; defaults to the current wall clock."""
+        import datetime
+
+        entries = self.snapshots(schema, name)
+        if not entries:
+            return {"dirs": [], "bytes": 0}
+        now = _now or time.strftime("%Y-%m-%dT%H:%M:%S")
+        fmt = "%Y-%m-%dT%H:%M:%S"
+        cutoff = datetime.datetime.strptime(now, fmt) - datetime.timedelta(
+            hours=hours
+        )
+        kept = [
+            e["version"]
+            for e in entries
+            if datetime.datetime.strptime(e["timestamp"], fmt) >= cutoff
+        ]
+        keep_version = min(kept) if kept else entries[-1]["version"]
+        return self.vacuum(
+            schema, name, keep_version=keep_version, dry_run=dry_run
+        )
+
     def vacuum(
         self,
         schema: str,
