@@ -1,0 +1,104 @@
+"""Mergeable HLL sketch rollups (operators/sketches.py).
+
+What matters at 100 TB: (1) estimates are honest (inside the
+configured error envelope vs exact), (2) the union lattice really is
+incremental — per-day builds merged later must estimate exactly what a
+one-shot build estimates, (3) sketches survive the parquet round-trip
+as plain binary columns, (4) rollups never touch raw events.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.operators.sketches import (
+    SketchRollup,
+    daily_user_sketches,
+    estimate_distinct,
+)
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _exact(events, by):
+    cols = list(by) or [F.lit(1).alias("_g")]
+    out = events.groupBy(*cols).agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return {
+        tuple(r[c] for c in by) if by else (): r["exact"]
+        for r in out.collect()
+    }
+
+
+def test_estimates_within_error_envelope(spark, events):
+    sketches = daily_user_sketches(events)
+    est = {
+        (r["event_type"],): r["approx_distinct"]
+        for r in estimate_distinct(sketches, by=("event_type",)).collect()
+    }
+    exact = _exact(events, ("event_type",))
+    assert est.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
+
+
+def test_global_rollup_is_a_coarser_union(spark, events):
+    sketches = daily_user_sketches(events)
+    [row] = estimate_distinct(sketches, by=()).collect()
+    exact = events.select("user_id").distinct().count()
+    assert abs(row["approx_distinct"] - exact) / exact < 0.05
+    # n_events conserved through the rollup
+    assert row["n_events"] == events.count()
+
+
+def test_incremental_daily_builds_equal_one_shot(spark, events, tmp_path):
+    """Per-day partition upserts, merged at query time, must estimate
+    EXACTLY what a single full build estimates — the property that
+    makes the sketch table safe to maintain incrementally."""
+    inc = SketchRollup(Lakehouse(str(tmp_path / "inc")), name="inc")
+    days = [
+        r["day"]
+        for r in events.select(
+            F.to_date("ts").cast("string").alias("day")
+        ).distinct().collect()
+    ]
+    for day in sorted(days):
+        inc.build_day(spark, events, day)
+
+    full = SketchRollup(Lakehouse(str(tmp_path / "full")), name="full")
+    full.build_all(spark, events)
+
+    got = [
+        tuple(r)
+        for r in inc.estimate(spark, by=("event_type",)).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in full.estimate(spark, by=("event_type",)).collect()
+    ]
+    assert got == want
+
+    # idempotent re-run of one day changes nothing (partition upsert)
+    inc.build_day(spark, events, sorted(days)[0])
+    again = [
+        tuple(r)
+        for r in inc.estimate(spark, by=("event_type",)).collect()
+    ]
+    assert again == got
+
+
+def test_rollup_reads_only_the_sketch_table(spark, events, tmp_path):
+    """The estimate plan scans the persisted sketch rows, not events:
+    every scanned file must live under the sketch table's directory."""
+    roll = SketchRollup(Lakehouse(str(tmp_path / "lake")), name="s")
+    roll.build_all(spark, events)
+    files = roll.estimate(spark).inputFiles()
+    assert files
+    assert all("/gold/s/" in f or "gold/s/" in f for f in files)

@@ -1,0 +1,130 @@
+"""Mergeable HLL distinct-count sketches as first-class table columns.
+
+The 100 TB pattern: COUNT(DISTINCT user) over a month of raw events is
+a full rescan + giant shuffle every time someone asks.  Instead, each
+ingest batch reduces its slice to one Apache DataSketches HllSketch
+binary per (day, dimension) group — Spark's `hll_sketch_agg` is a real
+declarative aggregate, so the reduction happens map-side before any
+shuffle — and the sketch TABLE (thousands of rows, not billions) is
+what rollups read.  Any later question ("distinct users per
+event_type across an arbitrary day range") is `hll_union_agg` +
+`hll_sketch_estimate` over the sketch rows: seconds, no raw-data scan,
+and the union lattice is associative/commutative so incremental daily
+builds give byte-for-byte the same register state as a one-shot build.
+
+The reference's only distinct-count surface is exact/approx
+COUNT(DISTINCT) inside queries (SURVEY.md §2 A3,
+notebooks/1_sprint3_schema_reprototyping.ipynb cell 53's orphan
+checks); persistable, mergeable sketch columns are the beyond-reference
+scale path (same engine family as Delta Lake + DataSketches rollups).
+
+Estimates carry HLL's standard error (~1.04/sqrt(2^lg_k): ~1.6% at
+lg_k=12); tests pin a 5% envelope against exact counts AND exact
+equality between incremental and one-shot sketch estimates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.lakehouse import Lakehouse
+
+#: DataSketches lgConfigK — 2^12 registers, ~1.6% relative standard error.
+DEFAULT_LG_K = 12
+
+
+def daily_user_sketches(
+    events: DataFrame, lg_k: int = DEFAULT_LG_K
+) -> DataFrame:
+    """Reduce raw events to one HLL sketch per (day, event_type).
+
+    Output: (day, event_type, users_hll BINARY, n_events) — the compact
+    rollup row an ingest batch commits instead of re-exposing raw user
+    ids.  `hll_sketch_agg` partial-aggregates map-side, so the shuffle
+    carries sketches (≤ ~2.5 KiB each at lg_k=12), never user ids.
+    """
+    return events.groupBy(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+    ).agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(lg_k)).alias("users_hll"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def estimate_distinct(
+    sketches: DataFrame,
+    by: tuple[str, ...] = ("event_type",),
+    sketch_col: str = "users_hll",
+) -> DataFrame:
+    """Roll sketch rows up to `by` and estimate distinct counts.
+
+    Pure sketch arithmetic: `hll_union_agg` merges register states,
+    `hll_sketch_estimate` reads the estimate — no raw-data scan, and
+    dropping a grouping column is just a coarser union (the estimates
+    stay consistent because the union lattice is idempotent: a user
+    counted in two days is one user after the merge).
+    """
+    grouped = (
+        sketches.groupBy(*by) if by else sketches.groupBy(F.lit(1).alias("_g"))
+    )
+    out = grouped.agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col(sketch_col))
+        ).alias("approx_distinct"),
+        F.sum("n_events").alias("n_events"),
+    )
+    if not by:
+        out = out.drop("_g")
+    return out.orderBy(*by) if by else out
+
+
+class SketchRollup:
+    """Lakehouse-persisted sketch table with day-partitioned builds.
+
+    `build_day` commits one day's sketch rows as an idempotent
+    partition overwrite (re-running an ingest day replaces exactly that
+    day's sketches — the same upsert contract as the fact table it
+    summarizes), so the sketch table inherits time travel, CDC, and
+    concurrent disjoint-day writers from the lakehouse for free.
+    """
+
+    def __init__(
+        self,
+        lake: Lakehouse,
+        schema: str = "gold",
+        name: str = "daily_user_sketches",
+        lg_k: int = DEFAULT_LG_K,
+    ) -> None:
+        self.lake = lake
+        self.schema = schema
+        self.name = name
+        self.lg_k = lg_k
+        lake.create_schemas(schema)
+
+    def build_day(self, spark: SparkSession, events: DataFrame, day: str) -> None:
+        """Sketch ONE day's events and upsert its partition."""
+        rows = daily_user_sketches(
+            events.filter(F.to_date("ts") == F.lit(day)), self.lg_k
+        )
+        self.lake.overwrite_partitions(
+            rows, self.schema, self.name, partition_col="day"
+        )
+
+    def build_all(self, spark: SparkSession, events: DataFrame) -> None:
+        """One-shot build over every day present in `events`."""
+        self.lake.overwrite_partitions(
+            daily_user_sketches(events, self.lg_k),
+            self.schema,
+            self.name,
+            partition_col="day",
+        )
+
+    def estimate(
+        self, spark: SparkSession, by: tuple[str, ...] = ("event_type",)
+    ) -> DataFrame:
+        """Distinct-user estimates rolled up from the persisted table."""
+        return estimate_distinct(
+            self.lake.read(spark, self.schema, self.name), by=by
+        )
