@@ -217,6 +217,31 @@ _WINNOW_SQL = f"""
 """
 
 
+# decontamination part: docs with doc_id % 97 == 0 play the "eval
+# benchmark"; every doc reports how many distinct eval 8-grams it
+# contains (text/contamination.py semantics, same portable md5-31bit
+# gram hash as the MinHash stack)
+_CONTAM_N = 8
+_CONTAM_GRAM = " || ' ' || ".join(f"t[i+{j}]" for j in range(_CONTAM_N))
+_CONTAM_HASH = (
+    "CAST(CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)"
+    " % 2147483647"
+)
+_CONTAM_SQL = f"""
+contam_grams AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+        CASE WHEN len(t) >= {_CONTAM_N}
+             THEN list_transform(generate_series(1, len(t) - {_CONTAM_N - 1}),
+                                 i -> {_CONTAM_GRAM})
+             ELSE [text] END,
+        s -> {_CONTAM_HASH}))) AS h
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+contam_eval AS (
+    SELECT DISTINCT h FROM contam_grams WHERE doc_id % 97 = 0
+)
+"""
+
 # suite-level packing parameters: a small budget exercises bin
 # boundaries densely on the fixture corpus
 _PACK_BUDGET = 64
@@ -264,7 +289,7 @@ pack_packed AS (
 @register(
     "text_pairs_suite",
     oracle=f"""
-    WITH RECURSIVE {_PACK_SQL}
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -288,6 +313,30 @@ pack_packed AS (
            CAST(n_tokens AS VARCHAR),
            bin
     FROM pack_packed
+    UNION ALL
+    SELECT 'contam',
+           CAST(doc_id AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(count(*) FILTER (WHERE h IN (SELECT h FROM contam_eval))
+               AS BIGINT)
+    FROM contam_grams GROUP BY doc_id
+    UNION ALL
+    SELECT 'vocab',
+           CAST(rnk AS BIGINT),
+           CAST(NULL AS BIGINT),
+           token,
+           cnt
+    FROM (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+        )
+    ) WHERE rnk <= 50
     ORDER BY part, k1, k2, n
     """,
     tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack"),
@@ -307,7 +356,12 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic greedy sequence packing (text/packing.py) —
     k1=doc_id, k2=shard, token=n_tokens, n=bin; the oracle replays the
     sequential greedy recurrence as a DuckDB recursive CTE, verifying
-    the applyInPandas operator bin-for-bin."""
+    the applyInPandas operator bin-for-bin.  `contam`: benchmark
+    decontamination (text/contamination.py) — docs with doc_id%97==0
+    act as the eval set; k1=doc_id, n=distinct eval 8-grams found
+    (broadcast-array plan, corpus side shuffle-free).  `vocab`: global
+    top-50 token frequencies (TakeOrderedAndProject — the vocabulary
+    pass of a tokenizer-training pipeline) — k1=rank, token, n=count."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
@@ -365,9 +419,44 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("string").alias("token"),
         F.col("bin").alias("n"),
     )
+    from ..text.contamination import mark_contaminated
+
+    docs_all = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    contam = mark_contaminated(
+        docs_all, docs_all.filter(F.col("doc_id") % 97 == 0), n=_CONTAM_N
+    ).select(
+        F.lit("contam").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("contam_hits").alias("n"),
+    )
+    from pyspark.sql import Window
+
+    counts = (
+        docs_all.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(50)  # TakeOrderedAndProject: the only global sort is top-k
+    )
+    vocab = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        ),
+    ).select(
+        F.lit("vocab").alias("part"),
+        F.col("rnk").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        "token",
+        F.col("cnt").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
         .unionByName(packed)
+        .unionByName(contam)
+        .unionByName(vocab)
         .orderBy("part", "k1", "k2", "n")
     )

@@ -1,0 +1,111 @@
+"""Benchmark decontamination: flag corpus documents that share long
+word n-grams with an evaluation set.
+
+The standard training-data hygiene pass (GPT-3 appendix C / PaLM /
+Llama dedup-and-decontaminate recipes, all public): an eval example
+"leaks" into the training corpus if a document contains any of the
+eval set's 8-grams, so those documents must be dropped or masked
+before training.  The reference pipeline has no analog (it curates
+mobility data); this is part of the beyond-reference LLM-data stack.
+
+Scale shape: the corpus side is 100 TB, the eval side is benchmarks —
+a few MB of text, thousands of distinct 8-grams.  So the right plan
+is: reduce the eval side to a distinct-gram-hash set ONCE, fold it
+into a single array row, broadcast it, and test each corpus document
+row-locally (`array_intersect` of the doc's gram hashes against the
+broadcast array).  Zero shuffle on the corpus side, no explode, no
+join key — the whole pass pipelines into the corpus scan.  For eval
+sets too big to fold into one array (~millions of grams), `via_join`
+explodes doc grams and broadcast-semi-joins instead: still
+broadcast-sized right side, one groupBy(doc_id) shuffle on the left.
+
+Gram hashing reuses the portable md5-60bit-mod-2^31-1 scheme shared
+with the MinHash stack (dedup/minhash.py), so the operator is
+oracle-checkable: DuckDB replays the identical hash arithmetic.
+A 31-bit hash collision can flag a clean document with probability
+≈ |eval grams| × |doc grams| / 2^31 — for real decontamination runs
+that's the safe direction (over-dropping, never under-dropping).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from ..dedup.minhash import shingle_hash, shingles
+
+#: Decontamination gram length — the published convention is 8-13;
+#: 8 is the GPT-3 / PaLM choice.
+DEFAULT_N = 8
+
+
+def gram_hashes(text: Column, n: int = DEFAULT_N) -> Column:
+    """Distinct hashed word n-grams of one document (row-local).
+
+    Documents shorter than `n` words hash their whole text as a single
+    gram (the `shingles` short-doc convention), so tiny eval examples
+    still decontaminate exact copies of themselves.
+    """
+    toks = F.split(text, " ")
+    return F.transform(shingles(toks, text, n), shingle_hash)
+
+
+def eval_gram_set(eval_docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
+    """One row holding the sorted distinct gram-hash array of the eval
+    set — the broadcastable decontamination dictionary."""
+    return (
+        eval_docs.select(
+            F.explode(gram_hashes(F.col("text"), n)).alias("h")
+        )
+        .agg(F.array_sort(F.collect_set("h")).alias("eval_grams"))
+    )
+
+
+def mark_contaminated(
+    docs: DataFrame, eval_docs: DataFrame, n: int = DEFAULT_N
+) -> DataFrame:
+    """Corpus docs + (contam_hits, contaminated).
+
+    `contam_hits` = number of DISTINCT eval grams the document
+    contains; `contaminated` = contam_hits > 0.  Broadcast-array plan:
+    the corpus side never shuffles.
+    """
+    dict_row = F.broadcast(eval_gram_set(eval_docs, n))
+    hits = F.size(
+        F.array_intersect(gram_hashes(F.col("text"), n), F.col("eval_grams"))
+    )
+    return (
+        docs.join(dict_row)
+        .withColumn("contam_hits", hits.cast("long"))
+        .withColumn("contaminated", F.col("contam_hits") > 0)
+        .drop("eval_grams")
+    )
+
+
+def mark_contaminated_via_join(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join-shaped variant for eval sets too large to fold into one
+    in-row array: explode corpus grams, broadcast-join the distinct
+    eval grams, re-aggregate per document.  Same output contract as
+    `mark_contaminated` (checked equal in tests)."""
+    eval_grams = (
+        eval_docs.select(F.explode(gram_hashes(F.col("text"), n)).alias("h"))
+        .distinct()
+    )
+    hits = (
+        docs.select(id_col, F.explode(gram_hashes(F.col("text"), n)).alias("h"))
+        .join(F.broadcast(eval_grams), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(
+            "contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0))
+        )
+        .withColumn("contaminated", F.col("contam_hits") > 0)
+    )
