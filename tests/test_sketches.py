@@ -94,6 +94,68 @@ def test_incremental_daily_builds_equal_one_shot(spark, events, tmp_path):
     assert again == got
 
 
+def test_fragment_appends_estimate_exactly(spark, events, tmp_path):
+    """Append-only maintenance: sketching two halves separately and
+    unioning at query time must equal the one-shot sketch estimate
+    EXACTLY (HLL registers are a max-lattice)."""
+    from urban_mobility_data_lakehouse_spark.operators.sketches import (
+        daily_user_sketches,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    frag = SketchRollup(lake, name="frag")
+    lake.append(
+        daily_user_sketches(events.filter(F.col("event_id") % 2 == 0)),
+        "gold", "frag",
+    )
+    lake.append(
+        daily_user_sketches(events.filter(F.col("event_id") % 2 == 1)),
+        "gold", "frag",
+    )
+    got = [tuple(r) for r in frag.estimate(spark).collect()]
+    want = [
+        tuple(r)
+        for r in estimate_distinct(daily_user_sketches(events)).collect()
+    ]
+    assert got == want
+
+
+def test_streaming_ingest_exactly_once(spark, sf_dir, events, tmp_path):
+    """File-stream ingest appends sketch fragments; estimates equal the
+    batch answer, and a checkpointed re-trigger appends nothing."""
+    import shutil
+
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        normalize_event_ts,
+    )
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+
+    roll = SketchRollup(Lakehouse(str(tmp_path / "lake")), name="s")
+    ckpt = str(tmp_path / "ckpt")
+    roll.ingest_stream(stream, ckpt).awaitTermination(120)
+
+    got = [tuple(r) for r in roll.estimate(spark).collect()]
+    want = [
+        tuple(r)
+        for r in estimate_distinct(daily_user_sketches(events)).collect()
+    ]
+    assert got == want
+
+    n_commits = len(roll.lake.snapshots("gold", "s"))
+    roll.ingest_stream(stream, ckpt).awaitTermination(120)  # replay: no-op
+    assert len(roll.lake.snapshots("gold", "s")) == n_commits
+    assert [tuple(r) for r in roll.estimate(spark).collect()] == got
+
+
 def test_rollup_reads_only_the_sketch_table(spark, events, tmp_path):
     """The estimate plan scans the persisted sketch rows, not events:
     every scanned file must live under the sketch table's directory."""

@@ -128,3 +128,28 @@ class SketchRollup:
         return estimate_distinct(
             self.lake.read(spark, self.schema, self.name), by=by
         )
+
+    def ingest_stream(self, events_stream: DataFrame, checkpoint_dir: str):
+        """Maintain the sketch table from a stream, exactly-once.
+
+        Each micro-batch reduces to its own sketch FRAGMENT rows and
+        appends them — no read-modify-write, no state store.  That is
+        sound because HLL registers are a max-lattice: the union of
+        per-fragment sketches has byte-identical register state to a
+        one-shot sketch of all the data, so `estimate` over fragments
+        equals the batch answer EXACTLY (locked by test).  Appends are
+        deduplicated at the table by (stream_source, batch_id) — the
+        `stream_to_table` exactly-once contract — so replays after
+        checkpoint loss add nothing.
+        """
+        from ..streaming.daily import stream_to_table
+
+        return stream_to_table(
+            events_stream,
+            self.lake,
+            self.schema,
+            self.name,
+            checkpoint_dir,
+            stream_id=f"sketch:{self.schema}.{self.name}",
+            transform=lambda bdf: daily_user_sketches(bdf, self.lg_k),
+        )
