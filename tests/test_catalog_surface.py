@@ -239,3 +239,43 @@ def test_vacuum_retain_hours(spark, lake):
     lake.vacuum_retain("silver", "t", hours=1, _now=future)
     assert lake.read(spark, "silver", "t").count() == 30
     assert ts1  # silence lint; v1's timestamp existed pre-vacuum
+
+
+def test_partition_values_read_prunes_directories(spark, lake):
+    """`read(partition_values=...)` lists only the named value
+    subdirs (planned files shrink), applies row-filter fallback to
+    unpartitioned append dirs, and returns empty (not an error) for
+    values the table doesn't hold."""
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("p")
+    )
+    lake.overwrite_partitions(df, "silver", "pv", partition_col="p")
+
+    pruned = lake.read(spark, "silver", "pv", partition_values=["1", "3"])
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        range(1, 40, 2)
+    )
+    # directory-level: only p=1 / p=3 dirs are planned
+    dirs = {
+        part
+        for f in pruned.inputFiles()
+        for part in f.split("/")
+        if part.startswith("p=")
+    }
+    assert dirs == {"p=1", "p=3"}
+
+    # an unpartitioned append can't dir-prune; rows still filter right
+    lake.append(
+        spark.range(100, 104).select(
+            F.col("id"), F.lit("3").alias("p")
+        ),
+        "silver", "pv",
+    )
+    again = lake.read(spark, "silver", "pv", partition_values=["3"])
+    got = sorted(r["id"] for r in again.collect())
+    assert got == [3, 7, 11, 15, 19, 23, 27, 31, 35, 39, 100, 101, 102, 103]
+
+    # absent value: empty frame, table schema, no error
+    none = lake.read(spark, "silver", "pv", partition_values=["9"])
+    assert none.count() == 0
+    assert set(none.columns) == {"id", "p"}

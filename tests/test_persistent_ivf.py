@@ -45,31 +45,35 @@ def test_query_matches_in_memory_knn_ivf(spark, embeddings, tmp_path):
     assert got == expect
 
 
-def test_query_scans_only_probed_cells(spark, embeddings, tmp_path):
-    """The probe-cell filter must reach the index scan as a PARTITION
-    filter (directory pruning — n_probe of n_cells dirs listed), not a
-    post-scan row filter."""
-    import re
+def _scanned_cells(out) -> set[int]:
+    """cell= partition directories the planned query would read.
 
+    `inputFiles()` reflects partition pruning, so this asserts the
+    SEMANTIC property (n_probe of n_cells directories scanned) without
+    depending on how the optimizer renders the filter in the plan
+    string (IN vs INSET, cast-wrapped or unwrapped — both vary with
+    session history)."""
+    cells = set()
+    for f in out.inputFiles():
+        for part in f.split("/"):
+            if part.startswith("cell="):
+                cells.add(int(part.split("=", 1)[1]))
+    return cells
+
+
+def test_query_scans_only_probed_cells(spark, embeddings, tmp_path):
+    """The probe-cell filter must prune at the DIRECTORY level —
+    n_probe of n_cells partition dirs planned, never the full index."""
     idx = _mk_index(tmp_path)
     idx.build(spark, embeddings)
     one_query = embeddings.filter(F.col("vec_id") == 0)
     out = idx.query(spark, one_query, k=3)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    # the index scan is the only FileScan producing a `cell` column
-    # (paths are truncated in plan strings, so match on schema)
-    scans = [
-        seg
-        for seg in plan.split("+- ")
-        if seg.startswith("FileScan") and "cell#" in seg
-    ]
-    assert scans, "no index scan in plan"
-    for seg in scans:
-        m = re.search(
-            r"PartitionFilters: \[[^\]]*cell#\d+ IN \(([\d,]+)\)", seg
-        )
-        assert m, f"probe filter not a partition filter in: {seg[:300]}"
-        assert len(m.group(1).split(",")) == idx.n_probe
+    touched = _scanned_cells(out)
+    assert touched, "no cell= partition dirs in the planned scan"
+    assert len(touched) == idx.n_probe, touched
+    # and the full (unfiltered) index really is wider than the probe
+    full = idx.lake.read(spark, idx.schema, idx.name)
+    assert len(_scanned_cells(full)) == idx.n_cells
 
 
 def test_add_assigns_against_frozen_centroids_then_optimize(
@@ -102,24 +106,8 @@ def test_add_assigns_against_frozen_centroids_then_optimize(
     assert stats["files_after"] <= stats["files_before"]
     # OPTIMIZE changes layout, never results
     assert _rows(idx.query(spark, queries, k=3)) == before
-    # and probe pruning applies to the compacted layout: the cell
-    # filter reaches the (single) index scan as a partition filter
-    import re
-
+    # and probe pruning applies to the compacted layout: the planned
+    # scan touches only probed cell= directories
     one = embeddings.filter(F.col("vec_id") == 0)
-    plan = (
-        idx.query(spark, one, k=3)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    scans = [
-        seg
-        for seg in plan.split("+- ")
-        if seg.startswith("FileScan") and "cell#" in seg
-    ]
-    assert scans
-    assert all(
-        re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN \([\d,]+\)", seg)
-        for seg in scans
-    )
+    touched = _scanned_cells(idx.query(spark, one, k=3))
+    assert 0 < len(touched) <= idx.n_probe

@@ -141,10 +141,14 @@ class PersistentIVF:
             .distinct()
             .collect()
         )
-        index = self.lake.read(spark, self.schema, self.name).filter(
-            F.col("cell")
-            .cast("string")
-            .isin([str(c) for c in probe_cells])
+        # directory-level pruning: only the probed cell= subdirs are
+        # listed/planned (inputFiles() shrinks to n_probe/n_cells of
+        # the index) — not a post-scan row filter
+        index = self.lake.read(
+            spark,
+            self.schema,
+            self.name,
+            partition_values=[str(c) for c in probe_cells],
         )
         scored = index.select(
             F.col("vec_id").alias("neighbor_id"),

@@ -1164,6 +1164,7 @@ class Lakehouse:
         name: str,
         version: int | None = None,
         with_positions: bool = False,
+        partition_values: list[str] | None = None,
     ) -> DataFrame:
         """Read the table as of `version` (None = latest) by unioning
         each commit directory's still-live slice.  Superseded partitions
@@ -1172,34 +1173,79 @@ class Lakehouse:
         deletion vectors (merge-on-read deletes) are anti-joined out;
         `with_positions=True` keeps the physical (__dv_file, __dv_pos)
         columns — the handle `delete_where(mode="merge_on_read")` uses
-        to name rows."""
+        to name rows.
+
+        `partition_values` restricts the read to those partitions at
+        the DIRECTORY level: only the named `<pcol>=<value>` subdirs
+        are handed to Spark (the planned file set — `inputFiles()` —
+        shrinks, nothing else is even listed; the point-lookup shape
+        the persistent IVF probe runs).  Unpartitioned commit dirs
+        (e.g. not-yet-optimized appends) can't dir-prune and fall back
+        to a row filter."""
         part_map, extra, dvs = self._manifest(schema, name, version)
         self._require_dirs(
             schema, name, version,
             {d for d, _ in part_map.values()} | set(extra) | set(dvs),
         )
         tag = with_positions or bool(dvs)
+        wanted = (
+            None if partition_values is None else set(partition_values)
+        )
+        pcol_any: str | None = None
         by_dir: dict[str, tuple[str, list[str]]] = {}
         for value, (d, pcol) in part_map.items():
+            pcol_any = pcol
+            if wanted is not None and value not in wanted:
+                continue
             # a partition superseded to EMPTY (delete_where removed all
             # its rows) maps to a version dir holding no files for it —
             # or no files at all; skip unreadable dirs
             if _count_data_files(d) == 0:
                 continue
             by_dir.setdefault(d, (pcol, []))[1].append(value)
+
+        def _partitioned(d: str, pcol: str, values: list[str]) -> DataFrame:
+            paths = [d]
+            if wanted is not None:
+                # point the scan at the surviving value subdirs only;
+                # a value whose subdir is absent in this commit dir
+                # contributes nothing (and must not fail the listing)
+                paths = [
+                    p
+                    for v in sorted(values)
+                    if os.path.isdir(p := os.path.join(d, f"{pcol}={v}"))
+                ]
+                if not paths:
+                    return None
+            return (
+                spark.read.option("basePath", d)
+                .parquet(*paths)
+                .filter(F.col(pcol).cast("string").isin(values))
+            )
+
         frames = [
-            spark.read.option("basePath", d)
-            .parquet(d)
-            .filter(F.col(pcol).cast("string").isin(values))
+            f
             for d, (pcol, values) in sorted(by_dir.items())
-        ] + [
+            if (f := _partitioned(d, pcol, values)) is not None
+        ]
+        for d in sorted(extra):
             # an append/overwrite of an EMPTY frame commits a directory
             # with no parquet files; reading it would fail schema
             # inference, so skip — the commit stays in history
-            spark.read.parquet(d)
-            for d in sorted(extra)
-            if _count_data_files(d) > 0
-        ]
+            if _count_data_files(d) == 0:
+                continue
+            f = spark.read.parquet(d)
+            if wanted is not None and pcol_any is not None:
+                f = f.filter(
+                    F.col(pcol_any).cast("string").isin(sorted(wanted))
+                )
+            frames.append(f)
+        if not frames and wanted is not None:
+            # probe of values the table simply doesn't hold: an empty
+            # frame with the table's schema, not an error
+            return self.read(
+                spark, schema, name, version, with_positions
+            ).filter(F.lit(False))
         if not frames:
             raise FileNotFoundError(
                 f"{schema}.{name} has no data at version {version}"
