@@ -1,0 +1,105 @@
+"""End-to-end corpus curation (text/pipeline.py).
+
+The chain is the already-tested operators; what's locked here is the
+COMPOSITION: stage invariants hold on the final output, the lakehouse
+mode commits every stage as a versioned table plus an atomically
+exported shard set, and the run is deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+from urban_mobility_data_lakehouse_spark.text.pipeline import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def eval_docs(docs):
+    return docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+
+def test_lazy_chain_invariants(spark, docs, eval_docs):
+    train, stats = curate_corpus(
+        spark, docs, eval_docs=eval_docs, min_quality=0.3
+    )
+    rows = train.collect()
+    assert rows, "pipeline emptied the corpus"
+    # monotone funnel
+    assert (
+        stats["exact_dedup"]
+        >= stats["near_dedup"]
+        >= stats["decontaminated"]
+        >= stats["quality_filtered"]
+        > 0
+    )
+    # no exact-duplicate texts survive
+    texts = [r["text"] for r in rows]
+    assert len(set(texts)) == len(texts)
+    # every survivor clears the quality bar
+    assert all(r["quality_score"] >= 0.3 for r in rows)
+    # eval members were removed (self-contamination)
+    eval_ids = {r["doc_id"] for r in eval_docs.collect()}
+    assert not eval_ids & {r["doc_id"] for r in rows}
+    # split accounting covers the filtered corpus
+    assert sum(stats["split"].values()) == stats["quality_filtered"]
+
+
+def test_lakehouse_mode_commits_stages_and_shards(
+    spark, docs, eval_docs, tmp_path
+):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        eval_docs=eval_docs,
+        lake=lake,
+        n_shards=4,
+        shard_budget=256,
+    )
+    tables = set(lake.list_tables("curated"))
+    assert {
+        "exact_dedup", "near_dedup", "decontaminated",
+        "quality_filtered", "dup_clusters", "train_shards",
+        "train_shards_manifest",
+    } <= tables
+
+    # the shard export is consistent with the returned train split
+    shard_rows = lake.read(spark, "curated", "train_shards")
+    assert shard_rows.count() == train.count()
+    manifest = {
+        r["shard"]: r
+        for r in lake.read(
+            spark, "curated", "train_shards_manifest"
+        ).collect()
+    }
+    assert len(manifest) == 4
+    assert stats["shards"]
+    # stage tables are versioned evidence: time travel reads v0
+    assert lake.read(spark, "curated", "exact_dedup", version=0).count() == (
+        stats["exact_dedup"]
+    )
+
+
+def test_mixing_stage_upsamples_into_shards(spark, docs, tmp_path):
+    weights = {r["source"]: 1.0 for r in docs.select("source").distinct().collect()}
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        mix_weights=weights,
+        mix_budget_tokens=5_000,
+        audit=True,
+    )
+    assert stats["mixed"] > 0
+    # synthetic ids from upsampling stay unique
+    ids = [r["doc_id"] for r in train.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))

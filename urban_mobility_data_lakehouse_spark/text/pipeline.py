@@ -1,0 +1,137 @@
+"""End-to-end corpus curation: the full pretraining-data pass.
+
+One composable function chains the engine's training-data operators in
+the order production pipelines run them (CCNet / RefinedWeb / FineWeb
+publish the same skeleton):
+
+    exact dedup → near-dup keep-one-per-cluster → benchmark
+    decontamination → quality filter → leakage-safe split →
+    (optional) domain mixing → packed shard export
+
+Every stage is the already-tested operator; this module adds the
+composition contract: stages stay LAZY (one logical plan end-to-end —
+Catalyst sees through the whole chain, so column pruning and scan
+reuse cross stage boundaries), and the audit counts are optional
+because each count forces a job.
+
+At 100 TB you'd checkpoint stage outputs to lakehouse tables instead
+of composing one plan (restartability beats plan fusion at that
+scale); `curate_corpus(..., lake=...)` does exactly that when given a
+lakehouse — each stage lands as a versioned table, so a crashed run
+resumes from the last committed stage and every intermediate is
+time-travelable evidence for data-lineage audits.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..dedup import minhash
+from ..dedup.components import duplicate_clusters
+from ..dedup.exact import deduplicate
+from ..sources.lakehouse import Lakehouse
+from .analysis import quality_features
+from .contamination import mark_contaminated
+from .curation import leakage_safe_split
+from .mixing import mix_to_budget
+from .shards import export_shards
+
+
+def curate_corpus(
+    spark: SparkSession,
+    documents: DataFrame,
+    eval_docs: DataFrame | None = None,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    mix_weights: dict[str, float] | None = None,
+    mix_budget_tokens: int | None = None,
+    lake: Lakehouse | None = None,
+    schema: str = "curated",
+    shard_budget: int = 2048,
+    n_shards: int = 8,
+    audit: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation chain; returns (train_df, audit dict).
+
+    `documents` needs (doc_id, text[, source]).  When `lake` is given,
+    each stage is committed as `schema`.<stage> and the train split is
+    shard-exported; otherwise everything stays one lazy plan.
+    """
+    stats: dict = {}
+
+    def _checkpoint(df: DataFrame, stage: str) -> DataFrame:
+        if audit:
+            stats[stage] = df.count()
+        if lake is not None:
+            lake.create_schemas(schema)
+            lake.overwrite(df, schema, stage)
+            return lake.read(spark, schema, stage)
+        return df
+
+    stage = _checkpoint(deduplicate(documents), "exact_dedup")
+
+    # near-dup pairs computed ONCE, reused for keep-one-per-cluster
+    # dedup AND the leakage-safe split (the cluster map is the shared
+    # artifact — production pipelines persist it for lineage)
+    clusters = duplicate_clusters(
+        minhash.near_duplicates(stage, near_dup_threshold)
+    )
+    if lake is not None:
+        lake.create_schemas(schema)
+        lake.overwrite(clusters, schema, "dup_clusters")
+        clusters = lake.read(spark, schema, "dup_clusters")
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    stage = _checkpoint(
+        stage.join(losers, ["doc_id"], "left_anti"), "near_dedup"
+    )
+
+    if eval_docs is not None:
+        stage = _checkpoint(
+            mark_contaminated(stage, eval_docs)
+            .filter(~F.col("contaminated"))
+            .drop("contam_hits", "contaminated"),
+            "decontaminated",
+        )
+
+    quality = quality_features(stage).select("doc_id", "quality_score")
+    stage = _checkpoint(
+        stage.join(quality, "doc_id").filter(
+            F.col("quality_score") >= min_quality
+        ),
+        "quality_filtered",
+    )
+
+    split = leakage_safe_split(stage, clusters)
+    train = split.filter(F.col("split") == "train").drop("split")
+    if audit:
+        stats["split"] = {
+            r["split"]: r["n"]
+            for r in split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    if mix_weights is not None and mix_budget_tokens is not None:
+        train = mix_to_budget(train, mix_weights, mix_budget_tokens)
+        # packing keys on doc_id: keep upsampled copies distinct
+        train = train.withColumn(
+            "doc_id",
+            F.col("doc_id") * 1000 + F.col("copy_no"),
+        ).drop("copy_no")
+        if audit:
+            stats["mixed"] = train.count()
+
+    if lake is not None:
+        stats["shards"] = export_shards(
+            spark,
+            train.select("doc_id", "text"),
+            lake,
+            schema,
+            "train_shards",
+            budget=shard_budget,
+            n_shards=n_shards,
+        )["shards"]
+    return train, stats
