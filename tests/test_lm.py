@@ -1,0 +1,83 @@
+"""Unigram LM perplexity scoring (text/lm.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.text.lm import (
+    cross_entropy,
+    perplexity_band_filter,
+    unigram_model,
+)
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_model_matches_python_reference(spark):
+    ref = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    model, oov = unigram_model(ref, vocab_size=2)
+    got = {r["token"]: r["log2p"] for r in model.collect()}
+    # counts: a=4, b=2, c=1; n=7, types=3, denom=11
+    assert set(got) == {"a", "b"}  # top-2
+    assert abs(got["a"] - math.log2(5 / 11)) < 1e-12
+    assert abs(got["b"] - math.log2(3 / 11)) < 1e-12
+    assert abs(oov - math.log2(1 / 11)) < 1e-12
+
+
+def test_cross_entropy_exact_on_known_doc(spark):
+    ref = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    model, oov = unigram_model(ref, vocab_size=2)
+    target = spark.createDataFrame(
+        [(7, "a b zzz")], "doc_id long, text string"
+    )
+    [row] = cross_entropy(target, model, oov).collect()
+    want = -(math.log2(5 / 11) + math.log2(3 / 11) + math.log2(1 / 11)) / 3
+    assert abs(row["xent"] - want) < 1e-12
+    assert abs(row["perplexity"] - 2**want) < 1e-9
+    assert row["n_tokens"] == 3
+
+
+def test_in_domain_scores_below_noise(spark, docs):
+    model, oov = unigram_model(docs, vocab_size=1024)
+    noise = spark.createDataFrame(
+        [(990001, "qqxz vbnw zzkj mmpl wrtt yyuu")],
+        "doc_id long, text string",
+    )
+    scored = cross_entropy(docs.union(noise), model, oov)
+    noise_x = scored.filter(F.col("doc_id") == 990001).collect()[0]["xent"]
+    med = scored.filter(F.col("doc_id") != 990001).agg(
+        F.expr("percentile(xent, 0.5)")
+    ).collect()[0][0]
+    assert noise_x > med + 1.0, (noise_x, med)
+
+
+def test_band_filter_drops_both_tails(spark, docs):
+    model, oov = unigram_model(docs, vocab_size=1024)
+    kept = perplexity_band_filter(docs, model, oov, 0.10, 0.90)
+    n, total = kept.count(), docs.count()
+    assert 0.6 * total < n < 0.95 * total
+    # determinism
+    assert kept.count() == perplexity_band_filter(
+        docs, model, oov, 0.10, 0.90
+    ).count()
+
+
+def test_corpus_join_side_is_broadcast(spark, docs):
+    model, oov = unigram_model(docs, vocab_size=256)
+    plan = (
+        cross_entropy(docs, model, oov)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
