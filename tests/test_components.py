@@ -38,28 +38,41 @@ def _uf_components(edges):
     return comp
 
 
-def _spark_components(spark, edges):
+def _spark_components(spark, edges, driver_threshold=100_000):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    out = connected_components(df)
+    out = connected_components(df, driver_threshold=driver_threshold)
     return {r["node"]: r["component"] for r in out.collect()}
 
 
-def test_matches_union_find_on_random_graph(spark):
+# 0 forces the distributed loop; the default exercises the
+# driver-side union-find fast path — both must agree with the oracle
+@pytest.mark.parametrize("thresh", [100_000, 0])
+def test_matches_union_find_on_random_graph(spark, thresh):
     rng = random.Random(42)
     edges = [
         (rng.randrange(200), rng.randrange(200)) for _ in range(150)
     ]
     edges = [(a, b) for a, b in edges if a != b]
-    assert _spark_components(spark, edges) == _uf_components(edges)
+    assert _spark_components(spark, edges, thresh) == _uf_components(edges)
 
 
 def test_long_chain_converges_via_pointer_jumping(spark):
     # a 300-node path: diameter 299 ≫ 25 rounds — only pointer
     # jumping's exponential compression can converge in time
+    # (driver_threshold=0 forces the distributed loop)
     edges = [(i, i + 1) for i in range(300)]
-    got = _spark_components(spark, edges)
+    got = _spark_components(spark, edges, driver_threshold=0)
     assert set(got.values()) == {0}
     assert len(got) == 301
+
+
+def test_driver_and_distributed_paths_bit_identical(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _spark_components(spark, edges, 100_000) == _spark_components(
+        spark, edges, 0
+    )
 
 
 def test_disjoint_cliques_and_pair(spark):
@@ -142,4 +155,4 @@ def test_unconverged_raises(spark):
     edges = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, driver_threshold=0)

@@ -91,23 +91,74 @@ def _jump(labels: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Union-find over a collected (bounded!) edge list — identical
+    output contract to the distributed loop: component = min node id.
+    Path-compressed, rank-free (depth is irrelevant at these sizes);
+    deterministic regardless of edge order because the final label is
+    the component MINIMUM, not the union order's root."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # compress
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e.collect():
+        a, b = row["a"], row["b"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for node in list(parent):
+        r = find(node)
+        m = comp_min.get(r)
+        if m is None or node < m:
+            comp_min[r] = node
+    out = [(n, comp_min[find(n)]) for n in parent]
+    node_type = e.schema["a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("node", node_type), StructField("component", node_type)]
+    )
+    return e.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`;
     `component` is the min node id of the connected component.
     Raises if `max_iter` rounds don't converge (each round is one
     neighbor-min step + two pointer jumps, so that needs a component
-    diameter beyond ~4^max_iter)."""
+    diameter beyond ~4^max_iter).
+
+    Hybrid execution: the duplicate-pair graph is normally MUCH
+    smaller than the corpus (bounded by the duplicate population), so
+    when the deduped edge count is ≤ `driver_threshold` the closure
+    runs as driver-side union-find on the collected edges — one job
+    instead of several iterative rounds, bit-identical output (same
+    min-of-component labels; locked by test).  Above the threshold —
+    or with `driver_threshold=0` — the O(log diameter) distributed
+    loop runs; that is the 100 TB path."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = _checkpointed(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_threshold and e.limit(driver_threshold + 1).count() <= (
+        driver_threshold
+    ):
+        return _driver_components(e)
     # no checkpoint needed: a two-node plan over the checkpointed edges
     labels = (
         e.select(F.col("a").alias("node"))
