@@ -332,3 +332,42 @@ def test_stream_to_table_exactly_once_survives_checkpoint_loss(
         if "stream_batch_id" in e
     ]
     assert marks == [0]
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark, sf_dir):
+    """Cross-validation against Spark's own `session_window`: the
+    gaps-and-islands operator must produce the same session COUNT per
+    user and the same (start, n_events, total_value) multiset.
+
+    Boundary-semantics note: `session_window` closes a session when
+    the next event is ≥ gap after the previous (window is [start,
+    last+gap)); our operator breaks on STRICTLY greater than gap.  An
+    event exactly gap after the previous therefore extends our
+    session but starts a new built-in one — the fixture's microsecond
+    timestamps make exact-gap collisions measure-zero, so the two
+    definitions coincide here (and the assert would catch a fixture
+    that starts violating that)."""
+    from urban_mobility_data_lakehouse_spark.operators.relational import dsum
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    ours = {
+        (r["user_id"], r["session_start"], r["n_events"],
+         round(r["total_value"], 4))
+        for r in sessionize(events, gap_minutes=30).collect()
+    }
+    builtin = {
+        (r["user_id"], r["start"], r["n_events"], round(r["tv"], 4))
+        for r in events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(
+            F.min("ts").alias("start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum("value"), 4).alias("tv"),
+        )
+        .collect()
+    }
+    assert ours == builtin
