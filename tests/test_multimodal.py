@@ -352,3 +352,48 @@ def test_resize_stub_plumbing(spark, sf_dir):
 
     with _pytest.raises(Exception, match="codecs needing external"):
         resize_image(media.limit(2), 8, 6).collect()
+
+
+def test_video_frame_sampling_pixel_exact(spark):
+    """Concatenated-P6 video: sampled frames decode pixel-exact, the
+    stream walk counts frames, and a lying catalog n_frames raises."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        MEDIA_SCHEMA,
+        decode_ppm,
+        encode_ppm_stream,
+        sample_video_frames,
+        split_ppm_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [
+        (rng.rand(4, 5, 3) * 255).astype("uint8") for _ in range(7)
+    ]
+    stream = encode_ppm_stream(frames)
+    assert len(split_ppm_stream(stream)) == 7
+
+    rows = [(1, "video/x-ppm", bytearray(stream), (5, 4, None, 7))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["frame_index"]: r
+        for r in sample_video_frames(media, every_n=3).collect()
+    }
+    assert sorted(got) == [0, 3, 6]
+    for idx, r in got.items():
+        assert (r["width"], r["height"], r["n_frames"]) == (5, 4, 7)
+        assert (decode_ppm(bytes(r["frame"])) == frames[idx]).all()
+        assert abs(
+            r["mean_luma"] - round(float(frames[idx].mean()), 4)
+        ) < 1e-9
+
+    # catalog/container disagreement must fail loudly
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(2, "video/x-ppm", bytearray(stream), (5, 4, None, 99))],
+        MEDIA_SCHEMA,
+    )
+    with _pytest.raises(Exception, match="99 frames"):
+        sample_video_frames(bad, every_n=3).collect()

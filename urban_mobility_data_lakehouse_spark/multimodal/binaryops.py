@@ -457,3 +457,117 @@ def resize_image(
             "width int, height int"
         ),
     )
+
+
+# -- video: concatenated-P6 frame streams ---------------------------------
+#
+# The container is a sequence of complete binary P6 PPM frames laid
+# end-to-end — an uncompressed MJPEG analog that stays stdlib-decodable
+# (real codec containers need external libraries; the ENGINE concerns
+# — byte walking, per-frame slicing, sampled fan-out, Arrow batch
+# shape — are identical).
+
+def _ppm_frame_length(b: bytes, off: int) -> int:
+    """Byte length of the P6 frame starting at `off` (header + pixels)."""
+    tokens, i = [], off + 2
+    if b[off : off + 2] != b"P6":
+        raise ValueError(f"no P6 frame at offset {off}")
+    while len(tokens) < 3:
+        while b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while b[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(b[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _ = tokens
+    return (i - off) + w * h * 3
+
+
+def ppm_stream_offsets(b: bytes) -> list[tuple[int, int]]:
+    """(offset, length) of every frame — a header walk, no pixel
+    copies (what makes sparse sampling cheap)."""
+    spans, off = [], 0
+    while off < len(b):
+        ln = _ppm_frame_length(b, off)
+        spans.append((off, ln))
+        off += ln
+    return spans
+
+
+def split_ppm_stream(b: bytes) -> list[bytes]:
+    """Slice a concatenated-P6 stream into its frame blobs."""
+    return [b[o : o + ln] for o, ln in ppm_stream_offsets(b)]
+
+
+def encode_ppm_stream(arrays) -> bytes:
+    """uint8 (h, w, 3) arrays → one concatenated-P6 stream blob."""
+    return b"".join(encode_ppm(a) for a in arrays)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling over concatenated-P6 payloads: walk the
+    stream, keep every `every_n`-th frame, emit one row per sampled
+    frame with its decoded dimensions, mean luma, and the frame blob.
+
+    mapInPandas (Arrow batches in, fan-out rows out) — decode touches
+    ONLY the sampled frames' pixel bytes; skipped frames cost a header
+    parse (to find the next offset), never a pixel copy, which is the
+    property that makes 1-of-30 sampling ~30× cheaper than full decode
+    at 100 TB.  `meta.n_frames`, when present, is validated against
+    the walked count (container truth beats catalog truth).
+    """
+
+    def _sample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_index": [], "n_frames": [],
+                "width": [], "height": [], "mean_luma": [], "frame": [],
+            }
+            for mid, b, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                b = bytes(b)
+                spans = ppm_stream_offsets(b)
+                declared = (meta or {}).get("n_frames")
+                if declared is not None and not (
+                    declared != declared  # NaN from Arrow null
+                ) and int(declared) != len(spans):
+                    raise ValueError(
+                        f"media {mid}: catalog says {declared} frames, "
+                        f"stream holds {len(spans)}"
+                    )
+                for idx in range(0, len(spans), every_n):
+                    o, ln = spans[idx]
+                    blob = b[o : o + ln]
+                    px = decode_ppm(blob)
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(idx)
+                    out["n_frames"].append(len(spans))
+                    out["height"].append(px.shape[0])
+                    out["width"].append(px.shape[1])
+                    out["mean_luma"].append(
+                        float(
+                            np.round(
+                                px.astype(np.float64).mean(), 4
+                            )
+                        )
+                    )
+                    out["frame"].append(blob)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _sample,
+        schema=(
+            "media_id long, frame_index long, n_frames long, "
+            "width int, height int, mean_luma double, frame binary"
+        ),
+    )
