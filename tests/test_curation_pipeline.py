@@ -103,3 +103,19 @@ def test_mixing_stage_upsamples_into_shards(spark, docs, tmp_path):
     # synthetic ids from upsampling stay unique
     ids = [r["doc_id"] for r in train.select("doc_id").collect()]
     assert len(ids) == len(set(ids))
+
+
+def test_optional_boilerplate_and_perplexity_stages(spark, docs):
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        boilerplate_min_docs=5,
+        perplexity_band=(0.05, 0.95),
+        min_quality=0.0,
+    )
+    assert "boilerplate_stripped" in stats
+    assert "perplexity_filtered" in stats
+    # the perplexity band trims both tails of the quality-filtered set
+    assert 0 < stats["perplexity_filtered"] <= stats["quality_filtered"]
+    assert sum(stats["split"].values()) == stats["perplexity_filtered"]
+    assert train.count() > 0

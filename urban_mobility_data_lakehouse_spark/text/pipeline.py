@@ -44,6 +44,8 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.5,
+    boilerplate_min_docs: int | None = None,
+    perplexity_band: tuple[float, float] | None = None,
     mix_weights: dict[str, float] | None = None,
     mix_budget_tokens: int | None = None,
     lake: Lakehouse | None = None,
@@ -68,6 +70,16 @@ def curate_corpus(
             lake.overwrite(df, schema, stage)
             return lake.read(spark, schema, stage)
         return df
+
+    if boilerplate_min_docs is not None:
+        from .boilerplate import strip_boilerplate
+
+        documents = _checkpoint(
+            strip_boilerplate(documents, min_docs=boilerplate_min_docs)
+            .drop("n_boilerplate_lines")
+            .filter(F.length("text") > 0),
+            "boilerplate_stripped",
+        )
 
     stage = _checkpoint(deduplicate(documents), "exact_dedup")
 
@@ -103,6 +115,18 @@ def curate_corpus(
         ),
         "quality_filtered",
     )
+
+    if perplexity_band is not None:
+        from .lm import perplexity_band_filter, unigram_model
+
+        lo, hi = perplexity_band
+        model, oov = unigram_model(stage)
+        stage = _checkpoint(
+            perplexity_band_filter(stage, model, oov, lo, hi).drop(
+                "xent", "perplexity", "n_tokens"
+            ),
+            "perplexity_filtered",
+        )
 
     split = leakage_safe_split(stage, clusters)
     train = split.filter(F.col("split") == "train").drop("split")
