@@ -242,6 +242,13 @@ contam_eval AS (
 )
 """
 
+# chunking part: small window/overlap so the fixture corpus exercises
+# multi-chunk docs densely; n = chunk-text char length pins the exact
+# token slice boundaries
+_CHUNK_MAX = 16
+_CHUNK_OVERLAP = 4
+_CHUNK_STRIDE = _CHUNK_MAX - _CHUNK_OVERLAP
+
 # suite-level packing parameters: a small budget exercises bin
 # boundaries densely on the fixture corpus
 _PACK_BUDGET = 64
@@ -321,6 +328,26 @@ pack_packed AS (
            CAST(count(*) FILTER (WHERE h IN (SELECT h FROM contam_eval))
                AS BIGINT)
     FROM contam_grams GROUP BY doc_id
+    UNION ALL
+    SELECT 'chunk',
+           CAST(doc_id AS BIGINT),
+           chunk_no,
+           CAST(NULL AS VARCHAR),
+           CAST(length(array_to_string(
+               list_slice(t, chunk_no * {_CHUNK_STRIDE} + 1,
+                          chunk_no * {_CHUNK_STRIDE} + {_CHUNK_MAX}),
+               ' ')) AS BIGINT)
+    FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(0, nc - 1)) AS chunk_no
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   greatest(1, CAST(ceil(
+                       (len(string_split(text, ' ')) - {_CHUNK_OVERLAP})
+                       / {_CHUNK_STRIDE}.0) AS BIGINT)) AS nc
+            FROM documents
+        )
+    )
     UNION ALL
     SELECT 'vocab',
            CAST(rnk AS BIGINT),
@@ -452,11 +479,23 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("cnt").alias("n"),
     )
+    from ..text.chunking import chunk_documents
+
+    chunks = chunk_documents(
+        docs_all, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    ).select(
+        F.lit("chunk").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("chunk_no").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.length("chunk_text").cast("long").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
         .unionByName(packed)
         .unionByName(contam)
         .unionByName(vocab)
+        .unionByName(chunks)
         .orderBy("part", "k1", "k2", "n")
     )
