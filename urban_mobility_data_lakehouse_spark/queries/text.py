@@ -329,6 +329,20 @@ pack_packed AS (
                AS BIGINT)
     FROM contam_grams GROUP BY doc_id
     UNION ALL
+    SELECT 'hotline',
+           CAST(h AS BIGINT),
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(n AS BIGINT)
+    FROM (
+        SELECT h, count(*) AS n
+        FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                string_split(text, chr(10)), s -> {_CONTAM_HASH}))) AS h
+            FROM documents
+        ) GROUP BY h HAVING count(*) >= 2
+    )
+    UNION ALL
     SELECT 'chunk',
            CAST(doc_id AS BIGINT),
            chunk_no,
@@ -479,6 +493,15 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("cnt").alias("n"),
     )
+    from ..text.boilerplate import hot_lines
+
+    hot = hot_lines(docs_all, min_docs=2).select(
+        F.lit("hotline").alias("part"),
+        F.col("line_hash").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("n_docs").alias("n"),
+    )
     from ..text.chunking import chunk_documents
 
     chunks = chunk_documents(
@@ -496,6 +519,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(packed)
         .unionByName(contam)
         .unionByName(vocab)
+        .unionByName(hot)
         .unionByName(chunks)
         .orderBy("part", "k1", "k2", "n")
     )
