@@ -157,3 +157,59 @@ def test_connected_components_scale_stress(spark):
     # generous envelope: catches an accidental return of the
     # exponential-planning regression, not machine noise
     assert wall < 300, f"CC on 100k edges took {wall:.0f}s"
+
+
+def test_sf01_curation_operators(spark):
+    """Round-4 text operators at sf0.1 (5k docs): chunking
+    round-trips the whole corpus, decontamination's broadcast-array
+    plan holds at 1.4k eval grams scale, and the sketch estimate
+    stays inside its error envelope on 100k events."""
+    from urban_mobility_data_lakehouse_spark.operators.sketches import (
+        daily_user_sketches,
+        estimate_distinct,
+    )
+    from urban_mobility_data_lakehouse_spark.text.chunking import (
+        chunk_documents,
+        stitch_chunks,
+    )
+    from urban_mobility_data_lakehouse_spark.text.contamination import (
+        mark_contaminated,
+    )
+
+    docs = load_table(spark, SF01_DIR, "documents").select("doc_id", "text")
+
+    # chunk → stitch is lossless over all 5k docs
+    back = stitch_chunks(
+        chunk_documents(docs, max_tokens=64, overlap=16), overlap=16
+    )
+    diffs = (
+        docs.alias("a")
+        .join(back.alias("b"), "doc_id")
+        .filter(F.col("a.text") != F.col("b.text"))
+        .count()
+    )
+    assert diffs == 0
+
+    # contamination: every eval member self-flags, output is total
+    marked = mark_contaminated(docs, docs.filter(F.col("doc_id") % 97 == 0))
+    n_eval = docs.filter(F.col("doc_id") % 97 == 0).count()
+    flagged_eval = marked.filter(
+        (F.col("doc_id") % 97 == 0) & F.col("contaminated")
+    ).count()
+    assert flagged_eval == n_eval
+    assert marked.count() == docs.count()
+
+    # sketches at 100k events / ~1.5k distinct users
+    events = load_table(spark, SF01_DIR, "events")
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in estimate_distinct(daily_user_sketches(events)).collect()
+    }
+    exact = {
+        r["event_type"]: r["x"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) / e < 0.05, (k, est[k], e)
