@@ -1,0 +1,74 @@
+"""BPE tokenizer (text/bpe.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.text.bpe import (
+    EOW,
+    decode_tokens,
+    encode_documents,
+    train_bpe,
+    word_frequencies,
+)
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+
+
+def test_classic_sennrich_example():
+    """The canonical low/lower/newest/widest corpus: BPE must learn
+    'es', 'est', 'est</w>', 'lo', 'low' among its first merges."""
+    freqs = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = train_bpe(freqs, n_merges=10)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", EOW)
+    assert ("l", "o") in merges and ("lo", "w") in merges
+
+
+def test_training_is_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    f1 = word_frequencies(docs, max_word_types=5000)
+    f2 = word_frequencies(docs.repartition(7), max_word_types=5000)
+    assert f1 == f2
+    assert train_bpe(f1, 50) == train_bpe(f2, 50)
+
+
+def test_encode_respects_merges_and_decodes_exactly(spark):
+    corpus = spark.createDataFrame(
+        [(0, "low lower newest widest low newest")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 10
+    )
+    [row] = encode_documents(corpus, merges).collect()
+    toks = list(row["bpe_tokens"])
+    # 'newest' must surface the learned 'est</w>' unit
+    assert any(t.endswith("est" + EOW) or t == "est" + EOW for t in toks)
+    assert decode_tokens(toks) == "low lower newest widest low newest"
+    assert row["n_bpe_tokens"] == len(toks)
+
+
+def test_oov_words_fall_back_to_characters(spark):
+    corpus = spark.createDataFrame([(0, "zzqq")], "doc_id long, text string")
+    merges = train_bpe([("low", 5)], 5)
+    [row] = encode_documents(corpus, merges).collect()
+    assert decode_tokens(list(row["bpe_tokens"])) == "zzqq"
+    assert row["n_bpe_tokens"] == 5  # z z q q </w>
+
+
+def test_corpus_encode_round_trips(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(word_frequencies(docs, max_word_types=5000), 100)
+    enc = encode_documents(docs, merges)
+    back = {
+        r["doc_id"]: decode_tokens(list(r["bpe_tokens"]))
+        for r in enc.collect()
+    }
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert back == orig
+    # merges genuinely compress: fewer BPE tokens than characters
+    n_bpe = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    n_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert n_bpe < n_chars
