@@ -72,3 +72,29 @@ def test_corpus_encode_round_trips(spark, sf_dir):
     n_bpe = enc.agg(F.sum("n_bpe_tokens")).collect()[0][0]
     n_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
     assert n_bpe < n_chars
+
+
+def test_bpe_counts_drive_packing(spark, sf_dir):
+    """Composition: encode with BPE, pack bins by n_bpe_tokens — the
+    real shard-building flow (whitespace counts under-estimate what a
+    trained tokenizer produces)."""
+    from urban_mobility_data_lakehouse_spark.text.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(word_frequencies(docs, max_word_types=5000), 100)
+    enc = encode_documents(docs, merges)
+    packed = pack_sequences(enc, budget=256, token_col="n_bpe_tokens")
+    # every doc packed exactly once, bins respect the BPE budget
+    assert packed.count() == docs.count()
+    over = (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.sum("n_tokens").alias("t"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .filter((F.col("t") > 256) & (F.col("k") > 1))
+        .count()
+    )
+    assert over == 0
