@@ -119,3 +119,12 @@ def test_optional_boilerplate_and_perplexity_stages(spark, docs):
     assert 0 < stats["perplexity_filtered"] <= stats["quality_filtered"]
     assert sum(stats["split"].values()) == stats["perplexity_filtered"]
     assert train.count() > 0
+
+
+def test_optional_model_filter_stage(spark, docs):
+    train, stats = curate_corpus(
+        spark, docs, min_quality=0.0, model_score_min=0.2
+    )
+    assert "model_filtered" in stats
+    assert 0 < stats["model_filtered"] <= stats["quality_filtered"]
+    assert sum(stats["split"].values()) == stats["model_filtered"]

@@ -46,6 +46,7 @@ def curate_corpus(
     near_dup_threshold: float = 0.5,
     boilerplate_min_docs: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
+    model_score_min: float | None = None,
     mix_weights: dict[str, float] | None = None,
     mix_budget_tokens: int | None = None,
     lake: Lakehouse | None = None,
@@ -126,6 +127,17 @@ def curate_corpus(
                 "xent", "perplexity", "n_tokens"
             ),
             "perplexity_filtered",
+        )
+
+    if model_score_min is not None:
+        from .classifier import score_documents, self_train_quality_model
+
+        w, b = self_train_quality_model(stage)
+        stage = _checkpoint(
+            score_documents(stage, w, b)
+            .filter(F.col("model_score") >= model_score_min)
+            .drop("quality_logit", "model_score"),
+            "model_filtered",
         )
 
     split = leakage_safe_split(stage, clusters)
