@@ -1,1 +1,3 @@
 from . import relational  # noqa: F401
+from . import sketches  # noqa: F401
+from . import temporal  # noqa: F401
