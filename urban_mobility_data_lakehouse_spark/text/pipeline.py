@@ -27,9 +27,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..dedup import minhash
-from ..dedup.components import duplicate_clusters
-from ..dedup.exact import deduplicate
 from ..sources.lakehouse import Lakehouse
 from .analysis import quality_features
 from .contamination import mark_contaminated
@@ -61,6 +58,14 @@ def curate_corpus(
     each stage is committed as `schema`.<stage> and the train split is
     shard-exported; otherwise everything stays one lazy plan.
     """
+    # Imported here, not at module top: dedup.exact imports
+    # text.analysis, so a module-level import from text/ back into
+    # dedup/ is a circular-import bomb whose detonation depends on
+    # which package a caller happens to import first.
+    from ..dedup import minhash
+    from ..dedup.components import duplicate_clusters
+    from ..dedup.exact import deduplicate
+
     stats: dict = {}
 
     def _checkpoint(df: DataFrame, stage: str) -> DataFrame:
