@@ -1,0 +1,78 @@
+"""BM25 retrieval semantics (`text/bm25.py`).
+
+Oracle parity at every scale factor is driver-checked (`bm25_search`);
+these tests pin the behavioral contract: planted-relevance ranking,
+the IDF math against hand computation, the precomputed-stats reuse
+path, and the shuffle-free pure-codegen plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.text import bm25
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_planted_relevant_doc_ranks_first(spark):
+    rows = [(i, "filler words only here nothing relevant at all") for i in range(20)]
+    rows.append((100, "vector vector vector stream customer words here"))
+    rows.append((101, "one vector mention in a long doc " + "pad " * 40))
+    out = bm25.bm25_topk(
+        _docs(spark, rows), terms=("vector", "stream"), k=5
+    ).collect()
+    assert out[0]["doc_id"] == 100
+    # doc 101 matches but scores below the term-dense doc
+    ids = [r["doc_id"] for r in out]
+    assert 101 in ids and ids.index(101) > 0
+    # non-matching filler docs are filtered out entirely
+    assert all(i in (100, 101) for i in ids)
+
+
+def test_idf_matches_hand_computation():
+    stats = {"n_docs": 100, "sum_dl": 5000, "df": {"q": 10}}
+    idf = bm25.idf_weights(stats, ("q",))["q"]
+    assert idf == math.log(1.0 + (100 - 10 + 0.5) / 10.5)
+
+
+def test_precomputed_stats_path_matches_recompute(spark):
+    rows = [
+        (i, f"customer stream {'vector ' * (i % 4)}tail words") for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    stats = bm25.corpus_stats(docs, bm25.QUERY_TERMS)
+    a = bm25.bm25_topk(docs).collect()
+    b = bm25.bm25_topk(docs, stats=stats).collect()
+    assert a == b
+
+
+def test_scoring_scan_is_shuffle_free_pure_codegen(spark):
+    docs = _docs(spark, [(1, "customer vector"), (2, "spark stream")])
+    stats = bm25.corpus_stats(docs, bm25.QUERY_TERMS)
+    plan = (
+        bm25.bm25_topk(docs, stats=stats)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan  # no UDF in the hot path
+    # top-k is the bounded heap, not a global sort+exchange
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_longer_doc_scores_below_equal_tf_shorter_doc(spark):
+    # identical term counts, different lengths: BM25 length norm must
+    # favor the shorter doc
+    rows = [
+        (1, "vector short doc"),
+        (2, "vector " + "pad " * 60),
+        (3, "unrelated filler text"),
+    ]
+    out = bm25.bm25_topk(_docs(spark, rows), terms=("vector",), k=5).collect()
+    assert [r["doc_id"] for r in out][:2] == [1, 2]

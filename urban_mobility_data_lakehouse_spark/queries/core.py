@@ -476,21 +476,6 @@ def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.running_totals(_t(spark, sf_dir, "events"))
 
 
-@register(
-    "topk_orders",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice,
-           strftime(o_orderdate, '%Y-%m-%d') AS order_date
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 10
-    """,
-    tags=("O2",),
-)
-def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.topk(_t(spark, sf_dir, "orders"))
-
-
 # --- Filters / projections / set ops --------------------------------------
 
 @register(
@@ -517,17 +502,25 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS DOUBLE), event_date
         FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
               FROM events ORDER BY 1 LIMIT 5)
+        UNION ALL
+        SELECT 'topk', o_orderkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               o_custkey, o_totalprice,
+               strftime(o_orderdate, '%Y-%m-%d')
+        FROM (SELECT * FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)
     )
     ORDER BY part, p_partkey, event_date
     """,
-    tags=("P3", "P4", "P6", "P7", "P8", "P9", "O3"),
+    tags=("P3", "P4", "P6", "P7", "P8", "P9", "O2", "O3"),
 )
 def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4/P6/P7 predicate family + P8 lateral-alias filter (the
     trailing select→filter chain on the computed `fee` alias), plus a
     NULL-padded `distinct_days` preview part (P9 SELECT DISTINCT + O3
-    bare LIMIT, deterministic: ordered first) folded in to keep the
-    driver registry at 50."""
+    bare LIMIT, deterministic: ordered first) and a `topk` part (O2
+    TakeOrderedAndProject over orders — was the singleton
+    `topk_orders`), both folded in to keep the driver registry at 50."""
     filters = (
         R.filter_suite(_t(spark, sf_dir, "part"))
         .select(
@@ -550,7 +543,21 @@ def filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_date",
         )
     )
-    return filters.unionByName(days).orderBy("part", "p_partkey", "event_date")
+    topk = R.topk(_t(spark, sf_dir, "orders")).select(
+        F.lit("topk").alias("part"),
+        F.col("o_orderkey").alias("p_partkey"),
+        F.lit(None).cast("string").alias("p_name"),
+        F.lit(None).cast("string").alias("p_brand"),
+        F.lit(None).cast("string").alias("p_type"),
+        F.col("o_custkey").alias("p_size"),
+        F.col("o_totalprice").alias("fee"),
+        F.col("order_date").alias("event_date"),
+    )
+    return (
+        filters.unionByName(days)
+        .unionByName(topk)
+        .orderBy("part", "p_partkey", "event_date")
+    )
 
 
 @register(

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.testdata import load_table
 from ..text import analysis as T
-from ..text import winnow
+from ..text import bm25, winnow
 from . import register
 
 _EN = "'the','and','of','to','a'"
@@ -523,3 +523,21 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(chunks)
         .orderBy("part", "k1", "k2", "n")
     )
+
+
+@register(
+    "bm25_search",
+    oracle=bm25.bm25_oracle_sql,  # callable: IDF weights + avgdl are
+    # corpus-derived, computed driver-side from exact integer stats and
+    # inlined as identical literals into BOTH engines (no log evaluated
+    # by either engine) — the knn_ivf data-derived-constants pattern
+    tags=("text", "retrieval", "bm25", "scale"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 keyword retrieval over `documents` (text/bm25.py).
+
+    One bounded stats aggregate (a single collected row of exact
+    integers), then a shuffle-free row-local scoring scan whose only
+    sort is the TakeOrderedAndProject heap — the batch corpus-mining
+    scale path."""
+    return bm25.bm25_topk(load_table(spark, sf_dir, "documents"))
