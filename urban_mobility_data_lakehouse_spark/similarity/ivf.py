@@ -187,13 +187,18 @@ def knn_ivf(
     query, exact re-rank inside the probed candidate set."""
     centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
 
-    cells = with_ranked_cells(embeddings, centroids, n_probe)
-    base = cells.select(
+    # corpus side ranks cells only to depth 1 (its assignment); the
+    # n_probe-deep ranking is computed ONLY for the n_queries query
+    # rows, whose vec_id filter pushes down to the parquet scan — the
+    # corpus is scanned once, not once per consumer
+    base = assign_cells(embeddings, centroids).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("emb").alias("emb_b"),
-        F.col("probe")[0].alias("cell"),
+        "cell",
     )
-    queries = cells.filter(F.col("vec_id") < n_queries).select(
+    queries = with_ranked_cells(
+        embeddings.filter(F.col("vec_id") < n_queries), centroids, n_probe
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("emb_q"),
         "probe",
