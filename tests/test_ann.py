@@ -107,3 +107,60 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
                 .withColumnRenamed("count", "cnt").collect()}
     assert sum(per_cell.values()) == n
     assert len(per_cell) >= 4  # corpus actually spreads over cells
+
+
+def test_pq_trainer_paths_bit_identical(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.similarity import pq
+
+    a = pq.train_pq(load_table(spark, sf_dir, "embeddings"))
+    b = pq.train_pq_from_parquet(sf_dir)
+    assert a == b  # exact float equality — the oracle's load-bearing invariant
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.similarity import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq.train_pq(emb)
+    codes = pq.encode_pq(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == pq.M
+        assert all(0 <= c < pq.KSUB for c in r["codes"])
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """The ADC-shortlist + exact-re-rank pipeline must retrieve nearly
+    all of the exact squared-L2 top-k (pure ADC ordering alone is
+    data-limited on this near-isotropic synthetic corpus — see
+    similarity/pq.py — which is exactly why the operator re-ranks)."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.similarity import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    k, nq = 3, 10
+    exact: dict[int, set[int]] = {}
+    for qi in range(nq):
+        d = ((x - x[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        exact[int(ids[qi])] = set(int(ids[i]) for i in order)
+    approx = _topk_sets(pq.knn_pq(emb, n_queries=nq, k=k))
+    assert set(approx) == set(exact)
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, f"PQ recall {hits}/{total} too low"
+
+
+def test_pq_deterministic(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.similarity import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert (
+        pq.knn_pq(emb, n_queries=5, k=3).collect()
+        == pq.knn_pq(emb, n_queries=5, k=3).collect()
+    )

@@ -122,15 +122,148 @@ def _lsh_oracle(n_queries: int = 10, k: int = 3, n_planes: int = 16,
     ORDER BY query_id, rank
     """
 
-@register(
-    "knn_lsh",
-    oracle=_lsh_oracle(),  # seed-derived planes inlined as literals
-    tags=("similarity", "knn", "lsh"),
-)
-def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return knn.knn_lsh(
-        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=3
+def _pq_oracle(
+    sf_dir: str, n_queries: int = 10, k: int = 3
+) -> str:
+    """DuckDB replay of `knn_pq` (similarity/pq.py): the pyarrow twin
+    trainer reproduces the codebooks bit-identically; they're inlined
+    as VALUES literals; encode = per-(vec, subspace) argmin with the
+    same squared-L2 fold and the same lowest-code tie-break; ADC = the
+    per-subspace distances re-folded in subspace order (DuckDB's
+    `list(dj ORDER BY j)` pins the fold order SUM would not); then the
+    ADC-shortlist rows are re-ranked by exact squared L2 with the same
+    index-ordered fold."""
+    from ..similarity import pq
+
+    books = pq.train_pq_from_parquet(sf_dir)
+    dsub = len(books[0][0])
+    dim = dsub * len(books)
+    shortlist = pq.SHORTLIST
+    values = ",\n        ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cw)}])"
+        for j, book in enumerate(books)
+        for c, cw in enumerate(book)
     )
+    sub_l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        "i -> ({a}[{off} + i] - {cw}[i]) * ({a}[{off} + i] - {cw}[i])), "
+        "(x, y) -> x + y)"
+    )
+    enc_l2 = sub_l2.format(a="v.e", off=f"cb.j * {dsub}", cw="cb.cw")
+    adc_l2 = sub_l2.format(a="q.eq", off=f"cb.j * {dsub}", cw="cb.cw")
+    full_l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (q.eq[i] - b.e[i]) * (q.eq[i] - b.e[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cb(j, c, cw) AS (VALUES
+        {values}
+    ),
+    d2 AS (
+        SELECT v.vec_id, cb.j, cb.c, {enc_l2} AS d
+        FROM v, cb
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS eq FROM v WHERE vec_id < {n_queries}),
+    parts AS (
+        SELECT q.query_id, co.vec_id AS neighbor_id, co.j,
+               {adc_l2} AS dj
+        FROM q
+        JOIN codes co ON co.vec_id != q.query_id
+        JOIN cb ON cb.j = co.j AND cb.c = co.code
+    ),
+    adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list(dj ORDER BY j), (x, y) -> x + y) AS adc
+        FROM parts GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc ASC, neighbor_id ASC)
+                      AS srank
+            FROM adc
+        ) WHERE srank <= {shortlist}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, {full_l2} AS l2
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN v b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2, 4) AS l2_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2 ASC, neighbor_id ASC)
+                  AS rank
+        FROM rer
+    )
+    WHERE rank <= {k}
+    """
+
+
+def _ann_suite_oracle(sf_dir: str) -> str:
+    """lsh part (static, seed-derived planes) + pq part (data-derived
+    codebooks) in one labeled union."""
+    return f"""
+    SELECT * FROM (
+        SELECT 'lsh' AS part, query_id, neighbor_id,
+               cosine_sim AS score, rank
+        FROM ({_lsh_oracle()})
+        UNION ALL
+        SELECT 'pq', query_id, neighbor_id, l2_dist, rank
+        FROM ({_pq_oracle(sf_dir)})
+    )
+    ORDER BY part, query_id, rank
+    """
+
+
+@register(
+    "ann_suite",
+    oracle=_ann_suite_oracle,  # callable: pq codebooks are data-derived
+    tags=("similarity", "knn", "lsh", "pq", "adc", "scale"),
+)
+def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two ANN index families in one labeled union (was the singleton
+    `knn_lsh`; folded to keep the registry at 50):
+
+    `lsh`: random-hyperplane bucketed top-k cosine (knn.knn_lsh) —
+    score = cosine similarity.  `pq`: product-quantization ADC top-k
+    (similarity/pq.py) — the corpus is compressed to 16 codes/vector,
+    scanned asymmetrically for a 50-candidate shortlist, then re-ranked
+    with exact math; score = exact squared L2 of the winners.  Both
+    oracles replay the exact seed-derived constants, so the driver
+    hash-checks the full index geometry end-to-end."""
+    from ..similarity import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = knn.knn_lsh(emb, n_queries=10, k=3).select(
+        F.lit("lsh").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+        "rank",
+    )
+    pq_part = pq.knn_pq(emb, n_queries=10, k=3).select(
+        F.lit("pq").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("l2_dist").alias("score"),
+        "rank",
+    )
+    return lsh.unionByName(pq_part).orderBy("part", "query_id", "rank")
 
 
 def _banded_near_dups_oracle(

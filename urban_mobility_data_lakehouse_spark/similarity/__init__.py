@@ -1,1 +1,1 @@
-from . import ivf, knn, persistent_ivf  # noqa: F401
+from . import ivf, knn, persistent_ivf, pq  # noqa: F401
