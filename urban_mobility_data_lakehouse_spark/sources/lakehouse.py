@@ -267,6 +267,49 @@ class Lakehouse:
             with open(os.path.join(path, self.CONSTRAINTS_FILE), "w") as f:
                 json.dump(cs, f)
 
+    # -- Bloom filter indexes (Delta CREATE BLOOMFILTER INDEX analog) ------
+
+    BLOOM_FILE = "_bloom_index.json"
+
+    def bloom_index(self, schema: str, name: str) -> dict[str, dict]:
+        p = os.path.join(self._table_dir(schema, name), self.BLOOM_FILE)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def add_bloom_index(
+        self,
+        schema: str,
+        name: str,
+        column: str,
+        m: int | None = None,
+        k: int | None = None,
+    ) -> None:
+        """Register a per-file Bloom filter on `column` (string/integer
+        typed): every subsequent write records, per new file, an m-bit
+        k-probe filter of the column's values in the commit entry, and
+        `read_where` consults it for `=` / `in` predicates — the
+        high-cardinality point-lookup pruning min/max stats can't give.
+        Like Delta, existing files are not back-indexed (they simply
+        never prune); compaction re-files the data and indexes it."""
+        from .bloom import DEFAULT_K, DEFAULT_M
+
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            cfg = self.bloom_index(schema, name)
+            cfg[column] = {"m": m or DEFAULT_M, "k": k or DEFAULT_K}
+            with open(os.path.join(path, self.BLOOM_FILE), "w") as f:
+                json.dump(cfg, f)
+
+    def drop_bloom_index(self, schema: str, name: str, column: str) -> None:
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            cfg = self.bloom_index(schema, name)
+            cfg.pop(column, None)
+            with open(os.path.join(path, self.BLOOM_FILE), "w") as f:
+                json.dump(cfg, f)
+
     def validate(self, spark: SparkSession, schema: str, name: str) -> None:
         """Check the CURRENT table state against all constraints (what
         Delta runs when a constraint is added over existing data)."""
@@ -304,16 +347,40 @@ class Lakehouse:
                 f"{[r.asDict() for r in bad]}"
             )
 
-    def _attach_stats(self, entry: dict, data_dir: str) -> dict:
+    def _attach_stats(
+        self,
+        entry: dict,
+        data_dir: str,
+        schema: str | None = None,
+        name: str | None = None,
+    ) -> dict:
         """Record per-file footer stats in the commit entry (the Delta
         add-action stats analog) — the data-skipping index consulted by
-        `read_where`.  Driver-side footer reads only; no Spark job."""
+        `read_where`.  Driver-side footer reads only; no Spark job —
+        unless the table has Bloom indexes (`add_bloom_index`), which
+        add one bounded Spark aggregate per indexed column over the new
+        files."""
         if self.collect_stats:
             from .skipping import collect_file_stats
 
             entry["files"] = collect_file_stats(
                 data_dir, max_columns=self.stats_max_columns
             )
+            cfg = (
+                self.bloom_index(schema, name)
+                if schema is not None and name is not None
+                else {}
+            )
+            if cfg and entry["files"]:
+                from .bloom import build_file_blooms
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    blooms = build_file_blooms(spark, data_dir, cfg)
+                    for f in entry["files"]:
+                        b = blooms.get(f["path"])
+                        if b:
+                            f["bloom"] = b
         return entry
 
     def _stage_overwrite_partitions(
@@ -341,6 +408,8 @@ class Lakehouse:
                 data_dir=os.path.relpath(data_dir, path),
             ),
             data_dir,
+            schema,
+            name,
         )
 
     def _stage_full_write(
@@ -350,7 +419,10 @@ class Lakehouse:
         self._enforce_constraints(df, schema, name)
         df.write.mode("overwrite").parquet(data_dir)
         return self._attach_stats(
-            dict(op=op, data_dir=os.path.relpath(data_dir, path)), data_dir
+            dict(op=op, data_dir=os.path.relpath(data_dir, path)),
+            data_dir,
+            schema,
+            name,
         )
 
     def overwrite_partitions(
@@ -584,6 +656,8 @@ class Lakehouse:
                     dv_dir=os.path.relpath(dv_dir, path),
                 ),
                 data_dir,
+                schema,
+                name,
             ),
             base,
         )
@@ -828,6 +902,8 @@ class Lakehouse:
                         files_before=before,
                     ),
                     data_dir,
+                    schema,
+                    name,
                 ),
                 version,
             )
@@ -856,6 +932,8 @@ class Lakehouse:
                         files_before=before,
                     ),
                     data_dir,
+                    schema,
+                    name,
                 ),
                 version,
             )
@@ -1280,13 +1358,16 @@ class Lakehouse:
         Spark.  The same predicate is then re-applied as a real filter,
         so pruning is advisory: a stats gap costs I/O, never rows.
 
-        Three pruning layers compose here: superseded-partition
+        Four pruning layers compose here: superseded-partition
         exclusion (directory), footer-stats skipping (file — this),
-        and parquet row-group zonemaps (page, free once files are
-        sorted/z-ordered by `compact`).  At 100 TB the file layer is
-        what turns a needle query from "schedule 80k tasks" into
-        "schedule the 3 files whose range matches".
+        Bloom-filter probes for `=`/`in` on indexed columns (file —
+        `add_bloom_index`, the high-cardinality case where every
+        file's range overlaps), and parquet row-group zonemaps (page,
+        free once files are sorted/z-ordered by `compact`).  At 100 TB
+        the file layers are what turn a needle query from "schedule
+        80k tasks" into "schedule the 3 files whose range matches".
         """
+        from .bloom import bloom_survives
         from .skipping import file_survives, predicates_to_column
 
         part_map, extra, dvs = self._manifest(schema, name, version)
@@ -1297,6 +1378,7 @@ class Lakehouse:
             if e.get("data_dir") is not None and e.get("files") is not None
         }
         residual = predicates_to_column(predicates)
+        bloom_cfg = self.bloom_index(schema, name)
 
         def surviving(d: str) -> list[str] | None:
             """Absolute paths of files worth reading, or None for
@@ -1308,6 +1390,7 @@ class Lakehouse:
                 os.path.join(d, f["path"])
                 for f in files
                 if file_survives(f, predicates)
+                and bloom_survives(f, predicates, bloom_cfg)
             ]
 
         by_dir: dict[str, tuple[str, list[str]]] = {}
