@@ -164,3 +164,96 @@ def test_rollup_reads_only_the_sketch_table(spark, events, tmp_path):
     files = roll.estimate(spark).inputFiles()
     assert files
     assert all("/gold/s/" in f or "gold/s/" in f for f in files)
+
+
+# -- Count-min sketch -------------------------------------------------------
+
+
+def _tokens_df(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+def test_cms_never_underestimates_and_bounds_overestimate(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+
+    toks = _tokens_df(spark, sf_dir)
+    n_total = toks.count()
+    exact = {
+        r["token"]: r["c"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    sk = S.cms_sketch(toks, "token")
+    cands = toks.select("token").distinct()
+    est = {
+        r["token"]: r["est"]
+        for r in S.cms_estimate(sk, cands, "token").collect()
+    }
+    assert set(est) == set(exact)
+    eps_n = (2.718 / S.CMS_WIDTH) * n_total
+    for t, c in exact.items():
+        assert est[t] >= c, f"CMS underestimated {t}"
+        assert est[t] <= c + eps_n, f"CMS overestimate for {t} beyond εN"
+
+
+def test_cms_incremental_merge_equals_one_shot(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    one_shot = S.cms_sketch(toks, "token")
+    batches = [
+        S.cms_sketch(toks.filter(F.col("doc_id") % 3 == i), "token")
+        for i in range(3)
+    ]
+    merged = S.cms_merge(*batches)
+    a = sorted(map(tuple, one_shot.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b  # exact integer lattice: incremental == one-shot
+
+
+def test_cms_heavy_hitters_one_sided(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+
+    toks = _tokens_df(spark, sf_dir)
+    exact = {
+        r["token"]: r["c"]
+        for r in toks.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    threshold = sorted(exact.values())[len(exact) // 2]  # median count
+    sk = S.cms_sketch(toks, "token")
+    hh = {
+        r["token"]
+        for r in S.heavy_hitters(
+            sk, toks.select("token").distinct(), "token", threshold
+        ).collect()
+    }
+    true_heavy = {t for t, c in exact.items() if c >= threshold}
+    assert true_heavy <= hh  # no true heavy hitter escapes
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+
+    toks = _tokens_df(spark, sf_dir)
+    sk = S.cms_sketch(toks, "token")
+    assert sk.count() <= S.CMS_DEPTH * S.CMS_WIDTH

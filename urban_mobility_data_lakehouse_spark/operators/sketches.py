@@ -26,7 +26,7 @@ equality between incremental and one-shot sketch estimates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..sources.lakehouse import Lakehouse
 
@@ -153,3 +153,149 @@ class SketchRollup:
             stream_id=f"sketch:{self.schema}.{self.name}",
             transform=lambda bdf: daily_user_sketches(bdf, self.lg_k),
         )
+
+
+# -- Count-min sketch: mergeable frequency counters -------------------------
+#
+# The frequency twin of the HLL story above: "how often does this
+# token / user / URL appear?" over 100 TB without keeping a counter per
+# key.  A CMS is depth×width integer counters; every occurrence
+# increments one counter per row (pos = hash_r(key) % width), and the
+# estimate for a key is the MIN over rows of its counters —
+# an overestimate by at most εN (ε ≈ e/width) with probability
+# 1-δ (δ ≈ e^-depth) (Cormode & Muthukrishnan 2005).
+#
+# Spark-first representation: the sketch is a SPARSE RELATION
+# (group…, r, pos, cnt) with ≤ depth×width rows per group — built by
+# ONE explode + groupBy-count (map-side combined), merged by
+# groupBy-SUM (exact integer arithmetic: incremental builds equal
+# one-shot builds row-for-row, the same lattice property the HLL tests
+# pin), and probed by a broadcast join.  Hash positions use the
+# portable md5-31bit idiom, so the whole pipeline is engine-portable.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_pos(key: Column, r: int, width: int) -> Column:
+    """Row-r counter position for a key: portable md5-31bit % width
+    (bit-compatible with `cms_pos_py`)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{r}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def cms_pos_py(value, r: int, width: int) -> int:
+    import hashlib
+
+    return (
+        int(hashlib.md5(f"{r}:{value}".encode()).hexdigest()[:15], 16)
+        % width
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Reduce `df` to a sparse CMS per group: (group…, r, pos, cnt).
+
+    One explode (each occurrence → depth (r, pos) pairs) + one counted
+    groupBy; the shuffle carries ≤ depth×width counter rows per group
+    no matter how many input rows contributed.  NULL keys are skipped
+    (count them separately if they matter).
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), _cms_pos(key, r, width).alias("pos")
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(*group_cols, F.explode(pairs).alias("rp"))
+        .groupBy(*group_cols, F.col("rp.r").alias("r"),
+                 F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(
+    *sketches: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union sketch relations and re-sum counters — exact integer
+    merge, so incremental per-batch sketches equal a one-shot build."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "r", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimated count per (group…, key): min over rows of the probed
+    counters.  `keys` is the candidate relation (CMS answers point
+    queries; candidates come from the domain — e.g. a vocab top-k, a
+    watchlist, the current batch's distinct keys).  A (r, pos) the
+    sketch never touched means 0 hits in that row → estimate 0.
+    """
+    key = F.col(key_col)
+    probes = keys.filter(key.isNotNull()).select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_pos(key, r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rp"),
+    ).select(key_col, F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    joined = probes.join(
+        sketch, on=[*group_cols, "r", "pos"], how="left"
+    ) if not group_cols else probes.crossJoin(
+        sketch.select(*group_cols).distinct()
+    ).join(sketch, on=[*group_cols, "r", "pos"], how="left")
+    return (
+        joined.groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .orderBy(*group_cols, key_col)
+    )
+
+
+def heavy_hitters(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Candidate keys whose estimated count ≥ threshold.  CMS never
+    underestimates, so NO true heavy hitter is missed (one-sided
+    error: light keys can sneak in, ≥-threshold keys cannot escape)."""
+    return cms_estimate(
+        sketch, candidates, key_col, depth=depth, width=width
+    ).filter(F.col("est") >= threshold)
