@@ -177,3 +177,241 @@ class PersistentIVF:
             )
             .orderBy("query_id", "rank")
         )
+
+
+class PersistentIVFPQ:
+    """IVFADC: the FAISS production composition — IVF cells for probe
+    pruning × product-quantized codes for storage — as lakehouse
+    tables.
+
+    The index stores `(vec_id, cell, codes array<int>)` partitioned by
+    cell and NOTHING else: at 64 float32 dims → 16 int codes this is
+    the representation that makes a 100 TB embedding corpus fit the
+    index tier.  Companion tables hold the frozen coarse quantizer
+    (`…_centroids`) and the PQ codebooks (`…_codebooks`, one row per
+    (j, c) codeword), so every later `add()` and `query()` shares
+    bit-identical geometry.
+
+    query() = rank probe cells per query (row-local) → scan ONLY the
+    probed cell partitions (directory pruning, as `PersistentIVF`) →
+    ADC against the codes (broadcast codebook, row-local fold) →
+    per-query shortlist → optional EXACT re-rank against a full-vector
+    source (the original corpus table — FAISS's refine stage; without
+    it results are ADC-ordered).
+    """
+
+    def __init__(
+        self,
+        lake: Lakehouse,
+        schema: str = "gold",
+        name: str = "ivfpq_index",
+        n_cells: int = 16,
+        n_probe: int = 4,
+        seed: int = 42,
+    ):
+        from . import pq as _pq
+
+        self.lake = lake
+        self.schema = schema
+        self.name = name
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.seed = seed
+        self._pq = _pq
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _encode(self, embeddings, centroids, books) -> DataFrame:
+        # cell assignment and PQ encoding are both row-local — ONE
+        # projection over the corpus, no join between the two
+        assigned = assign_cells(embeddings, centroids).select(
+            "vec_id", F.col("emb").alias("embedding"), "cell"
+        )
+        return self._pq.encode_pq(assigned, books, keep_cols=("cell",))
+
+    def build(self, spark: SparkSession, embeddings: DataFrame) -> None:
+        pq = self._pq
+        centroids = train_centroids(
+            embeddings, n_cells=self.n_cells, seed=self.seed
+        )
+        books = pq.train_pq(embeddings, seed=self.seed)
+        self.lake.overwrite_partitions(
+            self._encode(embeddings, centroids, books).repartition(
+                F.col("cell")
+            ),
+            self.schema,
+            self.name,
+            partition_col="cell",
+        )
+        self.lake.overwrite(
+            centroid_table(spark, centroids),
+            self.schema,
+            f"{self.name}_centroids",
+        )
+        self.lake.overwrite(
+            spark.createDataFrame(
+                [
+                    (j, c, [float(v) for v in cw])
+                    for j, book in enumerate(books)
+                    for c, cw in enumerate(book)
+                ],
+                "j int, c int, cw array<double>",
+            ),
+            self.schema,
+            f"{self.name}_codebooks",
+        )
+
+    def centroids(self, spark: SparkSession) -> list[list[float]]:
+        rows = (
+            self.lake.read(spark, self.schema, f"{self.name}_centroids")
+            .orderBy("cell")
+            .collect()
+        )
+        return [list(r["centroid"]) for r in rows]
+
+    def codebooks(self, spark: SparkSession) -> list[list[list[float]]]:
+        rows = (
+            self.lake.read(spark, self.schema, f"{self.name}_codebooks")
+            .orderBy("j", "c")
+            .collect()
+        )
+        books: dict[int, list] = {}
+        for r in rows:
+            books.setdefault(r["j"], []).append(list(r["cw"]))
+        return [books[j] for j in sorted(books)]
+
+    def add(self, spark: SparkSession, embeddings: DataFrame) -> None:
+        """Assign + encode a batch against the FROZEN quantizers and
+        append (FAISS add semantics; run optimize() to re-cluster)."""
+        self.lake.append(
+            self._encode(
+                embeddings, self.centroids(spark), self.codebooks(spark)
+            ),
+            self.schema,
+            self.name,
+        )
+
+    def optimize(self, spark: SparkSession) -> dict:
+        return self.lake.compact(
+            spark, self.schema, self.name, partition_col="cell"
+        )
+
+    # -- search ------------------------------------------------------------
+
+    def query(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 3,
+        shortlist: int | None = None,
+        rerank_source: DataFrame | None = None,
+    ) -> DataFrame:
+        """Top-k per (vec_id, embedding) query row.
+
+        With `rerank_source` (a (vec_id, embedding) relation — usually
+        the original corpus table): ADC shortlist → exact squared-L2
+        re-rank, output (query_id, neighbor_id, l2_dist, rank).
+        Without: pure ADC ordering, output (query_id, neighbor_id,
+        adc_dist, rank).
+        """
+        pq = self._pq
+        shortlist = shortlist or pq.SHORTLIST
+        centroids = self.centroids(spark)
+        books = self.codebooks(spark)
+        m = len(books)
+        ksub = len(books[0])
+        dsub = len(books[0][0])
+
+        q = with_ranked_cells(queries, centroids, self.n_probe).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("emb_q"),
+            "probe",
+        )
+        probe_cells = sorted(
+            r[0]
+            for r in q.select(F.explode("probe").alias("c"))
+            .distinct()
+            .collect()
+        )
+        index = self.lake.read(
+            spark,
+            self.schema,
+            self.name,
+            partition_values=[str(c) for c in probe_cells],
+        ).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("int").alias("cell"),
+            "codes",
+        )
+        eq = F.col("emb_q")
+        adc = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + pq._sub_l2(
+                F.slice(eq, j * dsub + 1, dsub),
+                F.col("cbs")[j * ksub + F.col("codes")[j]],
+            ),
+        )
+        scored = (
+            index.join(
+                F.broadcast(pq._flat_codebook_row(spark, books))
+            )
+            .join(
+                F.broadcast(q),
+                F.array_contains(F.col("probe"), F.col("cell"))
+                & (F.col("query_id") != F.col("neighbor_id")),
+            )
+            .select("query_id", "neighbor_id", adc.alias("adc"))
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+        if rerank_source is None:
+            return (
+                scored.withColumn("rank", F.row_number().over(w_adc))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "neighbor_id",
+                    F.round("adc", 4).alias("adc_dist"),
+                    F.col("rank").cast("long").alias("rank"),
+                )
+                .orderBy("query_id", "rank")
+            )
+        short = (
+            scored.withColumn("srank", F.row_number().over(w_adc))
+            .filter(F.col("srank") <= shortlist)
+            .select("query_id", "neighbor_id")
+        )
+        from .knn import _as_double
+
+        full = rerank_source.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _as_double(F.col("embedding")).alias("emb_b"),
+        )
+        rer = (
+            full.join(F.broadcast(short), "neighbor_id")
+            .join(
+                F.broadcast(q.select("query_id", "emb_q")), "query_id"
+            )
+            .select(
+                "query_id",
+                "neighbor_id",
+                pq._sub_l2(F.col("emb_q"), F.col("emb_b")).alias("l2"),
+            )
+        )
+        w_l2 = Window.partitionBy("query_id").orderBy(
+            F.col("l2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rer.withColumn("rank", F.row_number().over(w_l2))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("l2", 4).alias("l2_dist"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+            .orderBy("query_id", "rank")
+        )

@@ -141,6 +141,7 @@ def encode_pq(
     codebooks: list[list[list[float]]],
     m: int = M,
     ksub: int = KSUB,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vec_id, codes array<int>) — codes[j] = argmin_c l2(sub_j, cw).
 
@@ -166,11 +167,14 @@ def encode_pq(
 
     return (
         embeddings.select(
-            "vec_id", _as_double(F.col("embedding")).alias("emb")
+            "vec_id",
+            *keep_cols,
+            _as_double(F.col("embedding")).alias("emb"),
         )
         .join(F.broadcast(_flat_codebook_row(spark, codebooks)))
         .select(
             "vec_id",
+            *keep_cols,
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)), best_code
             ).alias("codes"),
