@@ -259,6 +259,51 @@ _PACK_HASH = (
     "CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
 )
 
+
+def _cms_pos_sql(r: int, width: int, key: str = "token") -> str:
+    """DuckDB twin of operators.sketches._cms_pos (portable md5-31bit
+    reduced mod width, r-salted)."""
+    return (
+        f"CAST(CAST(CONCAT('0x', substr(md5('{r}:' || {key}), 1, 15)) "
+        f"AS UBIGINT) AS BIGINT) % {width}"
+    )
+
+
+def _cms_sql(depth: int, width: int) -> str:
+    """Sketch-build + probe CTEs replaying cms_sketch/cms_estimate."""
+    build = "\n        UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_pos_sql(r, width)} AS pos FROM cms_tok"
+        for r in range(depth)
+    )
+    probe = "\n        UNION ALL ".join(
+        f"SELECT token, {r} AS r, {_cms_pos_sql(r, width)} AS pos "
+        "FROM cms_vocab"
+        for r in range(depth)
+    )
+    return f"""
+    cms_tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cms_vocab AS (SELECT DISTINCT token FROM cms_tok),
+    cms_sk AS (
+        SELECT r, pos, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({build})
+        GROUP BY r, pos
+    ),
+    cms_probe AS ({probe}),
+    cms_est AS (
+        SELECT p.token, CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est
+        FROM cms_probe p
+        LEFT JOIN cms_sk s ON s.r = p.r AND s.pos = p.pos
+        GROUP BY p.token
+    )
+"""
+
+
+from ..operators import sketches as _S
+
+_CMS_SQL = _cms_sql(_S.CMS_DEPTH, _S.CMS_WIDTH)
+
 # DuckDB CAN express the sequential greedy recurrence — as a recursive
 # CTE stepping row_number per shard — which is exactly why it works as
 # the oracle for the applyInPandas packing operator.
@@ -296,7 +341,7 @@ pack_packed AS (
 @register(
     "text_pairs_suite",
     oracle=f"""
-    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -378,9 +423,17 @@ pack_packed AS (
             GROUP BY token
         )
     ) WHERE rnk <= 50
+    UNION ALL
+    SELECT 'cms',
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           token,
+           est
+    FROM cms_est
     ORDER BY part, k1, k2, n
     """,
-    tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack"),
+    tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack",
+          "cms"),
 )
 def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four tokenizer-at-scale primitives in one labeled union.
@@ -402,7 +455,12 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     act as the eval set; k1=doc_id, n=distinct eval 8-grams found
     (broadcast-array plan, corpus side shuffle-free).  `vocab`: global
     top-50 token frequencies (TakeOrderedAndProject — the vocabulary
-    pass of a tokenizer-training pipeline) — k1=rank, token, n=count."""
+    pass of a tokenizer-training pipeline) — k1=rank, token, n=count.
+    `cms`: count-min sketch estimates for every vocab token
+    (operators/sketches.py — sparse (r, pos, cnt) counter relation,
+    portable md5 positions; the oracle rebuilds the sketch and probes
+    it in SQL, so sketch AND estimator are hash-checked end-to-end) —
+    token, n=estimate (≥ true count by construction)."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
@@ -513,6 +571,20 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("token"),
         F.length("chunk_text").cast("long").alias("n"),
     )
+    cms_toks = docs_all.select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cms = _S.cms_estimate(
+        _S.cms_sketch(cms_toks, "token"),
+        cms_toks.select("token").distinct(),
+        "token",
+    ).select(
+        F.lit("cms").alias("part"),
+        F.lit(None).cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        "token",
+        F.col("est").cast("long").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
@@ -521,6 +593,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(vocab)
         .unionByName(hot)
         .unionByName(chunks)
+        .unionByName(cms)
         .orderBy("part", "k1", "k2", "n")
     )
 
