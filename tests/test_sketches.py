@@ -257,3 +257,53 @@ def test_cms_sketch_is_bounded(spark, sf_dir):
     toks = _tokens_df(spark, sf_dir)
     sk = S.cms_sketch(toks, "token")
     assert sk.count() <= S.CMS_DEPTH * S.CMS_WIDTH
+
+
+def test_cms_table_streaming_ingest_exactly_once(spark, sf_dir, tmp_path):
+    """Streamed CMS fragments sum to the one-shot sketch; a replayed
+    trigger appends nothing."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+    from urban_mobility_data_lakehouse_spark.operators.sketches import (
+        CMSTable,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+        normalize_event_ts,
+    )
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "a.parquet")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+
+    tbl = CMSTable(Lakehouse(str(tmp_path / "lake")), key_col="event_type")
+    ckpt = str(tmp_path / "ckpt")
+    tbl.ingest_stream(stream, ckpt).awaitTermination(120)
+
+    events = load_table(spark, sf_dir, "events")
+    keys = events.select("event_type").distinct()
+    got = [tuple(r) for r in tbl.estimate(spark, keys).collect()]
+    want = [
+        tuple(r)
+        for r in S.cms_estimate(
+            S.cms_sketch(events, "event_type"), keys, "event_type"
+        ).collect()
+    ]
+    assert got == want
+
+    n = len(tbl.lake.snapshots("gold", "cms_counts"))
+    tbl.ingest_stream(stream, ckpt).awaitTermination(120)
+    assert len(tbl.lake.snapshots("gold", "cms_counts")) == n
+    assert [tuple(r) for r in tbl.estimate(spark, keys).collect()] == got

@@ -299,3 +299,73 @@ def heavy_hitters(
     return cms_estimate(
         sketch, candidates, key_col, depth=depth, width=width
     ).filter(F.col("est") >= threshold)
+
+
+class CMSTable:
+    """Lakehouse-persisted CMS maintained from batches or a stream.
+
+    The stored table is a pile of per-batch counter FRAGMENTS
+    (r, pos, cnt): appends never read-modify-write, and because the
+    merge is plain integer addition (`cms_merge`), summing fragments
+    at query time equals a one-shot sketch of all the data exactly —
+    the counter-lattice twin of the HLL register-lattice argument
+    above.  Streaming ingest goes through the exactly-once
+    `stream_to_table` sink, so replays after checkpoint loss add no
+    counts.
+    """
+
+    def __init__(
+        self,
+        lake: Lakehouse,
+        key_col: str,
+        schema: str = "gold",
+        name: str = "cms_counts",
+        depth: int = CMS_DEPTH,
+        width: int = CMS_WIDTH,
+    ) -> None:
+        self.lake = lake
+        self.key_col = key_col
+        self.schema = schema
+        self.name = name
+        self.depth = depth
+        self.width = width
+        lake.create_schemas(schema)
+
+    def _fragment(self, df: DataFrame) -> DataFrame:
+        return cms_sketch(
+            df, self.key_col, depth=self.depth, width=self.width
+        )
+
+    def build(self, spark: SparkSession, df: DataFrame) -> None:
+        self.lake.overwrite(self._fragment(df), self.schema, self.name)
+
+    def ingest_batch(self, df: DataFrame) -> None:
+        """Append one batch's counter fragment (idempotence is the
+        caller's concern here; streams get it from the sink)."""
+        self.lake.append(self._fragment(df), self.schema, self.name)
+
+    def ingest_stream(self, stream: DataFrame, checkpoint_dir: str):
+        from ..streaming.daily import stream_to_table
+
+        return stream_to_table(
+            stream,
+            self.lake,
+            self.schema,
+            self.name,
+            checkpoint_dir,
+            stream_id=f"cms:{self.schema}.{self.name}",
+            transform=self._fragment,
+        )
+
+    def sketch(self, spark: SparkSession) -> DataFrame:
+        """Fragments merged to one counter per (r, pos)."""
+        return cms_merge(self.lake.read(spark, self.schema, self.name))
+
+    def estimate(self, spark: SparkSession, keys: DataFrame) -> DataFrame:
+        return cms_estimate(
+            self.sketch(spark),
+            keys,
+            self.key_col,
+            depth=self.depth,
+            width=self.width,
+        )
