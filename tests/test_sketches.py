@@ -307,3 +307,81 @@ def test_cms_table_streaming_ingest_exactly_once(spark, sf_dir, tmp_path):
     tbl.ingest_stream(stream, ckpt).awaitTermination(120)
     assert len(tbl.lake.snapshots("gold", "cms_counts")) == n
     assert [tuple(r) for r in tbl.estimate(spark, keys).collect()] == got
+
+
+# -- Histogram sketch -------------------------------------------------------
+
+
+def test_hist_quantile_within_bin_width_of_exact(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(F.size(F.split("text", " ")).alias("n"))
+    vals = sorted(r["n"] for r in ntok.collect())
+    W = 8
+    hist = S.hist_sketch(ntok, "n", bin_width=W)
+    for r in S.hist_quantile(hist, qs=(0.5, 0.9, 0.99), bin_width=W).collect():
+        import math
+
+        exact = vals[math.ceil(r["q"] * len(vals)) - 1]
+        assert abs(r["est"] - exact) < W, (r["q"], r["est"], exact)
+
+
+def test_hist_incremental_merge_equals_one_shot(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    one = S.hist_sketch(docs, "n", bin_width=4)
+    parts = [
+        S.hist_sketch(docs.filter(F.col("doc_id") % 3 == i), "n", bin_width=4)
+        for i in range(3)
+    ]
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, S.hist_merge(*parts).collect())
+    )
+
+
+def test_hist_grouped_quantiles(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.operators import sketches as S
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round("value", 0).cast("long").alias("cents")
+    )
+    hist = S.hist_sketch(events, "cents", ("event_type",), bin_width=50)
+    out = S.hist_quantile(
+        hist, qs=(0.5,), group_cols=("event_type",), bin_width=50
+    ).collect()
+    types = {r["event_type"] for r in out}
+    assert types == {
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+    }
+    # per-group medians must be within a bin of exact
+    import math
+
+    for t in types:
+        vals = sorted(
+            r["cents"]
+            for r in events.filter(F.col("event_type") == t).collect()
+            if r["cents"] is not None
+        )
+        est = next(r["est"] for r in out if r["event_type"] == t)
+        exact = vals[math.ceil(0.5 * len(vals)) - 1]
+        assert abs(est - exact) < 50

@@ -26,7 +26,7 @@ equality between incremental and one-shot sketch estimates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..sources.lakehouse import Lakehouse
 
@@ -369,3 +369,104 @@ class CMSTable:
             depth=self.depth,
             width=self.width,
         )
+
+
+# -- Mergeable histograms: quantiles without a global sort ------------------
+#
+# The third sketch of the family (HLL = distinct, CMS = frequency,
+# histogram = quantiles/distribution).  `approx_percentile` answers a
+# one-shot query; a persisted histogram RELATION (group…, bin, cnt)
+# answers every later quantile/CDF question by integer addition —
+# mergeable across batches/days exactly like the CMS counters, so
+# incremental builds equal one-shot builds row-for-row.
+#
+# Binning is INTEGER division (`value div bin_width`) on an
+# integer-quantized value (tokens, cents, milliseconds — quantize
+# first; that is what production metric pipelines store anyway).  The
+# estimate error is bounded by bin_width by construction, and because
+# every step is exact integer arithmetic the whole pipeline —
+# build, merge, cumulative quantile walk — replays bit-for-bit in any
+# engine (DuckDB-oracle-checkable, unlike log-binned DDSketch whose
+# floor(log(v)) bucket edges are 1-ulp-fragile across engines).
+
+def hist_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    bin_width: int = 10,
+) -> DataFrame:
+    """(group…, bin, cnt) with bin = value div bin_width (floor
+    division, exact).  NULLs are skipped; negative values land in
+    negative bins (floor semantics)."""
+    v = F.col(value_col)
+    bin_ = F.floor(v / F.lit(bin_width)).cast("long")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(
+    *hists: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    group_cols: tuple[str, ...] = (),
+    bin_width: int = 10,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, the upper
+    edge of the first bin whose cumulative count reaches ceil(q·N) —
+    a deterministic integer rule (no interpolation, no floats except
+    the q literal), off from the exact quantile by < bin_width.
+
+    Output (group…, q, est) with est = (bin + 1) * bin_width - 1
+    (the largest value the winning bin can hold).
+
+    ceil(q·N) is computed as EXACT integer arithmetic — q is converted
+    to a fraction and the rank is (num·N + den − 1) div den — because
+    the float route is engine-fragile: double 0.9·500 is
+    450.00000000000006, whose ceil is 451, while decimal engines (and
+    mathematics) say 450.
+    """
+    from fractions import Fraction
+
+    w = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("cnt").over(w.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(w).alias("total"),
+    )
+    frames = []
+    for q in qs:
+        frac = Fraction(q).limit_denominator(1_000_000)
+        need = F.expr(
+            f"({frac.numerator} * total + {frac.denominator - 1}) "
+            f"div {frac.denominator}"
+        )
+        frames.append(
+            cum.filter(F.col("cum") >= need)
+            .groupBy(*group_cols, "total")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                ((F.col("bin") + 1) * bin_width - 1).alias("est"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy(*group_cols, "q")

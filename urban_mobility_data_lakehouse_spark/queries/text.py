@@ -304,6 +304,31 @@ from ..operators import sketches as _S
 
 _CMS_SQL = _cms_sql(_S.CMS_DEPTH, _S.CMS_WIDTH)
 
+# mergeable-histogram replay: INTEGER binning (n_tokens div width) and
+# an exact-rational quantile rank — no float crosses an engine boundary
+_HIST_W = 8
+_HIST_QS = ((50, 100), (90, 100), (99, 100))  # (num, den) per quantile
+_HIST_SQL = f"""
+    hist AS (
+        SELECT CAST(len(string_split(text, ' ')) // {_HIST_W} AS BIGINT)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1
+    ),
+    hist_cum AS (
+        SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+               sum(cnt) OVER () AS total
+        FROM hist
+    ),
+    histq AS (
+        """ + "\n        UNION ALL ".join(
+    f"SELECT {num} AS pct, (min(bin) + 1) * {_HIST_W} - 1 AS est "
+    f"FROM hist_cum WHERE cum >= ({num} * total + {den - 1}) // {den}"
+    for num, den in _HIST_QS
+) + """
+    )
+"""
+
 # DuckDB CAN express the sequential greedy recurrence — as a recursive
 # CTE stepping row_number per shard — which is exactly why it works as
 # the oracle for the applyInPandas packing operator.
@@ -341,7 +366,7 @@ pack_packed AS (
 @register(
     "text_pairs_suite",
     oracle=f"""
-    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -430,6 +455,13 @@ pack_packed AS (
            token,
            est
     FROM cms_est
+    UNION ALL
+    SELECT 'hist', bin, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), cnt
+    FROM hist
+    UNION ALL
+    SELECT 'histq', CAST(pct AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(est AS BIGINT)
+    FROM histq
     ORDER BY part, k1, k2, n
     """,
     tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack",
@@ -585,6 +617,26 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.col("est").cast("long").alias("n"),
     )
+    ntok = docs_all.select(F.size(F.split("text", " ")).alias("n"))
+    hist_df = _S.hist_sketch(ntok, "n", bin_width=_HIST_W)
+    hist = hist_df.select(
+        F.lit("hist").alias("part"),
+        F.col("bin").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("cnt").alias("n"),
+    )
+    histq = _S.hist_quantile(
+        hist_df,
+        qs=tuple(num / den for num, den in _HIST_QS),
+        bin_width=_HIST_W,
+    ).select(
+        F.lit("histq").alias("part"),
+        F.round(F.col("q") * 100).cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("est").cast("long").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
@@ -594,6 +646,8 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hot)
         .unionByName(chunks)
         .unionByName(cms)
+        .unionByName(hist)
+        .unionByName(histq)
         .orderBy("part", "k1", "k2", "n")
     )
 
