@@ -14,7 +14,7 @@ DuckDB oracles stay bit-aligned with the Spark plan.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 EARTH_RADIUS_KM = 6371.0088
 
@@ -311,3 +311,87 @@ def point_in_polygon(lon: Column, lat: Column, polygon: list[tuple[float, float]
         # boolean XOR: != on booleans (PySpark Columns have no ^)
         crossings = cond if crossings is None else crossings != cond
     return crossings if crossings is not None else F.lit(False)
+
+
+def grid_point_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    wkt_col: str = "wkt",
+    cell_deg: float = 0.5,
+) -> DataFrame:
+    """Big-big point-in-polygon join — the spatial twin of
+    `operators/temporal.interval_point_join`, for when NEITHER side
+    broadcasts (billions of GPS points × millions of zone polygons).
+
+    Strategy: quantize coordinates to integer MICROdegrees (exact, no
+    float-boundary ambiguity), cut the plane into fixed `cell_deg`
+    cells, replicate each polygon to every cell its bounding box
+    overlaps (sequence+explode over the cell ranges — O(bbox area /
+    cell area) copies), give each point its single containing cell,
+    and equi-join on (cell_x, cell_y) with the exact ray-cast
+    `point_in_wkt_polygon` verify applied afterwards.  A point lives
+    in exactly ONE cell, so each qualifying (point, polygon) pair
+    meets exactly once — no dedup pass.
+
+    The plan is a plain shuffled equi-join: it partitions, spills and
+    AQE-balances like any other join, with no
+    BroadcastNestedLoopJoin/cartesian fallback (plan-tested).  Choose
+    `cell_deg` on the order of typical polygon extent so replication
+    stays O(1) per polygon; skewed megacity cells are ordinary join
+    skew, handled by AQE skew splitting.
+
+    `points` and `polygons` must share no column names; all point and
+    polygon columns survive in the output.
+    """
+    overlap = set(points.columns) & set(polygons.columns)
+    if overlap:
+        raise ValueError(
+            f"grid_point_polygon_join: ambiguous columns "
+            f"{sorted(overlap)} — rename before joining"
+        )
+    cell_u = int(round(cell_deg * 1_000_000))
+
+    def cells(c: Column) -> Column:
+        # microdegree quantization BEFORE division: integer floor-div
+        # is exact, so a coordinate can never straddle two cells in
+        # one engine and not the other
+        return F.floor(F.round(c * 1_000_000).cast("long") / F.lit(cell_u))
+
+    p = points.withColumn("_cx", cells(F.col(lon_col))).withColumn(
+        "_cy", cells(F.col(lat_col))
+    )
+    xs = _wkt_ring_coords(F.col(wkt_col), 1)
+    ys = _wkt_ring_coords(F.col(wkt_col), 2)
+    g = (
+        polygons.withColumn("_xs", xs)
+        .withColumn("_ys", ys)
+        .withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    cells(F.array_min(F.col("_xs"))),
+                    cells(F.array_max(F.col("_xs"))),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    cells(F.array_min(F.col("_ys"))),
+                    cells(F.array_max(F.col("_ys"))),
+                )
+            ),
+        )
+    )
+    return (
+        p.join(g, ["_cx", "_cy"], "inner")
+        .filter(
+            point_in_wkt_polygon(
+                F.col(lon_col), F.col(lat_col), F.col("_xs"), F.col("_ys")
+            )
+        )
+        .drop("_cx", "_cy", "_xs", "_ys")
+    )
