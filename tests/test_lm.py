@@ -81,3 +81,93 @@ def test_corpus_join_side_is_broadcast(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# -- Interpolated bigram LM -------------------------------------------------
+
+
+def test_bigram_exact_hand_computation(spark):
+    """p('b'|'a') on a corpus where 'a b' is the only continuation of
+    'a': interpolated value must equal λ·1 + (1−λ)·p_uni('b')."""
+    import math
+
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        BIGRAM_LAMBDA,
+        bigram_cross_entropy,
+        bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "c d c d")],
+        "doc_id bigint, text string",
+    )
+    bigram, uni, oov = bigram_model(ref, vocab_size=10)
+    # unigram side: 10 tokens total, 4 types → denom = 15
+    # p_uni(b) = (3+1)/15
+    pu_b = 4 / 15
+    want = math.log2(BIGRAM_LAMBDA * 1.0 + (1 - BIGRAM_LAMBDA) * pu_b)
+    got = {
+        (r["prev"], r["cur"]): r["log2p"] for r in bigram.collect()
+    }[("a", "b")]
+    assert abs(got - want) < 1e-12
+
+    # score a two-token doc "a b": token1 = unigram p(a), token2 = the
+    # bigram value above
+    doc = spark.createDataFrame([(7, "a b")], "doc_id bigint, text string")
+    out = bigram_cross_entropy(doc, bigram, uni, oov).collect()[0]
+    pu_a = 4 / 15
+    want_xent = -(math.log2(pu_a) + want) / 2
+    assert abs(out["xent"] - want_xent) < 1e-12
+
+
+def test_bigram_model_rewards_word_order(spark):
+    """Scrambling word order must hurt the bigram score but leave the
+    unigram score unchanged — the signal the upgrade exists for."""
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        bigram_cross_entropy,
+        bigram_model,
+        cross_entropy,
+        unigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 5) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    fluent = "the cat sat on the mat the cat sat on the mat"
+    scrambled = "mat the on sat cat the mat the on sat cat the"
+    docs = spark.createDataFrame(
+        [(1, fluent), (2, scrambled)], "doc_id bigint, text string"
+    )
+    big, uni, oov = bigram_model(ref, vocab_size=100)
+    bx = {
+        r["doc_id"]: r["xent"]
+        for r in bigram_cross_entropy(docs, big, uni, oov).collect()
+    }
+    u_model, u_oov = unigram_model(ref, vocab_size=100)
+    ux = {
+        r["doc_id"]: r["xent"]
+        for r in cross_entropy(docs, u_model, u_oov).collect()
+    }
+    assert abs(ux[1] - ux[2]) < 1e-9  # unigram: blind to order
+    assert bx[1] < bx[2] - 0.5  # bigram: clearly prefers fluent order
+
+
+def test_bigram_scoring_plan_broadcasts_models(spark):
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        bigram_cross_entropy,
+        bigram_model,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    big, uni, oov = bigram_model(ref, vocab_size=10)
+    plan = (
+        bigram_cross_entropy(ref, big, uni, oov)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

@@ -107,3 +107,131 @@ def perplexity_band_filter(
         )
     ).collect()[0][0]
     return scored.filter(F.col("xent").between(float(lo), float(hi)))
+
+
+# -- Interpolated bigram LM -------------------------------------------------
+#
+# One Markov order up from the unigram scorer: KenLM-style pipelines
+# (CCNet) score with n-gram models because fluency lives in local
+# word ORDER, which a unigram model is blind to — "the cat sat" and
+# "sat the cat" get identical unigram scores.  Jelinek-Mercer
+# interpolation (λ·p_bigram_ML + (1−λ)·p_unigram) keeps every
+# probability positive without discount bookkeeping, and the model
+# stays two small relations:
+#
+#   unigram table: top-V tokens, add-one log2 probs (as above)
+#   bigram table:  observed (prev, cur) pairs with the INTERPOLATED
+#                  log2 p(cur|prev) precomputed at train time
+#
+# Scoring joins both broadcast tables; an unobserved pair falls back
+# to log2(1−λ) + unigram log2p(cur) — computed from the unigram side
+# of the join, no third table.  The corpus side never shuffles before
+# the per-doc aggregate (same contract as `cross_entropy`).
+
+BIGRAM_LAMBDA = 0.7
+
+
+def bigram_model(
+    reference: DataFrame,
+    vocab_size: int = 2048,
+    lam: float = BIGRAM_LAMBDA,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, float]:
+    """(bigram_df, unigram_df, oov_log2p).
+
+    bigram_df: (prev, cur, log2p) for observed pairs, with
+    log2p = log2(λ·c(prev,cur)/c(prev) + (1−λ)·p_uni(cur)) — the full
+    interpolated probability, so scoring needs no arithmetic beyond
+    the fallback branch.
+    """
+    uni, oov_log2p = unigram_model(reference, vocab_size, text_col)
+    toks = reference.select(F.split(text_col, " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p")
+    ).select(F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    big = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    p_uni = uni.select(
+        F.col("token").alias("cur"),
+        F.pow(F.lit(2.0), F.col("log2p")).alias("pu"),
+    )
+    bigram = (
+        big.join(ctx, "prev")
+        .join(p_uni, "cur", "left")
+        .select(
+            "prev",
+            "cur",
+            F.log2(
+                F.lit(lam) * F.col("c2") / F.col("c1")
+                + F.lit(1.0 - lam)
+                * F.coalesce(F.col("pu"), F.lit(2.0 ** oov_log2p))
+            ).alias("log2p"),
+        )
+    )
+    return bigram, uni, oov_log2p
+
+
+def bigram_cross_entropy(
+    docs: DataFrame,
+    bigram: DataFrame,
+    unigram: DataFrame,
+    oov_log2p: float,
+    lam: float = BIGRAM_LAMBDA,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """docs + (xent, perplexity) under the interpolated bigram model.
+
+    Token 1 of each document scores with the unigram model (no
+    context); token i>1 scores p(cur|prev) — the stored interpolated
+    value when (prev, cur) was observed, else
+    (1−λ)·p_uni(cur) (or the OOV floor).  Both model relations are
+    broadcast; the corpus never shuffles before the per-doc mean.
+    """
+    t = F.split(text_col, " ")
+    events = docs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    uni = unigram.select(
+        F.col("token").alias("cur"), F.col("log2p").alias("log2p_uni")
+    )
+    fallback_uni = F.coalesce(
+        F.col("log2p_uni"), F.lit(float(oov_log2p))
+    )
+    scored = (
+        events.join(F.broadcast(bigram), ["prev", "cur"], "left")
+        .join(F.broadcast(uni), "cur", "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("prev").isNull(), fallback_uni  # first token
+            )
+            .when(F.col("log2p").isNotNull(), F.col("log2p"))
+            .otherwise(
+                F.lit(math.log2(1.0 - lam)) + fallback_uni
+            )
+            .alias("lp"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.avg(-F.col("lp")).alias("xent"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn("perplexity", F.pow(F.lit(2.0), F.col("xent")))
+    )
+    return docs.join(scored, id_col)
