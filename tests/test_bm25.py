@@ -76,3 +76,69 @@ def test_longer_doc_scores_below_equal_tf_shorter_doc(spark):
     ]
     out = bm25.bm25_topk(_docs(spark, rows), terms=("vector",), k=5).collect()
     assert [r["doc_id"] for r in out][:2] == [1, 2]
+
+
+# -- Reciprocal rank fusion -------------------------------------------------
+
+
+def _ranking(spark, pairs):
+    return spark.createDataFrame(pairs, "doc_id bigint, rank bigint")
+
+
+def test_rrf_agreement_beats_single_list(spark):
+    from urban_mobility_data_lakehouse_spark.text.bm25 import rrf_fuse
+
+    a = _ranking(spark, [(10, 1), (11, 2), (12, 3)])
+    b = _ranking(spark, [(10, 2), (13, 1), (11, 3)])
+    out = rrf_fuse([a, b], topn=10).collect()
+    order = [r["doc_id"] for r in out]
+    # doc 10 is high in BOTH lists → must outrank the single-list
+    # leaders 13 (1st in b only) and 11 (2nd+3rd)
+    assert order[0] == 10
+    # every doc from either list appears
+    assert set(order) == {10, 11, 12, 13}
+
+
+def test_rrf_exact_scores(spark):
+    from urban_mobility_data_lakehouse_spark.text.bm25 import rrf_fuse
+
+    a = _ranking(spark, [(1, 1)])
+    b = _ranking(spark, [(1, 2), (2, 1)])
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([a, b]).collect()}
+    assert got[1] == 1 / 61 + 1 / 62
+    assert got[2] == 1 / 61
+
+
+def test_rrf_hybrid_bm25_plus_knn(spark, sf_dir):
+    """End-to-end hybrid: fuse the BM25 keyword list with the exact
+    cosine kNN list for query vector 0 over the shared id space."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from urban_mobility_data_lakehouse_spark.similarity.knn import (
+        knn_bruteforce,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text import bm25
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyword = bm25.bm25_topk(docs).select(
+        F.col("doc_id"),
+        F.dense_rank()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .cast("long")
+        .alias("rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vector = (
+        knn_bruteforce(emb, n_queries=1, k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    fused = bm25.rrf_fuse([keyword, vector], topn=10).collect()
+    assert len(fused) == 10
+    assert fused == sorted(fused, key=lambda r: r["rank"])
+    # deterministic across runs
+    again = bm25.rrf_fuse([keyword, vector], topn=10).collect()
+    assert fused == again

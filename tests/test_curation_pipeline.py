@@ -128,3 +128,30 @@ def test_optional_model_filter_stage(spark, docs):
     assert "model_filtered" in stats
     assert 0 < stats["model_filtered"] <= stats["quality_filtered"]
     assert sum(stats["split"].values()) == stats["model_filtered"]
+
+
+def test_optional_exact_substr_stage(spark, docs):
+    """The ExactSubstr stage cuts a cross-document verbatim license
+    block before dedup; surviving docs keep their unique text."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.text.pipeline import (
+        curate_corpus,
+    )
+
+    lic = "licensed under the apache license version two point zero"
+    salted = docs.withColumn(
+        "text", F.concat(F.lit(lic + " "), F.col("text"))
+    )
+    out, stats = curate_corpus(
+        spark,
+        salted,
+        min_quality=0.0,
+        exact_substr_min_tokens=8,
+        audit=True,
+    )
+    assert "exact_substr_deduped" in stats
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert lic not in r["text"]

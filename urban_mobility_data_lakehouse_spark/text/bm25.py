@@ -189,3 +189,48 @@ def bm25_oracle_sql(
     ORDER BY score DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    key_col: str = "doc_id",
+    k: int = 60,
+    topn: int = TOP_K,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al., SIGIR 2009) — the
+    standard way to combine BM25 and vector rankings into one hybrid
+    retrieval list without score calibration:
+
+        rrf(d) = Σ_i 1 / (k + rank_i(d))
+
+    Each input needs (key_col, rank) with rank 1-based; a document
+    absent from a ranking simply contributes nothing (full outer
+    join + coalesce-0).  Ranks are small integers, so the fusion join
+    inputs are top-N-sized — broadcastable no matter how big the
+    corpus that produced them.  Output (key, rrf_score, rank),
+    deterministic: ties break on the key.
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        contrib = r.select(
+            key_col,
+            (1.0 / (F.lit(k) + F.col("rank"))).alias(f"_c{i}"),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, key_col, "full_outer")
+        )
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(key_col))
+    return (
+        fused.select(key_col, score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .orderBy("rank")
+    )

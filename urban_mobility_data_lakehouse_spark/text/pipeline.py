@@ -42,6 +42,7 @@ def curate_corpus(
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.5,
     boilerplate_min_docs: int | None = None,
+    exact_substr_min_tokens: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
     model_score_min: float | None = None,
     mix_weights: dict[str, float] | None = None,
@@ -85,6 +86,20 @@ def curate_corpus(
             .drop("n_boilerplate_lines")
             .filter(F.length("text") > 0),
             "boilerplate_stripped",
+        )
+
+    if exact_substr_min_tokens is not None:
+        # ExactSubstr (Lee et al. 2022): cut cross-document verbatim
+        # runs BEFORE whole-document dedup, so license/quotation spans
+        # can't glue otherwise-distinct docs into near-dup clusters
+        from .spans import remove_spans, repeated_spans
+
+        documents = _checkpoint(
+            remove_spans(
+                documents,
+                repeated_spans(documents, exact_substr_min_tokens),
+            ).filter(F.length("text") > 0),
+            "exact_substr_deduped",
         )
 
     stage = _checkpoint(deduplicate(documents), "exact_dedup")
