@@ -193,7 +193,27 @@ def test_embedding_near_dups_has_no_all_pairs_join(spark, sf_dir):
     df = REGISTRY["embedding_near_dups"].builder(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the SemDeDup part attaches the centroid table as a SINGLE-ROW
+    # broadcast (array-of-structs, the IVF pattern); the within-cell
+    # self-join re-derives that assignment on each side, so the plan
+    # holds exactly two benign one-row BNLJs — anything more would be
+    # an all-pairs product
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    # the pair part alone must stay strictly equi-join shaped
+    from urban_mobility_data_lakehouse_spark.similarity.knn import (
+        banded_near_dups,
+    )
+
+    pair_plan = (
+        banded_near_dups(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
 
 
 def test_simhash_selfjoin_reuses_fingerprint_exchange(spark, sf_dir):

@@ -1,0 +1,80 @@
+"""SemDeDup (similarity/semdedup.py) semantics.
+
+Oracle parity for the registry row (`embedding_near_dups` part
+'drop') runs in test_oracle_parity; here the operator's contract is
+checked directly: planted semantic twins are dropped with the right
+evidence, survivors are pairwise dissimilar within every cluster, and
+the pass is deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+    assign_cells,
+    train_centroids,
+)
+from urban_mobility_data_lakehouse_spark.similarity.knn import cosine
+from urban_mobility_data_lakehouse_spark.similarity.semdedup import (
+    semantic_dedup,
+)
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _planted(spark):
+    """Corpus + exact copies of vec_ids 0-4 at ids 10000-10004."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.filter(F.col("vec_id") < 5).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    return emb.unionByName(twins)
+
+
+def test_planted_twins_dropped_with_evidence(spark):
+    drops = semantic_dedup(_planted(spark), threshold=0.9).collect()
+    by_id = {r["vec_id"]: r for r in drops}
+    for i in range(5):
+        r = by_id[10000 + i]
+        # the twin is dropped, blamed on its identical lower-id
+        # original (cos exactly 1.0 after round(4))
+        assert r["dup_of"] == i, r
+        assert r["max_prior_sim"] == 1.0, r
+    # originals (the minimum id of each twin set) all survive
+    assert not any(r["vec_id"] < 5 for r in drops)
+
+
+def test_survivors_pairwise_dissimilar_within_cell(spark):
+    emb = _planted(spark)
+    tau = 0.5
+    centroids = train_centroids(emb)
+    drops = semantic_dedup(emb, threshold=tau, centroids=centroids)
+    survivors = assign_cells(emb, centroids).join(
+        drops.select("vec_id"), "vec_id", "left_anti"
+    )
+    a = survivors.select(
+        F.col("vec_id").alias("ia"), F.col("emb").alias("ea"), "cell"
+    )
+    b = survivors.select(
+        F.col("vec_id").alias("ib"), F.col("emb").alias("eb"), "cell"
+    )
+    offenders = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= tau)
+    )
+    # the order rule guarantees this: any same-cell pair >= tau has
+    # its higher id dropped, so no such pair can survive
+    assert offenders.count() == 0
+
+
+def test_deterministic_across_runs(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    r1 = semantic_dedup(emb, threshold=0.3).collect()
+    r2 = semantic_dedup(emb, threshold=0.3).collect()
+    assert r1 == r2
+    assert len(r1) > 0  # tau=0.3 is inside the corpus tail: nonempty

@@ -336,23 +336,126 @@ def _banded_near_dups_oracle(
     """
 
 
+def _semdedup_oracle(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of `similarity/semdedup.semantic_dedup`: the
+    pyarrow twin trainer reproduces the k-means centroids
+    bit-identically (the knn_ivf contract); assignment uses the same
+    sequential L2 fold and (distance, cell) tie-break; then the
+    within-cluster prior-max-cosine drop rule is one self-join + one
+    window, same as the Spark plan."""
+    from ..similarity.ivf import train_centroids_from_parquet
+
+    cents = train_centroids_from_parquet(sf_dir, n_cells=n_cells, seed=seed)
+    dim = len(cents[0])
+    values = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (v.e[i] - cc.c[i]) * (v.e[i] - cc.c[i])), (a, b) -> a + b)"
+    )
+    dot = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> vb.e[i] * vp.e[i]), (a, b) -> a + b)"
+    )
+    norm = ("sqrt(list_reduce(list_transform({a}, x -> x * x), "
+            "(x, y) -> x + y))")
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cents(cell, c) AS (VALUES
+        {values}
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, cc.cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {l2} ASC, cc.cell ASC) AS r
+            FROM v, cents cc
+        ) WHERE r = 1
+    ),
+    scored AS (
+        SELECT b.vec_id, b.cell, p.vec_id AS prior_id,
+               {dot} / ({norm.format(a="vb.e")} * {norm.format(a="vp.e")})
+                   AS cos
+        FROM assigned b
+        JOIN assigned p ON p.cell = b.cell AND p.vec_id < b.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        JOIN v vp ON vp.vec_id = p.vec_id
+    )
+    SELECT vec_id, cell, prior_id AS dup_of,
+           round(cos, 4) AS max_prior_sim
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, prior_id ASC) AS rn
+        FROM scored
+    )
+    WHERE rn = 1 AND cos >= {threshold}
+    ORDER BY vec_id
+    """
+
+
+def _embedding_dedup_oracle(sf_dir: str) -> str:
+    """pair part (static, seed-derived planes) + drop part (SemDeDup,
+    data-derived centroids) in one labeled union."""
+    return f"""
+    SELECT * FROM (
+        SELECT 'pair' AS part, vec_a, vec_b, cosine_sim AS score
+        FROM ({_banded_near_dups_oracle()})
+        UNION ALL
+        SELECT 'drop', vec_id, dup_of, max_prior_sim
+        FROM ({_semdedup_oracle(sf_dir)})
+    )
+    ORDER BY part, vec_a, vec_b
+    """
+
+
 @register(
     "embedding_near_dups",
-    oracle=_banded_near_dups_oracle(),  # planes inlined as literals
-    tags=("similarity", "dedup", "embedding", "scale"),
+    oracle=_embedding_dedup_oracle,  # callable: SemDeDup centroids are
+    # data-derived, resolved per sf_dir at ask-time
+    tags=("similarity", "dedup", "embedding", "semdedup", "scale"),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the last dedup modality),
-    via banded random-hyperplane candidates + exact cosine verify —
-    the checked path IS the 100 TB plan: an equi-join on (band, key),
-    no all-pairs product anywhere (asserted by a plan test).  The
-    oracle replays the identical banding, so the driver hash checks
-    the exact candidate set and similarity values."""
-    from ..similarity.knn import banded_near_dups
+    """Embedding-space dedup, both modalities in one labeled union:
 
-    return banded_near_dups(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.45
+    `pair`: embedding-cosine near-duplicate pairs via banded
+    random-hyperplane candidates + exact cosine verify — the checked
+    path IS the 100 TB plan: an equi-join on (band, key), no all-pairs
+    product anywhere (asserted by a plan test); score = cosine.
+    `drop`: SemDeDup (similarity/semdedup.py) — k-means-bucketed
+    semantic dedup; one row per dropped vector with vec_b = the
+    surviving lower-id cluster-mate that caused the drop and score =
+    that max prior cosine.  Both oracles replay the exact geometry
+    (inlined hyperplanes / bit-identical twin-trained centroids), so
+    the driver hash-checks candidate sets, scores, and drop decisions
+    end-to-end."""
+    from ..similarity.knn import banded_near_dups
+    from ..similarity.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = banded_near_dups(emb, threshold=0.45).select(
+        F.lit("pair").alias("part"),
+        "vec_a",
+        "vec_b",
+        F.col("cosine_sim").alias("score"),
     )
+    drops = semantic_dedup(emb, threshold=0.4).select(
+        F.lit("drop").alias("part"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("dup_of").alias("vec_b"),
+        F.col("max_prior_sim").alias("score"),
+    )
+    return pairs.unionByName(drops).orderBy("part", "vec_a", "vec_b")
 
 
 def _ivf_oracle(

@@ -1,0 +1,90 @@
+"""SemDeDup — semantic deduplication via k-means-bucketed cosine.
+
+The embedding-space analog of MinHash dedup (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication", arXiv:2303.09540): lexical fingerprints miss
+paraphrases and re-renderings, but their embeddings land close
+together.  All-pairs cosine over a corpus is O(n²); SemDeDup's
+observation is that semantic duplicates fall in the SAME k-means
+cluster of a coarse quantization, so only within-cluster pairs need
+scoring — the exact cost shape IVF search already exploits
+(`ivf.py`), and the two share the same trained centroids here.
+
+Drop rule (the reference implementation's ordering trick, pinned to a
+deterministic order): within a cluster, process items in ascending
+`vec_id`; an item is DROPPED iff its max cosine to any LOWER-id
+cluster-mate reaches the threshold.  Exactly one member of every
+semantic-duplicate set survives (the minimum id — the same survivor
+contract as the MinHash cluster closure in `dedup/components.py`),
+and the decision for item v never depends on whether its prior
+neighbors were themselves dropped, so the whole pass is ONE self-join
++ ONE window — no iteration.  (The paper picks survivors by distance
+to the centroid / at random; a fixed id order changes which twin
+survives, not what is deduplicated.)
+
+Scale: the join key is the cluster id, so shuffled work is
+Σ|cluster|² — SemDeDup at 100 TB runs with n_cells ≈ √n (the paper
+uses 110k clusters for LAION), keeping every cluster's pair block
+bounded; centroids stay a driver-sized broadcast exactly as in IVF.
+Assignment itself is the shuffle-free broadcast map of
+`ivf.assign_cells`.  Training is frozen + seeded (`ivf.lloyd`), so
+the pyarrow twin trainer reproduces the centroids bit-identically
+and the whole pass — assignment, pairing, max-sim, drop set — is
+replayable in DuckDB for the driver's value-hash gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .ivf import assign_cells, train_centroids
+from .knn import cosine
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """The DROP side of SemDeDup: one row per discarded vector —
+    ``(vec_id, cell, dup_of, max_prior_sim)`` where `dup_of` is the
+    highest-similarity lower-id cluster-mate (ties → lowest id) and
+    `max_prior_sim` its cosine.  Survivors = embeddings anti-joined
+    against this frame; the drop set carries the evidence for every
+    removal, which is what a curation audit actually wants stored.
+    """
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
+    assigned = assign_cells(embeddings, centroids)
+    prior = assigned.select(
+        F.col("vec_id").alias("prior_id"),
+        F.col("emb").alias("emb_p"),
+        "cell",
+    )
+    scored = (
+        assigned.join(prior, "cell")
+        .filter(F.col("prior_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cell",
+            "prior_id",
+            cosine(F.col("emb"), F.col("emb_p")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("prior_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos") >= threshold))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("prior_id").alias("dup_of"),
+            F.round("cos", 4).alias("max_prior_sim"),
+        )
+        .orderBy("vec_id")
+    )
