@@ -155,3 +155,33 @@ def test_optional_exact_substr_stage(spark, docs):
     assert rows
     for r in rows:
         assert lic not in r["text"]
+
+
+def test_optional_semdedup_stage(spark, docs, sf_dir):
+    """SemDeDup stage: docs whose embedding is semantically-dropped
+    leave the funnel; docs without an embedding pass through."""
+    from urban_mobility_data_lakehouse_spark.similarity.semdedup import (
+        semantic_dedup,
+    )
+
+    # embed only doc_ids < 400 so 400+ exercise the unembedded path
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 400
+    )
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        min_quality=0.0,
+        embeddings=emb,
+        semdedup_threshold=0.3,
+    )
+    assert "semantic_deduped" in stats
+    assert 0 < stats["semantic_deduped"] <= stats["near_dedup"]
+    dropped = {
+        r["vec_id"] for r in semantic_dedup(emb, threshold=0.3).collect()
+    }
+    assert dropped, "threshold 0.3 must produce a nonempty drop set"
+    out_ids = {r["doc_id"] for r in train.collect()}
+    assert not dropped & out_ids
+    # unembedded docs (doc_id beyond the embedded range) survive
+    assert any(i >= 400 for i in out_ids)

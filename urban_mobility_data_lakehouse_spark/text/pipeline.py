@@ -45,6 +45,8 @@ def curate_corpus(
     exact_substr_min_tokens: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
     model_score_min: float | None = None,
+    embeddings: DataFrame | None = None,
+    semdedup_threshold: float | None = None,
     mix_weights: dict[str, float] | None = None,
     mix_budget_tokens: int | None = None,
     lake: Lakehouse | None = None,
@@ -120,6 +122,27 @@ def curate_corpus(
     stage = _checkpoint(
         stage.join(losers, ["doc_id"], "left_anti"), "near_dedup"
     )
+
+    if embeddings is not None and semdedup_threshold is not None:
+        # SemDeDup (Abbas et al. 2023) on top of lexical dedup: drop
+        # docs whose embedding has a surviving semantic twin.  The
+        # paper's ordering — semantic dedup AFTER exact/near dedup,
+        # BEFORE quality filtering — so paraphrase mass doesn't skew
+        # the quality model's corpus statistics.  `embeddings` is
+        # (id, embedding) with id joinable to doc_id; docs without an
+        # embedding pass through (no silent loss of unembedded rows).
+        from ..similarity.semdedup import semantic_dedup
+
+        emb = embeddings.select(
+            F.col(embeddings.columns[0]).alias("vec_id"), "embedding"
+        )
+        sem_losers = semantic_dedup(
+            emb, threshold=semdedup_threshold
+        ).select(F.col("vec_id").alias("doc_id"))
+        stage = _checkpoint(
+            stage.join(sem_losers, ["doc_id"], "left_anti"),
+            "semantic_deduped",
+        )
 
     if eval_docs is not None:
         stage = _checkpoint(
