@@ -1,0 +1,287 @@
+"""Iceberg-style hidden partitioning (sources/transforms.py +
+Lakehouse.set_partition_spec).
+
+The contract under test: writers never materialize a partition
+column, readers never see one, and `read_where` predicates on the RAW
+source column prune partition directories through the transform —
+with full row parity against an unpruned filter at every step.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+from urban_mobility_data_lakehouse_spark.sources.transforms import (
+    PartitionSpec,
+    parse_spec,
+    partition_survives,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events(spark):
+    # 1000 rows over 30 distinct days, Jan 2024
+    return load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def _ids(df):
+    return sorted(r["event_id"] for r in df.select("event_id").collect())
+
+
+# -- transform algebra ---------------------------------------------
+
+
+def test_parse_spec_forms():
+    assert parse_spec("days(ts)") == PartitionSpec("days", "ts")
+    assert parse_spec("bucket(16, user_id)") == PartitionSpec(
+        "bucket", "user_id", 16
+    )
+    assert parse_spec("truncate(4, code)") == PartitionSpec(
+        "truncate", "code", 4
+    )
+    with pytest.raises(ValueError):
+        parse_spec("days(16, ts)")
+    with pytest.raises(ValueError):
+        parse_spec("bucket(ts)")
+    with pytest.raises(ValueError):
+        parse_spec("years(ts)")
+
+
+@pytest.mark.parametrize(
+    "spec_s,col",
+    [
+        ("days(ts)", "ts"),
+        ("hours(ts)", "ts"),
+        ("months(ts)", "ts"),
+        ("bucket(8, user_id)", "user_id"),
+        ("truncate(100, user_id)", "user_id"),
+        ("truncate(3, event_type)", "event_type"),
+        ("identity(event_type)", "event_type"),
+    ],
+)
+def test_spark_and_python_twins_agree(spark, events, spec_s, col):
+    """derive() and value_of must agree value-for-value — the pruning
+    soundness hinges on it."""
+    spec = parse_spec(spec_s)
+    rows = (
+        events.select(
+            F.col(col).alias("src"),
+            spec.derive(events).alias(spec.hidden_col),
+        )
+        .distinct()
+        .collect()
+    )
+    for r in rows:
+        assert spec.value_of(r["src"]) == r[spec.hidden_col], (
+            spec_s,
+            r["src"],
+        )
+
+
+# -- write/read round trip ------------------------------------------
+
+
+def test_hidden_write_read_roundtrip(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+    out = lake.read(spark, "silver", "events")
+    # logical schema only — the derived column stays hidden
+    assert out.columns == events.columns
+    assert _ids(out) == _ids(events)
+    # layout: one directory per distinct UTC day
+    detail = lake.describe_detail("silver", "events")
+    assert detail["partition_columns"] == ["_p_days_ts"]
+
+
+def test_raw_range_predicate_prunes_days(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+    full = lake.read(spark, "silver", "events")
+    n_files = len(full.inputFiles())
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 12)
+    pruned = lake.read_where(
+        spark,
+        "silver",
+        "events",
+        [("ts", ">=", lo), ("ts", "<", hi)],
+    )
+    # 30 day-partitions; a 2-day window must plan a small fraction
+    assert 0 < len(pruned.inputFiles()) <= n_files // 5
+    assert _ids(pruned) == _ids(
+        full.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    )
+
+
+def test_bucket_equality_prunes_to_one_partition(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "bucket(8, user_id)")
+    lake.overwrite_partitions(events, "silver", "events")
+    full = lake.read(spark, "silver", "events")
+    probe = full.select("user_id").first()["user_id"]
+    pruned = lake.read_where(
+        spark, "silver", "events", [("user_id", "=", probe)]
+    )
+    got_dirs = {p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}
+    assert len(got_dirs) == 1  # exactly the probe's bucket directory
+    assert _ids(pruned) == _ids(full.filter(F.col("user_id") == probe))
+    # range predicates must NOT prune through a bucket transform
+    lo = int(probe)
+    unpruned = lake.read_where(
+        spark, "silver", "events", [("user_id", ">=", lo)]
+    )
+    assert _ids(unpruned) == _ids(full.filter(F.col("user_id") >= lo))
+
+
+def test_months_and_in_list_pruning_parity(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+    full = lake.read(spark, "silver", "events")
+    days = [dt.datetime(2024, 1, 5, 12, 0), dt.datetime(2024, 1, 20)]
+    # equality/in prune to the exact day partitions
+    pruned = lake.read_where(
+        spark, "silver", "events",
+        [("ts", ">=", days[0]), ("ts", "<", days[0] + dt.timedelta(1))],
+    )
+    assert len({p.rsplit("/", 2)[-2] for p in pruned.inputFiles()}) <= 2
+
+
+def test_row_ops_without_partition_col(spark, events, tmp_path):
+    """delete_where / merge_into on a hidden-spec table need no
+    partition_col; CDC and reads never surface the derived column."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+
+    # DELETE a user's rows (GDPR shape) — no partition col anywhere
+    victim = events.select("user_id").first()["user_id"]
+    lake.delete_where(
+        spark, "silver", "events", F.col("user_id") == victim
+    )
+    out = lake.read(spark, "silver", "events")
+    assert out.filter(F.col("user_id") == victim).count() == 0
+    assert out.columns == events.columns
+
+    # MERGE: bump value for 10 rows + insert 2 fresh rows
+    upd = events.filter(F.col("event_id") < 10).withColumn(
+        "value", F.col("value") + 1000
+    )
+    fresh = events.filter(F.col("event_id").isin(990, 991)).withColumn(
+        "event_id", F.col("event_id") + 100000
+    )
+    lake.merge_into(
+        spark, "silver", "events",
+        upd.unionByName(fresh), key="event_id",
+    )
+    out2 = lake.read(spark, "silver", "events")
+    assert out2.filter(F.col("event_id") == 100990).count() == 1
+    assert (
+        out2.filter(F.col("event_id") < 10)
+        .filter(F.col("value") < 1000)
+        .count()
+        == 0
+    )
+    # CDC: no hidden column in the change feed
+    changes = lake.read_changes(spark, "silver", "events", 0, 1)
+    assert not [c for c in changes.columns if c.startswith("_p_")]
+
+
+def test_compact_preserves_hidden_layout(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    # two half-writes → 2 files per day partition
+    lake.overwrite_partitions(
+        events.filter(F.col("event_id") % 2 == 0), "silver", "events"
+    )
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    lake.merge_into(spark, "silver", "events", half2, key="event_id")
+    lake.compact(spark, "silver", "events")
+    out = lake.read(spark, "silver", "events")
+    assert _ids(out) == _ids(events)
+    # still day-partitioned after compaction: a day probe stays pruned
+    lo = dt.datetime(2024, 1, 10)
+    pruned = lake.read_where(
+        spark, "silver", "events",
+        [("ts", ">=", lo), ("ts", "<", lo + dt.timedelta(1))],
+    )
+    assert len(pruned.inputFiles()) <= 2
+
+
+def test_spec_change_after_data_refused(spark, events, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+    with pytest.raises(ValueError, match="cannot change"):
+        lake.set_partition_spec("silver", "events", "months(ts)")
+    # re-declaring the SAME spec is fine (idempotent deploys)
+    lake.set_partition_spec("silver", "events", "days(ts)")
+
+
+def test_partition_survives_is_conservative():
+    spec = parse_spec("days(ts)")
+    day = str(
+        (dt.datetime(2024, 1, 10) - dt.datetime(1970, 1, 1)).days
+    )
+    # unparseable literal, unknown op → survive
+    assert partition_survives(spec, [("ts", ">=", object())], day)
+    assert partition_survives(spec, [("ts", "like", "x")], day)
+    # other columns ignored
+    assert partition_survives(spec, [("user_id", "=", 5)], day)
+    # a proving predicate does prune
+    assert not partition_survives(
+        spec, [("ts", "<", dt.datetime(2024, 1, 9))], day
+    )
+    assert partition_survives(
+        spec, [("ts", "<", dt.datetime(2024, 1, 10, 0, 0, 1))], day
+    )
+
+
+def test_non_utc_session_boundary_rows_survive(spark, tmp_path):
+    """A naive predicate literal is read in the SESSION timezone by
+    the residual filter; the pruning twin must agree or a non-UTC
+    session silently loses the boundary hours (partitions bucket UTC
+    instants; Madrid midnight is 23:00 inside the PREVIOUS UTC day)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Madrid")
+    try:
+        rows = [
+            (i, dt.datetime(2024, 1, 9) + dt.timedelta(minutes=10 * i))
+            for i in range(6 * 24 * 3)  # every 10 min, Jan 9-11
+        ]
+        df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+        lake = Lakehouse(str(tmp_path / "lake"))
+        lake.create_schemas("s")
+        lake.set_partition_spec("s", "ev", "days(ts)")
+        lake.overwrite_partitions(df, "s", "ev")
+        full = lake.read(spark, "s", "ev")
+        lo = dt.datetime(2024, 1, 10)  # Madrid midnight = Jan 9 23:00 UTC
+        hi = dt.datetime(2024, 1, 11)
+        pruned = lake.read_where(
+            spark, "s", "ev", [("ts", ">=", lo), ("ts", "<", hi)]
+        )
+        assert _ids(pruned) == _ids(
+            full.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        )
+        # pruning still happened (4 surviving UTC-day partitions max)
+        assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

@@ -270,6 +270,98 @@ class Lakehouse:
     # -- Bloom filter indexes (Delta CREATE BLOOMFILTER INDEX analog) ------
 
     BLOOM_FILE = "_bloom_index.json"
+    PARTITION_SPEC_FILE = "_partition_spec.json"
+
+    def partition_spec(self, schema: str, name: str):
+        """The table's hidden-partitioning spec, or None (explicitly
+        partitioned / unpartitioned tables)."""
+        from .transforms import PartitionSpec
+
+        p = os.path.join(
+            self._table_dir(schema, name), self.PARTITION_SPEC_FILE
+        )
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return PartitionSpec.from_json(json.load(f))
+
+    def set_partition_spec(self, schema: str, name: str, spec: str) -> None:
+        """Declare Iceberg-style HIDDEN partitioning (Iceberg spec
+        §Partition Transforms): `"days(ts)"`, `"months(ts)"`,
+        `"hours(ts)"`, `"bucket(16, user_id)"`, `"truncate(4, code)"`,
+        `"identity(day)"`.  Set once, before the first partitioned
+        write.  From then on every partition-shaped write
+        (`overwrite_partitions`, `merge_into`, `delete_where`,
+        `compact`) with `partition_col=None` derives the partition
+        value from the SOURCE column automatically, readers never see
+        the derived column, and `read_where` predicates on the raw
+        source column prune partitions through the transform
+        (equality always; ranges through the order-preserving
+        transforms).  Changing the spec after data exists would strand
+        old layouts — refused."""
+        from .transforms import parse_spec
+
+        parsed = parse_spec(spec)  # validate before persisting
+        path = self._table_dir(schema, name)
+        with self._table_lock(path):
+            if self.snapshots(schema, name) and self.partition_spec(
+                schema, name
+            ) not in (None, parsed):
+                raise ValueError(
+                    f"{schema}.{name}: partition spec cannot change "
+                    "after data is written (Iceberg allows spec "
+                    "evolution; this engine does not — rewrite via "
+                    "clone instead)"
+                )
+            with open(
+                os.path.join(path, self.PARTITION_SPEC_FILE), "w"
+            ) as f:
+                json.dump(parsed.to_json(), f)
+
+    def _resolve_partitioning(
+        self, df: DataFrame, schema: str, name: str,
+        partition_col: str | None,
+    ) -> tuple[DataFrame, str]:
+        """(df, physical partition column).  Explicit `partition_col`
+        wins (internal rewrites pass the hidden column through); with
+        None, a hidden spec derives its value column — recomputed even
+        if present, so a stale caller-supplied value can never
+        disagree with the transform."""
+        if partition_col is not None:
+            return df, partition_col
+        spec = self.partition_spec(schema, name)
+        if spec is None:
+            raise ValueError(
+                f"{schema}.{name}: partition_col is required for "
+                "tables without a hidden partition spec "
+                "(set_partition_spec)"
+            )
+        return (
+            df.withColumn(spec.hidden_col, spec.derive(df)),
+            spec.hidden_col,
+        )
+
+    @staticmethod
+    def _drop_hidden(df: DataFrame) -> DataFrame:
+        """Strip hidden-partitioning value columns — readers see only
+        the logical schema (the 'hidden' in hidden partitioning)."""
+        from .transforms import HIDDEN_PREFIX
+
+        hidden = [c for c in df.columns if c.startswith(HIDDEN_PREFIX)]
+        return df.drop(*hidden) if hidden else df
+
+    def _ensure_partition_col(
+        self, df: DataFrame, schema: str, name: str, partition_col: str
+    ) -> DataFrame:
+        """Re-derive a hidden partition column onto a frame that came
+        back through `read` (which strips it).  No-op for physical
+        partition columns."""
+        if partition_col in df.columns:
+            return df
+        spec = self.partition_spec(schema, name)
+        if spec is not None and partition_col == spec.hidden_col:
+            return df.withColumn(partition_col, spec.derive(df))
+        return df
 
     def bloom_index(self, schema: str, name: str) -> dict[str, dict]:
         p = os.path.join(self._table_dir(schema, name), self.BLOOM_FILE)
@@ -430,7 +522,7 @@ class Lakehouse:
         df: DataFrame,
         schema: str,
         name: str,
-        partition_col: str,
+        partition_col: str | None = None,
         partitions: list[str] | None = None,
         extra_meta: dict | None = None,
     ) -> None:
@@ -448,7 +540,15 @@ class Lakehouse:
         committed an overlapping change since this writer's base
         snapshot; writers touching disjoint partitions commit
         concurrently without conflict (the reference's 8-parallel-day
-        cloud mode)."""
+        cloud mode).
+
+        `partition_col=None` on a hidden-spec table
+        (`set_partition_spec`) derives the partition value from the
+        spec's source column — the caller partitions by `days(ts)`
+        without ever materializing a day column."""
+        df, partition_col = self._resolve_partitioning(
+            df, schema, name, partition_col
+        )
         base, data_dir = self._next_data_dir(schema, name)
         entry = self._stage_overwrite_partitions(
             df, schema, name, partition_col, data_dir, partitions
@@ -462,7 +562,7 @@ class Lakehouse:
         name: str,
         updates: DataFrame,
         key: str | list[str],
-        partition_col: str,
+        partition_col: str | None = None,
         validate_cross_partition: bool = False,
         mode: str = "copy_on_write",
     ) -> None:
@@ -527,13 +627,19 @@ class Lakehouse:
                 f"merge_into: unknown mode {mode!r} "
                 "(copy_on_write | merge_on_read)"
             )
+        updates, partition_col = self._resolve_partitioning(
+            updates, schema, name, partition_col
+        )
         affected = [
             str(r[0])
             for r in updates.select(partition_col).distinct().collect()
         ]
         if validate_cross_partition:
             strays = (
-                self.read(spark, schema, name)
+                self._ensure_partition_col(
+                    self.read(spark, schema, name), schema, name,
+                    partition_col,
+                )
                 .filter(~F.col(partition_col).cast("string").isin(affected))
                 .join(updates.select(*keys).distinct(), keys, "left_semi")
                 .select(*keys, partition_col)
@@ -548,9 +654,9 @@ class Lakehouse:
                     "move rows across partitions (delete from the "
                     "source partition first)"
                 )
-        current = self.read(spark, schema, name).filter(
-            F.col(partition_col).cast("string").isin(affected)
-        )
+        current = self._ensure_partition_col(
+            self.read(spark, schema, name), schema, name, partition_col
+        ).filter(F.col(partition_col).cast("string").isin(affected))
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         )
@@ -568,7 +674,7 @@ class Lakehouse:
         schema: str,
         name: str,
         condition,
-        partition_col: str,
+        partition_col: str | None = None,
         mode: str = "copy_on_write",
     ) -> None:
         """Row-level DELETE: rewrite only the partitions that contain
@@ -606,6 +712,14 @@ class Lakehouse:
                 "(copy_on_write | merge_on_read)"
             )
         current = self.read(spark, schema, name)
+        if partition_col is None:
+            current, partition_col = self._resolve_partitioning(
+                current, schema, name, None
+            )
+        else:
+            current = self._ensure_partition_col(
+                current, schema, name, partition_col
+            )
         affected = [
             str(r[0])
             for r in current.filter(condition)
@@ -832,6 +946,12 @@ class Lakehouse:
         path = self._table_dir(schema, name)
         before = _count_data_files(path)
         df = self.read(spark, schema, name)
+        spec = self.partition_spec(schema, name)
+        if spec is not None and partition_col in (None, spec.hidden_col):
+            # hidden-spec tables always compact partition-preserving:
+            # re-derive the transform column (read strips it)
+            df = df.withColumn(spec.hidden_col, spec.derive(df))
+            partition_col = spec.hidden_col
         if target_file_bytes is not None:
             import math
 
@@ -1340,7 +1460,7 @@ class Lakehouse:
             out = self._apply_dvs(
                 spark, out, dvs, keep_positions=with_positions
             )
-        return out
+        return self._drop_hidden(out)
 
     def read_where(
         self,
@@ -1398,9 +1518,70 @@ class Lakehouse:
             if _count_data_files(d) == 0:
                 continue
             by_dir.setdefault(d, (pcol, []))[1].append(value)
+        # hidden-partitioning (set_partition_spec): predicates on the
+        # RAW source column prune partitions through the transform —
+        # equality via the exact value mapping, ranges through the
+        # order-preserving transforms.  Like every layer here it only
+        # REMOVES partitions the transform proves empty of matches;
+        # the residual filter still re-applies the real predicate.
+        p_spec = self.partition_spec(schema, name)
+        if p_spec is not None:
+            from .transforms import (
+                localize_predicates,
+                partition_survives,
+            )
+
+            # naive temporal literals read in the SESSION timezone —
+            # exactly how the residual filter will interpret them
+            p_preds = localize_predicates(
+                predicates,
+                spark.conf.get("spark.sql.session.timeZone"),
+            )
+            by_dir = {
+                d: (pcol, kept)
+                for d, (pcol, values) in by_dir.items()
+                if (
+                    kept := (
+                        [
+                            v
+                            for v in values
+                            if partition_survives(p_spec, p_preds, v)
+                        ]
+                        if pcol == p_spec.hidden_col
+                        else values
+                    )
+                )
+            }
         frames = []
         for d, (pcol, values) in sorted(by_dir.items()):
             keep = surviving(d)
+            if (
+                p_spec is not None
+                and pcol == p_spec.hidden_col
+                and keep is None
+            ):
+                # no footer stats: still prune at the DIRECTORY level —
+                # hand Spark only the surviving value subdirs
+                keep = [
+                    sd
+                    for v in sorted(values)
+                    if os.path.isdir(
+                        sd := os.path.join(d, f"{pcol}={v}")
+                    )
+                ]
+            elif (
+                p_spec is not None
+                and pcol == p_spec.hidden_col
+                and keep
+            ):
+                # intersect file-stats survivors with partition pruning
+                allowed = {f"{pcol}={v}" for v in values}
+                keep = [
+                    p
+                    for p in keep
+                    if allowed
+                    & set(os.path.relpath(p, d).split(os.sep)[:-1])
+                ]
             src = (
                 spark.read.option("basePath", d).parquet(d)
                 if keep is None
@@ -1434,7 +1615,7 @@ class Lakehouse:
             out = out.unionByName(f, allowMissingColumns=True)
         if dvs:
             out = self._apply_dvs(spark, out, dvs)
-        return out.filter(residual)
+        return self._drop_hidden(out.filter(residual))
 
     def _require_dirs(
         self, schema: str, name: str, version, dirs: set[str]
@@ -1466,7 +1647,7 @@ class Lakehouse:
         schema: str,
         name: str,
         condition,
-        partition_col: str,
+        partition_col: str | None = None,
     ) -> dict:
         """Physical erasure (the GDPR right-to-be-forgotten workflow):
         DELETE alone is not erasure — copy-on-write keeps the old
@@ -1726,7 +1907,7 @@ class Lakehouse:
                 )
             if out is not None and side_dvs:
                 out = self._apply_dvs(spark, out, side_dvs)
-            return out
+            return None if out is None else self._drop_hidden(out)
 
         old_df = changed(old_map, old_extra, new_map, new_extra, old_dvs)
         new_df = changed(new_map, new_extra, old_map, old_extra, new_dvs)
@@ -1922,8 +2103,12 @@ class Transaction:
         self.pending.append((schema, name, entry))
 
     def overwrite_partitions(
-        self, df: DataFrame, schema: str, name: str, partition_col: str
+        self, df: DataFrame, schema: str, name: str,
+        partition_col: str | None = None,
     ) -> None:
+        df, partition_col = self.lake._resolve_partitioning(
+            df, schema, name, partition_col
+        )
         self._stage(
             schema, name,
             self.lake._stage_overwrite_partitions(
