@@ -285,3 +285,38 @@ def test_non_utc_session_boundary_rows_survive(spark, tmp_path):
         assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_zorder_compaction_composes_with_hidden_spec(
+    spark, events, tmp_path
+):
+    """compact(zorder_by=...) on a hidden-spec table keeps the derived
+    day layout AND z-orders within each day — a (ts-range, user_id)
+    box query then prunes partitions through the transform and files
+    through the z-ordered stats, with full parity."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+    lake.compact(
+        spark, "silver", "events", zorder_by=["user_id", "value"]
+    )
+    full = lake.read(spark, "silver", "events")
+    assert _ids(full) == _ids(events)
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 13)
+    uid = full.select("user_id").first()["user_id"]
+    pruned = lake.read_where(
+        spark, "silver", "events",
+        [("ts", ">=", lo), ("ts", "<", hi), ("user_id", "=", uid)],
+    )
+    # ≤ 4 surviving day partitions (3-day window + inclusive bound),
+    # one compacted file each
+    assert 0 < len(pruned.inputFiles()) <= 4
+    assert _ids(pruned) == _ids(
+        full.filter(
+            (F.col("ts") >= lo)
+            & (F.col("ts") < hi)
+            & (F.col("user_id") == uid)
+        )
+    )
