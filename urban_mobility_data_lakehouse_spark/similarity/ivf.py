@@ -51,9 +51,17 @@ def lloyd(
     x = np.asarray(x, dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    x2 = (x * x).sum(axis=1)
     for _ in range(n_iter):
-        # pairwise squared L2 → hard assignment
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # pairwise squared L2 via ||x||² - 2x·c + ||c||² — one
+        # (n,d)@(d,k) matmul instead of materializing an (n,k,d)
+        # broadcast (the bench's dominant training cost at sf0.1).
+        # Different float rounding than the subtract-square form, but
+        # the Spark trainer and the pyarrow oracle twin BOTH run this
+        # exact code in the same process, so the bit-identity contract
+        # between them is unchanged.
+        c2 = (cents * cents).sum(axis=1)
+        d2 = x2[:, None] - 2.0 * (x @ cents.T) + c2[None, :]
         assign = d2.argmin(axis=1)
         for c in range(len(cents)):
             members = x[assign == c]
