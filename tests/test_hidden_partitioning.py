@@ -102,6 +102,7 @@ def test_hidden_write_read_roundtrip(spark, events, tmp_path):
     # layout: one directory per distinct UTC day
     detail = lake.describe_detail("silver", "events")
     assert detail["partition_columns"] == ["_p_days_ts"]
+    assert detail["partition_spec"] == "days(ts)"  # catalog surface
 
 
 def test_raw_range_predicate_prunes_days(spark, events, tmp_path):

@@ -2008,6 +2008,12 @@ class Lakehouse:
                 [d for d in dvs if _count_data_files(d) > 0]
             ),
             "partition_columns": sorted(partition_cols),
+            "partition_spec": (
+                f"{s.transform}({'' if s.n is None else f'{s.n}, '}"
+                f"{s.source})"
+                if (s := self.partition_spec(schema, name)) is not None
+                else None
+            ),
             "constraints": self.constraints(schema, name),
         }
 
