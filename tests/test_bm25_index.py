@@ -1,0 +1,93 @@
+"""Persistent BM25 inverted index (text/bm25_index.py).
+
+Locked here: bit-exact parity with the scan-based scorer, bucket
+pruning on the postings read, atomic build, and incremental adds
+that converge to the from-scratch index.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+from urban_mobility_data_lakehouse_spark.text.bm25 import bm25_topk
+from urban_mobility_data_lakehouse_spark.text.bm25_index import (
+    PersistentBM25,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+TERMS = ("customer", "spark", "stream", "vector")
+
+
+@pytest.fixture()
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_index_query_matches_scan_scorer_bit_for_bit(
+    spark, docs, tmp_path
+):
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, docs)
+    got = _rows(idx.query(spark, TERMS, k=20))
+    want = _rows(bm25_topk(docs, TERMS, k=20))
+    assert got == want  # same docs, same dl, same 4-dp scores, same order
+
+
+def test_query_prunes_to_term_buckets(spark, docs, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    idx = PersistentBM25(lake, n_buckets=64)
+    idx.build(spark, docs)
+    full = lake.read(spark, "gold", idx.postings)
+    pruned = lake.read_where(
+        spark, "gold", idx.postings, [("term", "in", list(TERMS))]
+    )
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    # 4 query terms → at most 4 of the 64 bucket directories planned
+    assert 0 < n_pruned <= 4
+    assert n_pruned < n_full
+
+
+def test_build_is_atomic(spark, docs, tmp_path):
+    lake = Lakehouse(str(tmp_path / "lake"))
+    idx = PersistentBM25(lake)
+    idx.build(spark, docs)
+    # all three tables exist at a consistent point: postings doc set
+    # == doclen doc set, stats row matches doclen aggregates
+    post_docs = {
+        r["doc_id"]
+        for r in lake.read(spark, "gold", idx.postings)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    len_rows = lake.read(spark, "gold", idx.doclen).collect()
+    assert post_docs == {r["doc_id"] for r in len_rows}
+    srow = lake.read(spark, "gold", idx.stats).collect()[0]
+    assert srow["n_docs"] == len(len_rows)
+    assert srow["sum_dl"] == sum(r["dl"] for r in len_rows)
+
+
+def test_incremental_add_converges_to_full_rebuild(
+    spark, docs, tmp_path
+):
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "a")))
+    idx.build(spark, half_a)
+    idx.add(spark, half_b)
+
+    ref = PersistentBM25(Lakehouse(str(tmp_path / "b")))
+    ref.build(spark, docs)
+
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        ref.query(spark, TERMS, k=20)
+    )

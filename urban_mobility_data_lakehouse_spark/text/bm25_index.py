@@ -1,0 +1,206 @@
+"""Persistent BM25 inverted index as lakehouse tables.
+
+`bm25.py`'s broadcast-constants scan is the right shape for BATCH
+corpus mining — one pass, no index.  When queries arrive ONLINE
+against a corpus indexed once, re-scanning 100 TB per query is the
+wrong cost model; the classic answer is the inverted index, and this
+module stores one AS LAKEHOUSE TABLES (the PersistentIVF pattern,
+`similarity/persistent_ivf.py`, applied to text):
+
+- ``<name>_postings`` (term, doc_id, tf) — hidden-partitioned
+  ``bucket(n_buckets, term)`` (`sources/transforms.py`), so a k-term
+  query's `read_where(term IN ...)` plans ≤ k of n_buckets partition
+  directories.  All postings for a term live in exactly one bucket,
+  which makes query-time document frequencies EXACT from the pruned
+  read alone — no separate df table to drift.
+- ``<name>_doclen`` (doc_id, dl) — hidden-partitioned
+  ``bucket(n_buckets, doc_id)``.
+- ``<name>_stats`` — one row (n_docs, sum_dl).  Committed in the SAME
+  atomic transaction as the other two at build time, so the index is
+  never visible half-written.
+
+Scoring parity is bit-exact with `bm25.bm25_topk`: the pruned
+postings pivot to per-term tf columns via conditional aggregation
+(exact integers, no float reduction order in play), and the SAME
+`_score_sql` literal expression — IDF computed driver-side from the
+same exact integers — evaluates over them.  `tests/test_bm25_index.py`
+locks index-backed results to the scan-based scorer row-for-row.
+
+Incremental `add` merges postings/doclens by key (new docs may even
+re-use doc_ids — tf rows replace) and refreshes the stats row; the
+three commits are sequential, so a concurrent reader can briefly see
+new postings with the old N — the standard freshness trade of online
+index maintenance (documented, bounded, self-healing at the next
+read).  At 100 TB: build is one explode+groupBy over the corpus
+(shuffle ∝ token count), queries touch k buckets + a doc-id-bucketed
+length lookup, adds cost ∝ the new documents only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.lakehouse import Lakehouse
+from .bm25 import K1, B, _score_sql, idf_weights  # noqa: F401 (K1/B re-export)
+
+
+class PersistentBM25:
+    def __init__(
+        self,
+        lake: Lakehouse,
+        schema: str = "gold",
+        name: str = "bm25",
+        n_buckets: int = 64,
+    ):
+        self.lake = lake
+        self.schema = schema
+        self.name = name
+        self.n_buckets = n_buckets
+        self.postings = f"{name}_postings"
+        self.doclen = f"{name}_doclen"
+        self.stats = f"{name}_stats"
+
+    # -- build ------------------------------------------------------
+
+    @staticmethod
+    def _toks(docs: DataFrame):
+        return F.split(F.col("text"), " ")
+
+    def _posting_rows(self, docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(
+                "doc_id", F.explode(self._toks(docs)).alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    def _length_rows(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", F.size(self._toks(docs)).cast("long").alias("dl")
+        )
+
+    def _stat_row(self, docs: DataFrame) -> DataFrame:
+        return self._length_rows(docs).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+
+    def build(self, spark: SparkSession, docs: DataFrame) -> None:
+        """Index `docs` (doc_id, text): postings + doc lengths + stats
+        committed atomically (one journal line — all three tables
+        appear together or not at all)."""
+        lake = self.lake
+        lake.create_schemas(self.schema)
+        lake.set_partition_spec(
+            self.schema, self.postings,
+            f"bucket({self.n_buckets}, term)",
+        )
+        lake.set_partition_spec(
+            self.schema, self.doclen,
+            f"bucket({self.n_buckets}, doc_id)",
+        )
+        with lake.transaction() as txn:
+            txn.overwrite_partitions(
+                self._posting_rows(docs), self.schema, self.postings
+            )
+            txn.overwrite_partitions(
+                self._length_rows(docs), self.schema, self.doclen
+            )
+            txn.overwrite(self._stat_row(docs), self.schema, self.stats)
+
+    def add(self, spark: SparkSession, docs: DataFrame) -> None:
+        """Index additional documents.  Re-added doc_ids replace their
+        old postings ONLY for terms present in the new text — pass
+        genuinely new documents (the FAISS-add contract PersistentIVF
+        also keeps); stats refresh from the doclen table afterwards."""
+        lake = self.lake
+        lake.merge_into(
+            spark, self.schema, self.postings,
+            self._posting_rows(docs), key=["term", "doc_id"],
+        )
+        lake.merge_into(
+            spark, self.schema, self.doclen,
+            self._length_rows(docs), key="doc_id",
+        )
+        fresh = (
+            lake.read(spark, self.schema, self.doclen)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+        )
+        lake.overwrite(fresh, self.schema, self.stats)
+
+    # -- query ------------------------------------------------------
+
+    def query(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        k: int = 20,
+    ) -> DataFrame:
+        """Top-k (doc_id, dl, score) — bit-identical to
+        `bm25.bm25_topk(corpus, terms, k)` on the indexed corpus.
+
+        Plan shape: `read_where` prunes the postings scan to the ≤ k
+        term buckets; df(term) is exact from that pruned read (a
+        term's bucket holds ALL its postings); the candidate set
+        pivots to per-term tf columns; one equi-join against doclen
+        attaches dl; the literal score expression evaluates row-local.
+        """
+        lake = self.lake
+        pruned = lake.read_where(
+            spark, self.schema, self.postings,
+            [("term", "in", list(terms))],
+        )
+        # exact collection stats: one tiny row + per-term df
+        srow = lake.read(spark, self.schema, self.stats).collect()[0]
+        dfrow = (
+            pruned.groupBy()
+            .pivot("term", list(terms))
+            .agg(F.count(F.lit(1)))
+            .collect()
+        )
+        dfs = {
+            t: int(dfrow[0][t] or 0) if dfrow else 0 for t in terms
+        }
+        stats = {
+            "n_docs": int(srow["n_docs"]),
+            "sum_dl": int(srow["sum_dl"]),
+            "df": dfs,
+        }
+        idf = idf_weights(stats, terms)
+        avgdl = stats["sum_dl"] / stats["n_docs"]
+
+        # per-doc exact tf columns (conditional agg — integers, so no
+        # float reduction order in play), aliased `tf_<term>`; then
+        # the SAME literal expression bm25_topk compiles, with the
+        # token-scan tf primitive swapped for the pivoted column
+        assert len(set(terms)) == len(terms), "query terms must be distinct"
+        tf_cols = [
+            F.sum(
+                F.when(F.col("term") == t, F.col("tf"))
+            ).alias(f"tf_{t}")
+            for t in terms
+        ]
+        cand = pruned.groupBy("doc_id").agg(*tf_cols)
+        lengths = lake.read(spark, self.schema, self.doclen)
+        score = _score_sql(
+            terms,
+            idf,
+            avgdl,
+            "coalesce(`tf_{t}`, CAST(0 AS BIGINT))",
+        )
+        return (
+            cand.join(lengths, "doc_id")
+            .withColumn("dl", F.col("dl").cast("double"))
+            .select(
+                "doc_id",
+                F.col("dl").cast("long").alias("dl"),
+                F.expr(f"round({score}, 4)").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
