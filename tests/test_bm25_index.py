@@ -141,3 +141,48 @@ def test_hybrid_retrieval_over_persistent_indexes(spark, docs, tmp_path):
         if top["doc_id"] in m
     )
     assert abs(top["rrf_score"] - expect) < 1e-12
+
+
+def test_streaming_maintenance_exactly_once(spark, docs, tmp_path):
+    """Micro-batched adds drain into the index and converge to the
+    from-scratch rebuild; a restart from the same checkpoint
+    reprocesses nothing (and a hypothetical replay would be
+    idempotent anyway — merges are by key)."""
+    seed = docs.filter(F.col("doc_id") < 200)
+    rest = docs.filter(F.col("doc_id") >= 200)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for k in range(3):
+        rest.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+            str(stream_dir / f"slice{k}")
+        )
+
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, seed)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/slice*")
+    )
+    q = idx.streaming_ingest(spark, stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    ref = PersistentBM25(Lakehouse(str(tmp_path / "ref")))
+    ref.build(spark, docs)
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        ref.query(spark, TERMS, k=20)
+    )
+
+    # restart from the same checkpoint: nothing new processed
+    v_before = idx.lake.snapshots("gold", idx.stats)[-1]["version"]
+    q2 = idx.streaming_ingest(
+        spark,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/slice*"),
+        str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert (
+        idx.lake.snapshots("gold", idx.stats)[-1]["version"] == v_before
+    )

@@ -133,6 +133,33 @@ class PersistentBM25:
         )
         lake.overwrite(fresh, self.schema, self.stats)
 
+    def streaming_ingest(
+        self,
+        spark: SparkSession,
+        stream_docs: DataFrame,
+        checkpoint_dir: str,
+    ):
+        """Maintain the index from a document STREAM: each micro-batch
+        runs `add` through `foreachBatch` (the Structured-Streaming-to-
+        lakehouse bridge every sink here uses).  Exactly-once by
+        idempotence: the checkpoint pins batch contents across
+        restarts, and `add` merges postings/doclens BY KEY — replaying
+        a micro-batch rewrites the same rows to the same values and
+        the stats recompute reads the converged doclen table, so a
+        crash-replay cannot double-count.  AvailableNow trigger
+        (drain-and-stop, the daily-ingest shape)."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                self.add(spark, batch_df)
+
+        return (
+            stream_docs.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # -- query ------------------------------------------------------
 
     def query(
