@@ -308,3 +308,57 @@ def test_sf01_ivfpq_recall_with_rerank(spark, tmp_path):
         approx = {got[(qi, r)] for r in (1, 2, 3) if (qi, r) in got}
         hits += len(exact & approx)
     assert hits / 30 >= 0.7, f"sf0.1 IVFADC recall {hits}/30"
+
+
+def test_sf01_hidden_day_partitioning_prunes_events(spark, tmp_path):
+    """100k events / 30 UTC days under days(ts): a 3-day raw-column
+    window plans ~1/10 of the day directories, full row parity."""
+    import datetime as dtm
+
+    events = load_table(spark, SF01_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "ev", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "ev")
+    full = lake.read(spark, "silver", "ev")
+    n_full = len(full.inputFiles())
+    lo = dtm.datetime(2024, 1, 10)
+    hi = dtm.datetime(2024, 1, 13)
+    pruned = lake.read_where(
+        spark, "silver", "ev", [("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    assert 0 < len(pruned.inputFiles()) <= max(4, n_full // 7)
+    got = sorted(r["event_id"] for r in pruned.collect())
+    want = sorted(
+        r["event_id"]
+        for r in full.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < hi)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_sf01_bm25_index_parity_and_bucket_pruning(spark, tmp_path):
+    """5k-doc corpus: the persistent index answers a 4-term query
+    bit-identically to the batch scan from <=4 of 64 term buckets."""
+    from urban_mobility_data_lakehouse_spark.text.bm25 import bm25_topk
+    from urban_mobility_data_lakehouse_spark.text.bm25_index import (
+        PersistentBM25,
+    )
+
+    docs = load_table(spark, SF01_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    lake = Lakehouse(str(tmp_path / "lake"))
+    idx = PersistentBM25(lake)
+    idx.build(spark, docs)
+    terms = ("customer", "spark", "stream", "vector")
+    got = [tuple(r) for r in idx.query(spark, terms, k=20).collect()]
+    want = [tuple(r) for r in bm25_topk(docs, terms, k=20).collect()]
+    assert got == want
+    pruned = lake.read_where(
+        spark, "gold", idx.postings, [("term", "in", list(terms))]
+    )
+    assert 0 < len(pruned.inputFiles()) <= 4
