@@ -321,3 +321,28 @@ def test_zorder_compaction_composes_with_hidden_spec(
             & (F.col("user_id") == uid)
         )
     )
+
+
+def test_spec_evolution_via_clone(spark, events, tmp_path):
+    """The spec-change refusal points at clone; prove the path: a
+    days(ts) table re-layouts to months(ts) by declaring the new spec
+    on the destination and cloning — data identical, new pruning."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    lake.overwrite_partitions(events, "silver", "events")
+
+    lake.set_partition_spec("silver", "events_m", "months(ts)")
+    lake.clone(spark, "silver", "events", "silver", "events_m")
+    out = lake.read(spark, "silver", "events_m")
+    assert _ids(out) == _ids(events)
+    detail = lake.describe_detail("silver", "events_m")
+    assert detail["partition_spec"] == "months(ts)"
+    assert detail["partition_columns"] == ["_p_months_ts"]
+    # the new layout prunes on month ranges (all data is Jan 2024 →
+    # a Feb-onward probe plans nothing, a Jan probe plans everything)
+    none = lake.read_where(
+        spark, "silver", "events_m",
+        [("ts", ">=", dt.datetime(2024, 2, 1))],
+    )
+    assert none.count() == 0 and len(none.inputFiles()) == 0

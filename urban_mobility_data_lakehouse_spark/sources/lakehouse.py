@@ -1753,7 +1753,11 @@ class Lakehouse:
         src_version = version if version is not None else snaps[-1]["version"]
         df = self.read(spark, src_schema, src_name, version=src_version)
         meta = {"cloned_from": f"{src_schema}.{src_name}@v{src_version}"}
-        if partition_col:
+        if partition_col or self.partition_spec(dst_schema, dst_name):
+            # an explicit column, or the destination carries a hidden
+            # spec (set_partition_spec before cloning) — the latter IS
+            # partition-spec evolution: clone the data into the new
+            # layout, exactly what the spec-change refusal points at
             self.overwrite_partitions(
                 df, dst_schema, dst_name, partition_col, extra_meta=meta
             )
