@@ -346,3 +346,46 @@ def test_spec_evolution_via_clone(spark, events, tmp_path):
         [("ts", ">=", dt.datetime(2024, 2, 1))],
     )
     assert none.count() == 0 and len(none.inputFiles()) == 0
+
+
+def test_mor_delete_and_txn_on_hidden_table(spark, events, tmp_path):
+    """Deletion vectors and atomic transactions compose with hidden
+    specs: a merge-on-read DELETE masks rows without touching the day
+    layout, compact materializes it partition-preserving, and a
+    transaction stages a hidden-partitioned overwrite atomically."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    with lake.transaction() as txn:  # spec resolved inside the txn
+        txn.overwrite_partitions(events, "silver", "events")
+    full = lake.read(spark, "silver", "events")
+    assert _ids(full) == _ids(events)
+
+    victim = events.select("user_id").first()["user_id"]
+    v_before = lake.snapshots("silver", "events")[-1]["version"]
+    lake.delete_where(
+        spark, "silver", "events",
+        F.col("user_id") == victim, mode="merge_on_read",
+    )
+    out = lake.read(spark, "silver", "events")
+    assert out.filter(F.col("user_id") == victim).count() == 0
+    assert out.columns == events.columns
+    # DV delete: no partition rewritten (the day layout is untouched)
+    assert (
+        lake.snapshots("silver", "events")[-1]["operation"]
+        == "delete_dv"
+    )
+    masked_ids = _ids(out)  # collect BEFORE vacuum reclaims v-dirs
+    lake.compact(spark, "silver", "events")
+    # materialized, still day-partitioned, still masked
+    out2 = lake.read(spark, "silver", "events")
+    assert out2.filter(F.col("user_id") == victim).count() == 0
+    assert _ids(out2) == masked_ids
+    import datetime as dtm
+
+    lo = dtm.datetime(2024, 1, 10)
+    pruned = lake.read_where(
+        spark, "silver", "events",
+        [("ts", ">=", lo), ("ts", "<", lo + dtm.timedelta(1))],
+    )
+    assert len(pruned.inputFiles()) <= 2
