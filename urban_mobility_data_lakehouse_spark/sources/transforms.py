@@ -163,16 +163,24 @@ class PartitionSpec:
         (min/max file stats already cover identity ranges)."""
         return self.transform in ("hours", "days", "months", "truncate")
 
-    def sort_key(self, value: str):
-        """Domain ordering of rendered partition values ('10' > '9')."""
+    def value_below(self, value: str, bound: str) -> bool:
+        """True only if partition `value` is PROVABLY below `bound` in
+        the source domain's order (and symmetrically for the caller's
+        flipped use).  Temporal transforms render integers — exact.
+        Truncate serves BOTH int and string columns from one spec, and
+        their orders disagree on numeric-looking strings ('10' < '9'
+        lexicographically); since the spec doesn't know the column
+        dtype, a range prunes only when numeric AND lexicographic
+        order agree it's out of range — sound for either column type,
+        merely weaker where they disagree."""
         if self.transform in ("hours", "days", "months"):
-            return int(value)
-        if self.transform == "truncate":
-            try:
-                return (0, int(value))
-            except ValueError:
-                return (1, value)
-        return value
+            return int(value) < int(bound)
+        lex = value < bound
+        try:
+            num = int(value) < int(bound)
+        except ValueError:
+            num = lex  # not both ints ⇒ only lex order is plausible
+        return lex and num
 
 
 _SPEC_RE = re.compile(
@@ -253,14 +261,10 @@ def partition_survives(
                 if value not in vals:
                     return False
             elif op in (">", ">=") and spec.ordered:
-                if spec.sort_key(value) < spec.sort_key(
-                    spec.value_of(lit)
-                ):
+                if spec.value_below(value, spec.value_of(lit)):
                     return False
             elif op in ("<", "<=") and spec.ordered:
-                if spec.sort_key(value) > spec.sort_key(
-                    spec.value_of(lit)
-                ):
+                if spec.value_below(spec.value_of(lit), value):
                     return False
         except Exception:
             continue  # can't reason about it ⇒ cannot prune on it
