@@ -389,3 +389,32 @@ def test_mor_delete_and_txn_on_hidden_table(spark, events, tmp_path):
         [("ts", ">=", lo), ("ts", "<", lo + dtm.timedelta(1))],
     )
     assert len(pruned.inputFiles()) <= 2
+
+
+def test_appends_are_spec_partitioned_and_pruned(spark, events, tmp_path):
+    """`append` on a hidden-spec table lays the additive commit out by
+    the derived value too, and read_where transform-prunes those dirs
+    exactly like overwrite commits — the streaming-append shape."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    first = events.filter(F.col("event_id") < 500)
+    rest = events.filter(F.col("event_id") >= 500)
+    lake.overwrite_partitions(first, "silver", "events")
+    lake.append(rest, "silver", "events")  # additive, spec-partitioned
+    full = lake.read(spark, "silver", "events")
+    assert _ids(full) == _ids(events)
+    assert full.columns == events.columns
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 12)
+    pruned = lake.read_where(
+        spark, "silver", "events", [("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    assert _ids(pruned) == _ids(
+        full.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    )
+    # both the overwrite dir AND the append dir pruned to ~3 day
+    # subdirs each (inclusive bound) out of ~30 days per dir
+    assert 0 < len(pruned.inputFiles()) <= 8
+    n_full = len(full.inputFiles())
+    assert len(pruned.inputFiles()) < n_full // 4

@@ -509,7 +509,19 @@ class Lakehouse:
     ) -> dict:
         path = self._table_dir(schema, name)
         self._enforce_constraints(df, schema, name)
-        df.write.mode("overwrite").parquet(data_dir)
+        spec = self.partition_spec(schema, name)
+        if spec is not None and spec.source in df.columns:
+            # hidden-spec tables lay out even full writes / appends by
+            # the derived value, so `read_where` can DIRECTORY-prune
+            # additive commit dirs too (the streaming-append shape)
+            (
+                df.withColumn(spec.hidden_col, spec.derive(df))
+                .write.mode("overwrite")
+                .partitionBy(spec.hidden_col)
+                .parquet(data_dir)
+            )
+        else:
+            df.write.mode("overwrite").parquet(data_dir)
         return self._attach_stats(
             dict(op=op, data_dir=os.path.relpath(data_dir, path)),
             data_dir,
@@ -1593,10 +1605,45 @@ class Lakehouse:
                 frames.append(
                     src.filter(F.col(pcol).cast("string").isin(values))
                 )
+        hidden_pfx = (
+            None if p_spec is None else f"{p_spec.hidden_col}="
+        )
         for d in sorted(extra):
             if _count_data_files(d) == 0:
                 continue
             keep = surviving(d)
+            if hidden_pfx is not None and any(
+                s.startswith(hidden_pfx) for s in os.listdir(d)
+            ):
+                # spec-partitioned ADDITIVE dir (append/overwrite on a
+                # hidden-spec table): transform-prune its value subdirs
+                # exactly like the part_map dirs above
+                live = {
+                    v
+                    for s in os.listdir(d)
+                    if s.startswith(hidden_pfx)
+                    and partition_survives(
+                        p_spec, p_preds, (v := s[len(hidden_pfx):])
+                    )
+                }
+                if keep is None:
+                    keep = [
+                        os.path.join(d, f"{hidden_pfx}{v}")
+                        for v in sorted(live)
+                    ]
+                else:
+                    allowed = {f"{hidden_pfx}{v}" for v in live}
+                    keep = [
+                        p
+                        for p in keep
+                        if allowed
+                        & set(os.path.relpath(p, d).split(os.sep)[:-1])
+                    ]
+                if keep:
+                    frames.append(
+                        spark.read.option("basePath", d).parquet(*keep)
+                    )
+                continue
             if keep is None:
                 frames.append(spark.read.parquet(d))
             elif keep:
