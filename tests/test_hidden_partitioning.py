@@ -418,3 +418,87 @@ def test_appends_are_spec_partitioned_and_pruned(spark, events, tmp_path):
     assert 0 < len(pruned.inputFiles()) <= 8
     n_full = len(full.inputFiles())
     assert len(pruned.inputFiles()) < n_full // 4
+
+
+def test_partition_scoped_compact_where(spark, events, tmp_path):
+    """OPTIMIZE ... WHERE: compacting a 2-day window rewrites ONLY
+    those day partitions; untouched partitions keep their exact file
+    identities through the commit AND the vacuum."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    # two interleaved writes → 2 files in most day partitions
+    lake.overwrite_partitions(
+        events.filter(F.col("event_id") % 2 == 0), "silver", "events"
+    )
+    lake.merge_into(
+        spark, "silver", "events",
+        events.filter(F.col("event_id") % 2 == 1), key="event_id",
+    )
+    full_before = lake.read(spark, "silver", "events")
+    ids_before = _ids(full_before)
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 12)
+    in_window = [("ts", ">=", lo), ("ts", "<", hi)]
+    out_day = dt.datetime(2024, 1, 20)
+    out_window = [
+        ("ts", ">=", out_day),
+        ("ts", "<", out_day + dt.timedelta(1)),
+    ]
+    untouched_files = set(
+        lake.read_where(spark, "silver", "events", out_window).inputFiles()
+    )
+    window_files_before = len(
+        lake.read_where(spark, "silver", "events", in_window).inputFiles()
+    )
+
+    lake.compact(spark, "silver", "events", where=in_window)
+
+    # data identical, window partitions now 1 file per day
+    assert _ids(lake.read(spark, "silver", "events")) == ids_before
+    window_files_after = len(
+        lake.read_where(spark, "silver", "events", in_window).inputFiles()
+    )
+    assert window_files_after < window_files_before
+    # ≤ 3 surviving day dirs (2-day window + inclusive bound), 1 file each
+    assert window_files_after <= 3
+    # the out-of-window partition's physical files are untouched
+    assert (
+        set(
+            lake.read_where(
+                spark, "silver", "events", out_window
+            ).inputFiles()
+        )
+        == untouched_files
+    )
+
+
+def test_partition_scoped_compact_guards(spark, events, tmp_path):
+    """Scoped compaction refuses additive dirs (append / MoR rows live
+    outside the partition manifest) and works with explicit
+    partitions= on physically partitioned tables."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    days = events.withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    lake.overwrite_partitions(days, "silver", "ev", partition_col="day")
+    lake.overwrite_partitions(
+        days.filter(F.col("day") == "2024-01-10"),
+        "silver", "ev", partition_col="day",
+    )
+    ids0 = _ids(lake.read(spark, "silver", "ev"))
+    res = lake.compact(
+        spark, "silver", "ev",
+        partition_col="day", partitions=["2024-01-10"],
+    )
+    assert res["files_after"] <= res["files_before"]
+    assert _ids(lake.read(spark, "silver", "ev")) == ids0
+
+    # additive dir → refuse scoped, demand full compact
+    lake.append(days.limit(5), "silver", "ev")
+    with pytest.raises(ValueError, match="partition-disciplined"):
+        lake.compact(
+            spark, "silver", "ev",
+            partition_col="day", partitions=["2024-01-10"],
+        )

@@ -909,6 +909,8 @@ class Lakehouse:
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         target_file_bytes: int | None = None,
+        partitions: list[str] | None = None,
+        where: list[tuple] | None = None,
     ) -> dict:
         """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
         files into `target_files_per_partition` right-sized ones.
@@ -964,6 +966,56 @@ class Lakehouse:
             # re-derive the transform column (read strips it)
             df = df.withColumn(spec.hidden_col, spec.derive(df))
             partition_col = spec.hidden_col
+        scoped = partitions is not None or where is not None
+        if scoped:
+            # `OPTIMIZE ... WHERE` (Delta partition-scoped OPTIMIZE):
+            # rewrite ONLY the targeted partitions — at 100 TB you
+            # compact the recent hot partitions, never the table.
+            # Safe with vacuum: reclamation is reachability-based, so
+            # directories still serving untouched partitions survive.
+            # Commits as a partition OVERWRITE (identical rows,
+            # compacted layout — CDC diffs empty), because the
+            # compact_partitioned op resets the whole manifest.
+            if partition_col is None:
+                raise ValueError(
+                    "compact: partitions=/where= need a partitioned "
+                    "table (partition_col or a hidden spec)"
+                )
+            _pm, extras_live, _dvs = self._manifest(schema, name)
+            if any(_count_data_files(x) > 0 for x in extras_live):
+                raise ValueError(
+                    "compact: partition-scoped compaction needs a "
+                    "partition-disciplined table — additive commit "
+                    "dirs (append / merge-on-read update) contribute "
+                    "rows outside the partition manifest; run a full "
+                    "compact() first"
+                )
+            if partitions is not None:
+                values = {str(v) for v in partitions}
+            else:
+                if spec is None or partition_col != spec.hidden_col:
+                    raise ValueError(
+                        "compact: where= maps predicates through a "
+                        "hidden partition spec; use partitions=[...] "
+                        "for explicitly partitioned tables"
+                    )
+                from .transforms import (
+                    localize_predicates,
+                    partition_survives,
+                )
+
+                preds = localize_predicates(
+                    where,
+                    spark.conf.get("spark.sql.session.timeZone"),
+                )
+                values = {
+                    v
+                    for v in self._manifest(schema, name)[0]
+                    if partition_survives(spec, preds, v)
+                }
+            df = df.filter(
+                F.col(partition_col).cast("string").isin(sorted(values))
+            )
         if target_file_bytes is not None:
             import math
 
@@ -1028,7 +1080,11 @@ class Lakehouse:
                 schema, name,
                 self._attach_stats(
                     dict(
-                        op="compact_partitioned",
+                        op=(
+                            "overwrite_partitions"
+                            if scoped
+                            else "compact_partitioned"
+                        ),
                         partitions=parts, partition_col=partition_col,
                         data_dir=os.path.relpath(data_dir, path),
                         files_before=before,
