@@ -502,3 +502,34 @@ def test_partition_scoped_compact_guards(spark, events, tmp_path):
             spark, "silver", "ev",
             partition_col="day", partitions=["2024-01-10"],
         )
+
+
+def test_concurrent_disjoint_hidden_day_writers(spark, events, tmp_path):
+    """Optimistic concurrency composes with hidden specs: 4 threads
+    each write a DIFFERENT derived day concurrently — all commit,
+    linear history, no lost partition."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "events", "days(ts)")
+    slices = [
+        events.filter(
+            (F.col("ts") >= dt.datetime(2024, 1, d))
+            & (F.col("ts") < dt.datetime(2024, 1, d + 1))
+        )
+        for d in (5, 6, 7, 8)
+    ]
+
+    def write(df):
+        lake.overwrite_partitions(df, "silver", "events")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(write, slices))
+
+    snaps = lake.snapshots("silver", "events")
+    assert [e["version"] for e in snaps] == list(range(4))
+    part_map, _, _ = lake._manifest("silver", "events")
+    assert len(part_map) == 4  # one derived-day partition per writer
+    total = sum(s.count() for s in slices)
+    assert lake.read(spark, "silver", "events").count() == total
