@@ -186,3 +186,17 @@ def test_streaming_maintenance_exactly_once(spark, docs, tmp_path):
     assert (
         idx.lake.snapshots("gold", idx.stats)[-1]["version"] == v_before
     )
+
+
+def test_add_is_atomic_across_the_three_tables(spark, docs, tmp_path):
+    """add() commits postings + doclen + stats via ONE transaction:
+    the three tables' new versions carry the same txn id, so no
+    reader interleaving can see new postings with old stats."""
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, docs.filter(F.col("doc_id") < 300))
+    idx.add(spark, docs.filter(F.col("doc_id") >= 300))
+    txns = {
+        idx.lake.snapshots("gold", t)[-1].get("txn_id")
+        for t in (idx.postings, idx.doclen, idx.stats)
+    }
+    assert len(txns) == 1 and None not in txns

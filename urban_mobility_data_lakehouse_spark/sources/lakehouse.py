@@ -2238,6 +2238,57 @@ class Transaction:
             ),
         )
 
+    def merge_into(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        updates: DataFrame,
+        key: str | list[str],
+        partition_col: str | None = None,
+    ) -> None:
+        """Stage a copy-on-write MERGE (same semantics as
+        `Lakehouse.merge_into`) inside the transaction: the merged
+        partitions are computed against the CURRENT table state at
+        stage time and become visible only at the journal commit —
+        so several tables' merges (e.g. an index's postings + doc
+        lengths + stats) land atomically."""
+        keys = [key] if isinstance(key, str) else list(key)
+        dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"txn merge_into {schema}.{name}: duplicate keys "
+                f"{[tuple(r[k] for k in keys) for r in dup]}"
+            )
+        lake = self.lake
+        updates, partition_col = lake._resolve_partitioning(
+            updates, schema, name, partition_col
+        )
+        affected = [
+            str(r[0])
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+        current = lake._ensure_partition_col(
+            lake.read(spark, schema, name), schema, name, partition_col
+        ).filter(F.col(partition_col).cast("string").isin(affected))
+        survivors = current.join(
+            updates.select(*keys).distinct(), keys, "left_anti"
+        )
+        self._stage(
+            schema, name,
+            lake._stage_overwrite_partitions(
+                survivors.unionByName(updates, allowMissingColumns=True),
+                schema, name, partition_col,
+                self._data_dir(schema, name),
+            ),
+        )
+
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         self._stage(
             schema, name,

@@ -114,24 +114,36 @@ class PersistentBM25:
         """Index additional documents.  Re-added doc_ids replace their
         old postings ONLY for terms present in the new text — pass
         genuinely new documents (the FAISS-add contract PersistentIVF
-        also keeps); stats refresh from the doclen table afterwards."""
+        also keeps).  ATOMIC: postings merge, doclen merge, and the
+        stats refresh stage inside one transaction and appear at a
+        single journal line — a reader can never observe new postings
+        against old collection statistics."""
         lake = self.lake
-        lake.merge_into(
-            spark, self.schema, self.postings,
-            self._posting_rows(docs), key=["term", "doc_id"],
-        )
-        lake.merge_into(
-            spark, self.schema, self.doclen,
-            self._length_rows(docs), key="doc_id",
-        )
-        fresh = (
-            lake.read(spark, self.schema, self.doclen)
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("sum_dl"),
+        new_lens = self._length_rows(docs)
+        with lake.transaction() as txn:
+            txn.merge_into(
+                spark, self.schema, self.postings,
+                self._posting_rows(docs), key=["term", "doc_id"],
             )
-        )
-        lake.overwrite(fresh, self.schema, self.stats)
+            txn.merge_into(
+                spark, self.schema, self.doclen,
+                new_lens, key="doc_id",
+            )
+            # stats = current doclens merged with the incoming batch
+            # (computed at stage time, consistent with the staged merge)
+            merged = (
+                lake.read(spark, self.schema, self.doclen)
+                .join(new_lens.select("doc_id"), "doc_id", "left_anti")
+                .unionByName(new_lens)
+            )
+            txn.overwrite(
+                merged.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                ),
+                self.schema,
+                self.stats,
+            )
 
     def streaming_ingest(
         self,
