@@ -26,14 +26,13 @@ postings pivot to per-term tf columns via conditional aggregation
 same exact integers — evaluates over them.  `tests/test_bm25_index.py`
 locks index-backed results to the scan-based scorer row-for-row.
 
-Incremental `add` merges postings/doclens by key (new docs may even
-re-use doc_ids — tf rows replace) and refreshes the stats row; the
-three commits are sequential, so a concurrent reader can briefly see
-new postings with the old N — the standard freshness trade of online
-index maintenance (documented, bounded, self-healing at the next
-read).  At 100 TB: build is one explode+groupBy over the corpus
-(shuffle ∝ token count), queries touch k buckets + a doc-id-bucketed
-length lookup, adds cost ∝ the new documents only.
+Incremental `add` merges postings/doclens by key and refreshes the
+stats row — all three staged in ONE transaction (journal line = the
+atomic point, like `build`), so a reader can never observe new
+postings against old collection statistics.  At 100 TB: build is one
+explode+groupBy over the corpus (shuffle ∝ token count), queries
+touch k buckets + a doc-id-bucketed length lookup, adds cost ∝ the
+new documents only.
 """
 
 from __future__ import annotations
