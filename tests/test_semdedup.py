@@ -78,3 +78,25 @@ def test_deterministic_across_runs(spark):
     r2 = semantic_dedup(emb, threshold=0.3).collect()
     assert r1 == r2
     assert len(r1) > 0  # tau=0.3 is inside the corpus tail: nonempty
+
+
+def test_auto_cells_scales_with_corpus(spark):
+    """n_cells='auto' sizes the clustering to ~sqrt(n) (the paper's
+    guidance) and keeps the drop rule's semantics: planted twins are
+    still caught."""
+    emb = _planted(spark)
+    drops = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            emb, threshold=0.9, n_cells="auto"
+        ).collect()
+    }
+    assert {10000 + i for i in range(5)} <= drops
+    # 505 vectors → 22 cells; cell ids must stay inside that range
+    cells = {
+        r["cell"]
+        for r in semantic_dedup(
+            emb, threshold=0.9, n_cells="auto"
+        ).collect()
+    }
+    assert max(cells) < 22

@@ -45,7 +45,7 @@ from .knn import cosine
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
@@ -56,6 +56,12 @@ def semantic_dedup(
     against this frame; the drop set carries the evidence for every
     removal, which is what a curation audit actually wants stored.
     """
+    if n_cells == "auto":
+        # the paper's sizing: clusters ≈ √n keeps every within-cluster
+        # pair block bounded as the corpus grows (one exact count job)
+        import math
+
+        n_cells = max(16, math.isqrt(embeddings.count()))
     if centroids is None:
         centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
     assigned = assign_cells(embeddings, centroids)
