@@ -397,3 +397,159 @@ def test_video_frame_sampling_pixel_exact(spark):
     )
     with _pytest.raises(Exception, match="99 frames"):
         sample_video_frames(bad, every_n=3).collect()
+
+
+def _gif_lzw_encode(indices, min_code_size):
+    """Test-side GIF LZW encoder (standard algorithm with table growth
+    and 12-bit cap+reclear), LSB-first bit packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    codes = [clear]
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width_plan = []  # width at the time each code was APPENDED
+    widths = [min_code_size + 1]
+
+    def cur_width():
+        return widths[0]
+
+    buf = tuple()
+    out_codes = [clear]
+    width_plan.append(cur_width())
+    for sym in indices:
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append(table[buf])
+        width_plan.append(cur_width())
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << cur_width()) and cur_width() < 12:
+            widths[0] += 1
+        buf = (sym,)
+    if buf:
+        out_codes.append(table[buf])
+        width_plan.append(cur_width())
+    out_codes.append(end)
+    width_plan.append(cur_width())
+    acc = nbits = 0
+    data = bytearray()
+    for code, w in zip(out_codes, width_plan):
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_bytes(px_idx, palette, min_code_size=None, interlace=False):
+    """Minimal single-image GIF89a writer around `_gif_lzw_encode`."""
+    import numpy as np
+
+    h, w = px_idx.shape
+    n = len(palette)
+    size_bits = max(1, (n - 1).bit_length())
+    if min_code_size is None:
+        min_code_size = max(2, size_bits)
+    gct = np.zeros((2 ** size_bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    rows = px_idx
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = px_idx[order]
+    data = _gif_lzw_encode([int(v) for v in rows.ravel()], min_code_size)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (size_bits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x2c" + b"\x00" * 4
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x40 if interlace else 0x00])
+    out += bytes([min_code_size])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_hand_packed_minimal():
+    """Hand-verifiable fixture, independent of the test encoder: a
+    2x2 4-color image as CLEAR-before-every-pixel codes (table never
+    grows, all codes 3 bits, LSB-first):
+    [4,0,4,1,4,2,4,3,5] -> bytes 0x04 0x43 0x71 0x05."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_gif,
+    )
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8
+    )
+    gif = bytearray(b"GIF87a")
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += bytes([0x81, 0, 0])  # GCT present, 4 entries
+    gif += palette.tobytes()
+    gif += b"\x2c" + b"\x00" * 4
+    gif += (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+    gif += b"\x00\x02"  # no LCT/interlace; min code size 2
+    packed = bytes([0x04, 0x43, 0x71, 0x05])
+    gif += bytes([len(packed)]) + packed + b"\x00\x3b"
+    got = decode_gif(bytes(gif))
+    assert (got == palette.reshape(2, 2, 3)).all()
+
+
+def test_gif_decode_roundtrip_with_growth_and_interlace():
+    """Encoder round-trip on a pattern big enough to grow the code
+    width, plus the 4-pass interlace row order, plus an extension
+    block to walk over."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.binaryops import (
+        decode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 8, size=(16, 11)).astype(np.uint8)
+    want = palette[idx]
+    assert (decode_gif(_gif_bytes(idx, palette)) == want).all()
+    assert (
+        decode_gif(_gif_bytes(idx, palette, interlace=True)) == want
+    ).all()
+    # graphic-control extension before the image descriptor
+    plain = _gif_bytes(idx, palette)
+    with_ext = (
+        plain[: 13 + 8 * 3]
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + plain[13 + 8 * 3 :]
+    )
+    assert (decode_gif(with_ext) == want).all()
+
+
+def test_gif_decode_via_decode_image_op(spark):
+    """decode_image dispatches GIF payloads for real (fake=False)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(6, 7)).astype(np.uint8)
+    payload = _gif_bytes(idx, palette)
+    media = spark.createDataFrame(
+        [(1, "image/gif", bytearray(payload))],
+        "media_id bigint, mime string, payload binary",
+    )
+    row = decode_image(media, fake=False).collect()[0]
+    assert (row["height"], row["width"]) == (6, 7)
+    want = palette[idx]
+    # the op rounds channel means to 3 decimals
+    assert abs(row["mean_r"] - want[..., 0].mean()) < 5e-4

@@ -269,8 +269,127 @@ def decode_png(b: bytes):
     return np.ascontiguousarray(px[..., :3])  # RGB / RGBA→RGB
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW (spec appendix F): variable-width codes packed
+    LSB-first, CLEAR resets the table, widths grow to 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base: list[list[int] | None] = [[i] for i in range(clear)]
+    base += [None, None]  # clear / end sentinels
+    table = list(base)
+    width = min_code_size + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and table[code] is not None:
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out  # missing END code: tolerate, emit what we have
+
+
+def decode_gif(b: bytes):
+    """Non-animated GIF87a/89a → uint8 (h, w, 3), stdlib-only.
+
+    Full block walk (logical screen descriptor, global/local color
+    tables, extension skip, image descriptor) + the GIF LZW variant
+    (`_gif_lzw_decode`) + palette mapping; interlaced images are
+    de-interlaced by the spec's four-pass row order.  Animated GIFs
+    decode to their FIRST frame (the frame-sampling operator handles
+    sequences).  Transparency is ignored (palette color shows)."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            b, np.uint8, count=3 * n, offset=i
+        ).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+        elif blk == 0x2C:  # image descriptor
+            w = int.from_bytes(b[i + 5 : i + 7], "little")
+            h = int.from_bytes(b[i + 7 : i + 9], "little")
+            ipacked = b[i + 9]
+            i += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                ct = np.frombuffer(
+                    b, np.uint8, count=3 * n, offset=i
+                ).reshape(n, 3)
+                i += 3 * n
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[i]
+            i += 1
+            data = bytearray()
+            while b[i] != 0:
+                size = b[i]
+                data += b[i + 1 : i + 1 + size]
+                i += 1 + size
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            rows = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if ipacked & 0x40:  # interlace: 4-pass row order
+                order = (
+                    list(range(0, h, 8))
+                    + list(range(4, h, 8))
+                    + list(range(2, h, 4))
+                    + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            return ct[rows]  # palette map → (h, w, 3)
+        elif blk == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{blk:02x}")
+    raise ValueError(f"GIF {sw}x{sh}: no image block found")
+
+
 def _is_decodable(b: bytes) -> bool:
-    return b[:2] in (b"P6", b"BM") or b[:8] == PNG_SIGNATURE
+    return (
+        b[:2] in (b"P6", b"BM")
+        or b[:8] == PNG_SIGNATURE
+        or b[:6] in (b"GIF87a", b"GIF89a")
+    )
 
 
 def _decode_pixels(b: bytes):
@@ -282,9 +401,12 @@ def _decode_pixels(b: bytes):
         return decode_bmp(b)
     if b[:8] == PNG_SIGNATURE:
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise NotImplementedError(
         "image codecs needing external libraries (JPEG/WebP/…) are not "
-        "available in this container — PPM/BMP/PNG decode is supported"
+        "available in this container — PPM/BMP/PNG/GIF decode is "
+        "supported"
     )
 
 
