@@ -3,9 +3,10 @@ processed with Arrow-batched mapInPandas.
 
 Decode is REAL for every format reachable without codec libraries —
 pure-numpy header parse + frombuffer for PPM (P6) and BMP (24-bit
-BI_RGB) images and PCM WAV audio, and a full stdlib-zlib PNG decoder
-(chunk walk + inflate + all five scanline unfilters).  Only codecs
-that genuinely need external libraries (JPEG/WebP/MP3…) are stubbed
+BI_RGB) images and PCM WAV audio, a full stdlib-zlib PNG decoder
+(chunk walk + inflate + all five scanline unfilters), and a pure-
+Python GIF decoder (LZW, interlace, palettes).  Only codecs that
+genuinely need external libraries (JPEG/WebP/MP3…) are stubbed
 (NotImplementedError, or a deterministic fake under `fake=True`).
 
 Scale: payloads stay distributed end-to-end (no collect); mapInPandas
@@ -411,8 +412,8 @@ def _decode_pixels(b: bytes):
 
 
 def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Image decode: REAL decode for PPM (P6), 24-bit BMP, and 8-bit
-    PNG payloads — pure numpy + stdlib zlib, no codec libraries.
+    """Image decode: REAL decode for PPM (P6), 24-bit BMP, 8-bit
+    PNG, and GIF payloads — pure numpy + stdlib, no codec libraries.
     Formats needing external codecs raise NotImplementedError unless
     fake=True (deterministic pseudo-decode from payload length, kept
     for plumbing tests).  Emits per-channel means so tests can assert
