@@ -533,3 +533,34 @@ def test_concurrent_disjoint_hidden_day_writers(spark, events, tmp_path):
     assert len(part_map) == 4  # one derived-day partition per writer
     total = sum(s.count() for s in slices)
     assert lake.read(spark, "silver", "events").count() == total
+
+
+def test_pre_epoch_timestamps_roundtrip_and_prune(spark, tmp_path):
+    """Negative epoch days: 1960s timestamps derive negative partition
+    values ('-3653'); write, read, and range-prune must stay exact
+    (floor semantics, not truncation toward zero)."""
+    rows = [
+        (i, dt.datetime(1960, 1, 1) + dt.timedelta(hours=6 * i))
+        for i in range(40)  # 10 days straddling nothing special
+    ] + [(100 + i, dt.datetime(1970, 1, 1) + dt.timedelta(hours=6 * i))
+         for i in range(8)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("s")
+    lake.set_partition_spec("s", "ev", "days(ts)")
+    lake.overwrite_partitions(df, "s", "ev")
+    full = lake.read(spark, "s", "ev")
+    assert _ids(full) == _ids(df)
+    lo = dt.datetime(1960, 1, 3)
+    hi = dt.datetime(1960, 1, 5)
+    pruned = lake.read_where(
+        spark, "s", "ev", [("ts", ">=", lo), ("ts", "<", hi)]
+    )
+    assert _ids(pruned) == _ids(
+        df.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    )
+    # 2-day window + inclusive bound = ≤3 partition DIRS (a dir may
+    # hold several task files)
+    dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
+    assert 0 < len(dirs) <= 3
+    assert all(d.startswith("_p_days_ts=-") for d in dirs)
