@@ -279,3 +279,42 @@ def test_partition_values_read_prunes_directories(spark, lake):
     none = lake.read(spark, "silver", "pv", partition_values=["9"])
     assert none.count() == 0
     assert set(none.columns) == {"id", "p"}
+
+
+def test_history_describe_history_analog(spark, tmp_path):
+    """history() = DESCRIBE HISTORY: newest-first commit rows,
+    SQL-queryable, carrying op/partition/txn/provenance columns."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.overwrite_partitions(ev, "silver", "ev", partition_col="day")
+    lake.delete_where(
+        spark, "silver", "ev", F.col("user_id") == 1, partition_col="day"
+    )
+    lake.clone(spark, "silver", "ev", "silver", "ev2")
+    hist = lake.history(spark, "silver", "ev").collect()
+    assert [r["version"] for r in hist] == sorted(
+        (r["version"] for r in hist), reverse=True
+    )
+    assert hist[-1]["operation"] == "overwrite_partitions"
+    assert hist[-1]["n_partitions"] and hist[-1]["partition_col"] == "day"
+    h2 = lake.history(spark, "silver", "ev2").collect()
+    assert h2[0]["cloned_from"].startswith("silver.ev@v")
+    # SQL-composable
+    lake.history(spark, "silver", "ev").createOrReplaceTempView("h")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM h WHERE operation LIKE '%partition%'"
+    ).collect()[0]["n"]
+    assert n >= 2

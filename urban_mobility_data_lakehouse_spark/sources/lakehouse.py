@@ -2046,6 +2046,33 @@ class Lakehouse:
 
     # -- catalog / snapshots (S12) ----------------------------------------
 
+    def history(
+        self, spark: SparkSession, schema: str, name: str
+    ) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per commit, newest first —
+        (version, timestamp, operation, partition_col, n_partitions,
+        txn_id, cloned_from).  Pure log arithmetic wrapped as a
+        DataFrame so it joins/filters like any other table (audit
+        dashboards query it with plain SQL)."""
+        rows = [
+            (
+                int(e["version"]),
+                e.get("timestamp"),
+                e.get("operation"),
+                e.get("partition_col"),
+                len(e["partitions"]) if e.get("partitions") else None,
+                e.get("txn_id"),
+                e.get("cloned_from"),
+            )
+            for e in reversed(self.snapshots(schema, name))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "version long, timestamp string, operation string, "
+            "partition_col string, n_partitions int, txn_id string, "
+            "cloned_from string",
+        )
+
     def describe_detail(self, schema: str, name: str) -> dict:
         """DESCRIBE DETAIL analog — current version, live file count,
         physical row count, and bytes, computed from LOG ARITHMETIC
