@@ -200,3 +200,54 @@ def test_add_is_atomic_across_the_three_tables(spark, docs, tmp_path):
         for t in (idx.postings, idx.doclen, idx.stats)
     }
     assert len(txns) == 1 and None not in txns
+
+
+def test_phrase_query_matches_python_oracle(spark, docs, tmp_path):
+    """Positional phrase retrieval: counts equal an independent
+    pure-Python scan of the corpus; single-term phrase equals tf;
+    repeated-token phrases work (same pivoted column reused)."""
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, docs)
+    corpus = {
+        r["doc_id"]: r["text"].split(" ") for r in docs.collect()
+    }
+
+    def py_phrase(phrase):
+        out = {}
+        L = len(phrase)
+        for did, toks in corpus.items():
+            n = sum(
+                1
+                for i in range(len(toks) - L + 1)
+                if toks[i : i + L] == list(phrase)
+            )
+            if n:
+                out[did] = n
+        return out
+
+    # pick a real bigram from the corpus so the test is non-vacuous
+    some = next(
+        toks for toks in corpus.values() if len(toks) >= 2
+    )
+    phrase = (some[0], some[1])
+    got = {
+        r["doc_id"]: r["n_phrase"]
+        for r in idx.phrase_query(spark, phrase, k=10_000).collect()
+    }
+    assert got == py_phrase(phrase)
+    assert got, "picked bigram must occur at least once"
+
+    # single-term phrase == tf oracle
+    t = some[0]
+    got1 = {
+        r["doc_id"]: r["n_phrase"]
+        for r in idx.phrase_query(spark, (t,), k=10_000).collect()
+    }
+    assert got1 == py_phrase((t,))
+
+    # repeated-token phrase
+    got2 = {
+        r["doc_id"]: r["n_phrase"]
+        for r in idx.phrase_query(spark, (t, t), k=10_000).collect()
+    }
+    assert got2 == py_phrase((t, t))

@@ -67,12 +67,18 @@ class PersistentBM25:
         return F.split(F.col("text"), " ")
 
     def _posting_rows(self, docs: DataFrame) -> DataFrame:
+        # POSITIONAL postings (Manning IR §2.4): token offsets ride
+        # along sorted, enabling phrase queries; tf stays the BM25 key
         return (
             docs.select(
-                "doc_id", F.explode(self._toks(docs)).alias("term")
+                "doc_id",
+                F.posexplode(self._toks(docs)).alias("pos", "term"),
             )
             .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
         )
 
     def _length_rows(self, docs: DataFrame) -> DataFrame:
@@ -240,5 +246,58 @@ class PersistentBM25:
                 F.expr(f"round({score}, 4)").alias("score"),
             )
             .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def phrase_query(
+        self,
+        spark: SparkSession,
+        phrase: tuple[str, ...],
+        k: int = 20,
+    ) -> DataFrame:
+        """Exact-phrase retrieval from the positional postings:
+        (doc_id, n_phrase) for documents containing `phrase`'s tokens
+        CONSECUTIVELY, ranked by occurrence count (ties → doc id).
+
+        Plan shape: the bucket-pruned read fetches only the phrase
+        terms' postings; per doc the unique terms' position arrays
+        pivot to columns (flatten(collect_list(...)) — at most one
+        posting row per (doc, term), so this is a reshape, not a
+        merge); then the classic positional-intersection fold runs
+        row-local: starts₀ = positions(t₀), startsᵢ =
+        array_intersect(startsᵢ₋₁ + 1, positions(tᵢ)).  Repeated
+        tokens in the phrase reuse the same pivoted column.  Work ∝
+        candidate docs × phrase length — never corpus-shaped.
+        """
+        if not phrase:
+            raise ValueError("empty phrase")
+        uniq = list(dict.fromkeys(phrase))
+        pruned = self.lake.read_where(
+            spark, self.schema, self.postings,
+            [("term", "in", uniq)],
+        )
+        piv = pruned.groupBy("doc_id").agg(
+            *[
+                F.flatten(
+                    F.collect_list(
+                        F.when(F.col("term") == t, F.col("positions"))
+                    )
+                ).alias(f"pos_{i}")
+                for i, t in enumerate(uniq)
+            ]
+        )
+        col_of = {t: f"pos_{i}" for i, t in enumerate(uniq)}
+        starts = F.col(col_of[phrase[0]])
+        for t in phrase[1:]:
+            starts = F.array_intersect(
+                F.transform(starts, lambda x: x + 1),
+                F.col(col_of[t]),
+            )
+        return (
+            piv.select(
+                "doc_id", F.size(starts).alias("n_phrase")
+            )
+            .filter(F.col("n_phrase") > 0)
+            .orderBy(F.desc("n_phrase"), F.asc("doc_id"))
             .limit(k)
         )
