@@ -251,3 +251,21 @@ def test_phrase_query_matches_python_oracle(spark, docs, tmp_path):
         for r in idx.phrase_query(spark, (t, t), k=10_000).collect()
     }
     assert got2 == py_phrase((t, t))
+
+
+def test_versioned_retrieval_is_reproducible(spark, docs, tmp_path):
+    """query(version=N) reads a coherent historical index generation:
+    results at version 0 stay identical after later adds, and the
+    latest version reflects the grown corpus."""
+    half_a = docs.filter(F.col("doc_id") < 250)
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, half_a)
+    gen0 = _rows(idx.query(spark, TERMS, k=20))
+    idx.add(spark, docs.filter(F.col("doc_id") >= 250))
+    # generation 0 replayed exactly, even though the live index moved
+    assert _rows(idx.query(spark, TERMS, k=20, version=0)) == gen0
+    latest = _rows(idx.query(spark, TERMS, k=20))
+    assert latest != gen0
+    ref = PersistentBM25(Lakehouse(str(tmp_path / "ref")))
+    ref.build(spark, half_a)
+    assert _rows(ref.query(spark, TERMS, k=20)) == gen0

@@ -184,9 +184,16 @@ class PersistentBM25:
         spark: SparkSession,
         terms: tuple[str, ...],
         k: int = 20,
+        version: int | None = None,
     ) -> DataFrame:
         """Top-k (doc_id, dl, score) — bit-identical to
         `bm25.bm25_topk(corpus, terms, k)` on the indexed corpus.
+
+        `version` time-travels the WHOLE index: every build/add is one
+        transaction touching postings+doclen+stats, so the three
+        tables' version counters advance in lockstep and version N is
+        a coherent index generation (N=0 the build, N=i after the
+        i-th add) — reproducible retrieval over historical snapshots.
 
         Plan shape: `read_where` prunes the postings scan to the ≤ k
         term buckets; df(term) is exact from that pruned read (a
@@ -198,9 +205,12 @@ class PersistentBM25:
         pruned = lake.read_where(
             spark, self.schema, self.postings,
             [("term", "in", list(terms))],
+            version=version,
         )
         # exact collection stats: one tiny row + per-term df
-        srow = lake.read(spark, self.schema, self.stats).collect()[0]
+        srow = lake.read(
+            spark, self.schema, self.stats, version=version
+        ).collect()[0]
         dfrow = (
             pruned.groupBy()
             .pivot("term", list(terms))
@@ -230,7 +240,9 @@ class PersistentBM25:
             for t in terms
         ]
         cand = pruned.groupBy("doc_id").agg(*tf_cols)
-        lengths = lake.read(spark, self.schema, self.doclen)
+        lengths = lake.read(
+            spark, self.schema, self.doclen, version=version
+        )
         score = _score_sql(
             terms,
             idf,
@@ -254,6 +266,7 @@ class PersistentBM25:
         spark: SparkSession,
         phrase: tuple[str, ...],
         k: int = 20,
+        version: int | None = None,
     ) -> DataFrame:
         """Exact-phrase retrieval from the positional postings:
         (doc_id, n_phrase) for documents containing `phrase`'s tokens
@@ -275,6 +288,7 @@ class PersistentBM25:
         pruned = self.lake.read_where(
             spark, self.schema, self.postings,
             [("term", "in", uniq)],
+            version=version,
         )
         piv = pruned.groupBy("doc_id").agg(
             *[
