@@ -269,3 +269,25 @@ def test_versioned_retrieval_is_reproducible(spark, docs, tmp_path):
     ref = PersistentBM25(Lakehouse(str(tmp_path / "ref")))
     ref.build(spark, half_a)
     assert _rows(ref.query(spark, TERMS, k=20)) == gen0
+
+
+def test_versioned_retrieval_refuses_vacuumed_history(
+    spark, docs, tmp_path
+):
+    """After vacuum reclaims generation 0, query(version=0) raises
+    HistoryUnavailableError instead of silently serving wrong data."""
+    import pytest
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        HistoryUnavailableError,
+    )
+
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, docs.filter(F.col("doc_id") < 250))
+    idx.add(spark, docs.filter(F.col("doc_id") >= 250))
+    for t in (idx.postings, idx.doclen, idx.stats):
+        idx.lake.vacuum("gold", t, keep_version=1)
+    with pytest.raises(HistoryUnavailableError):
+        idx.query(spark, TERMS, k=5, version=0).collect()
+    # the live generation still answers
+    assert _rows(idx.query(spark, TERMS, k=5))
