@@ -291,3 +291,38 @@ def test_versioned_retrieval_refuses_vacuumed_history(
         idx.query(spark, TERMS, k=5, version=0).collect()
     # the live generation still answers
     assert _rows(idx.query(spark, TERMS, k=5))
+
+
+def test_near_query_matches_python_oracle(spark, docs, tmp_path):
+    """Windowed proximity counts equal an independent pure-Python
+    corpus scan; window=0 adjacency only ever counts exact co-position
+    (impossible for distinct tokens) so window=1 == adjacency."""
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "lake")))
+    idx.build(spark, docs)
+    corpus = {
+        r["doc_id"]: r["text"].split(" ") for r in docs.collect()
+    }
+    toks0 = next(t for t in corpus.values() if len(set(t)) >= 4)
+    a, b = toks0[0], next(t for t in toks0 if t != toks0[0])
+
+    def py_near(w):
+        out = {}
+        for did, toks in corpus.items():
+            pa = [i for i, t in enumerate(toks) if t == a]
+            pb = [i for i, t in enumerate(toks) if t == b]
+            n = sum(
+                1 for x in pa if any(abs(x - y) <= w for y in pb)
+            )
+            if n:
+                out[did] = n
+        return out
+
+    for w in (1, 3, 10):
+        got = {
+            r["doc_id"]: r["n_near"]
+            for r in idx.near_query(
+                spark, a, b, window=w, k=10_000
+            ).collect()
+        }
+        assert got == py_near(w), f"window={w}"
+    assert py_near(10), "chosen pair must co-occur somewhere"

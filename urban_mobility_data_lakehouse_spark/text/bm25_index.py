@@ -315,3 +315,51 @@ class PersistentBM25:
             .orderBy(F.desc("n_phrase"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def near_query(
+        self,
+        spark: SparkSession,
+        term_a: str,
+        term_b: str,
+        window: int = 5,
+        k: int = 20,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Proximity retrieval (the NEAR/n operator): (doc_id, n_near)
+        for documents where `term_a` occurs within `window` tokens of
+        `term_b`, counted as a-occurrences with a b-neighbor — from
+        the same positional postings as `phrase_query`, evaluated
+        row-local with nested higher-order functions (no explode, no
+        join beyond the doc-id pivot)."""
+        if term_a == term_b:
+            raise ValueError("proximity needs two distinct terms")
+        pruned = self.lake.read_where(
+            spark, self.schema, self.postings,
+            [("term", "in", [term_a, term_b])],
+            version=version,
+        )
+        piv = pruned.groupBy("doc_id").agg(
+            *[
+                F.flatten(
+                    F.collect_list(
+                        F.when(F.col("term") == t, F.col("positions"))
+                    )
+                ).alias(alias)
+                for t, alias in ((term_a, "pa"), (term_b, "pb"))
+            ]
+        )
+        n_near = F.size(
+            F.filter(
+                F.col("pa"),
+                lambda x: F.exists(
+                    F.col("pb"),
+                    lambda y: F.abs(x - y) <= F.lit(window),
+                ),
+            )
+        )
+        return (
+            piv.select("doc_id", n_near.alias("n_near"))
+            .filter(F.col("n_near") > 0)
+            .orderBy(F.desc("n_near"), F.asc("doc_id"))
+            .limit(k)
+        )
