@@ -98,8 +98,6 @@ def test_hybrid_retrieval_over_persistent_indexes(spark, docs, tmp_path):
     keyword ranking from the term-bucketed postings index fused (RRF)
     with a vector ranking from the cell-partitioned IVF index — no
     corpus scan anywhere, both sides pruned reads."""
-    from pyspark.sql import Window
-
     from urban_mobility_data_lakehouse_spark.similarity.persistent_ivf import (
         PersistentIVF,
     )
@@ -112,11 +110,8 @@ def test_hybrid_retrieval_over_persistent_indexes(spark, docs, tmp_path):
     vec = PersistentIVF(lake, schema="gold", name="vec_index")
     vec.build(spark, emb)
 
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    kw_rank = (
-        kw.query(spark, TERMS, k=10)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .select("doc_id", "rank")
+    kw_rank = kw.query_ranked(spark, TERMS, k=10).select(
+        "doc_id", "rank"
     )
     vec_rank = vec.query(
         spark, emb.filter(F.col("vec_id") == 7), k=10

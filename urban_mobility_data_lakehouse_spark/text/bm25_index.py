@@ -363,3 +363,20 @@ class PersistentBM25:
             .orderBy(F.desc("n_near"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def query_ranked(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...],
+        k: int = 20,
+        version: int | None = None,
+    ) -> DataFrame:
+        """`query` + a 1-based `rank` column (score desc, doc_id asc)
+        — the shape `bm25.rrf_fuse` consumes, so hybrid keyword+vector
+        retrieval is one call per modality plus the fusion."""
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return self.query(spark, terms, k=k, version=version).withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
