@@ -233,6 +233,11 @@ class PersistentBM25:
         # the SAME literal expression bm25_topk compiles, with the
         # token-scan tf primitive swapped for the pivoted column
         assert len(set(terms)) == len(terms), "query terms must be distinct"
+        if any("`" in t for t in terms):
+            # the tf column reference is backtick-quoted in the score
+            # expression; a backtick inside a term would break out of
+            # the quoting (and no tokenizer here emits one)
+            raise ValueError("query terms must not contain backticks")
         tf_cols = [
             F.sum(
                 F.when(F.col("term") == t, F.col("tf"))
