@@ -118,6 +118,88 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+def documents_as_ppm(
+    documents: DataFrame, width: int = 8, height: int = 8
+) -> DataFrame:
+    """Deterministic image payload per document: a real binary P6 PPM
+    whose width*height*3 pixel bytes are the doc's UTF-8 text bytes
+    cycled — an encode an SQL oracle can replay byte-for-byte from
+    `hex(encode(text))`.  This is the encode half of the roundtrip the
+    driver row hashes (decode half: `image_channel_sums`)."""
+
+    def _encode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        n_px = width * height * 3
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    ("" if text is None else str(text)).encode("utf-8"),
+                    np.uint8,
+                )
+                if len(b) == 0:
+                    px = np.zeros(n_px, np.uint8)
+                else:
+                    px = b[np.arange(n_px) % len(b)]
+                out.append(
+                    (
+                        int(did),
+                        "image/ppm",
+                        encode_ppm(px.reshape(height, width, 3)),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "payload"]
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        _encode, schema="media_id long, kind string, payload binary"
+    )
+
+
+def image_channel_sums(media: DataFrame) -> DataFrame:
+    """REAL image decode (PPM/BMP/PNG/GIF) → exact integer per-channel
+    pixel sums.  Integers survive a value hash where float means need
+    tolerance, so this is the decode proof a differential driver can
+    check bit-for-bit."""
+
+    def _sums(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _decode_pixels(bytes(payload)).astype(np.int64)
+                out.append(
+                    (
+                        int(mid),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum",
+                ],
+            )
+
+    return media.mapInPandas(
+        _sums,
+        schema=(
+            "media_id long, width long, height long, "
+            "r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
 def decode_bmp(b: bytes):
     """Uncompressed 24-bit BI_RGB BMP → uint8 array (h, w, 3) in RGB
     order.  Pure header parse: BITMAPFILEHEADER (14 B) + info header;
