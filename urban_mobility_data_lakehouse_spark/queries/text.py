@@ -652,19 +652,133 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
+    """DuckDB twin of `bm25_search`'s three-part hybrid row.
+
+    The BM25 leg reuses `bm25.bm25_oracle_sql` verbatim as a subquery
+    (identical inlined IDF/avgdl literals); the vector leg replays the
+    `knn_cosine` fold (same sequential dot-product reduction, so
+    cosines are bit-identical); the fused leg recomputes RRF exactly:
+    CAST(1 AS DOUBLE)/(60 + rank) summed bm25-leg-first — the same
+    two-term left-associated double add `rrf_fuse` emits."""
+    bm_body = bm25.bm25_oracle_sql(sf_dir, k=k)
+    return f"""
+    WITH bm AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bm_body})
+    ),
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS (SELECT e AS eq FROM v WHERE vec_id = 0),
+    s AS (
+        SELECT v.vec_id AS doc_id,
+               list_reduce(
+                   list_transform(generate_series(1, len(v.e)),
+                                  i -> q.eq[i] * v.e[i]),
+                   (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(q.eq, x -> x * x),
+                                   (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(v.e, x -> x * x),
+                                     (a, b) -> a + b))) AS cos
+        FROM q, v WHERE v.vec_id != 0
+    ),
+    kn AS (
+        SELECT doc_id, round(cos, 4) AS score, rank
+        FROM (
+            SELECT doc_id, cos,
+                   row_number() OVER (ORDER BY cos DESC, doc_id ASC)
+                       AS rank
+            FROM s
+        )
+        WHERE rank <= {k}
+    ),
+    c0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM bm),
+    c1 AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM kn),
+    f AS (
+        SELECT doc_id,
+               COALESCE(c0.c, CAST(0 AS DOUBLE))
+               + COALESCE(c1.c, CAST(0 AS DOUBLE)) AS rrf
+        FROM c0 FULL OUTER JOIN c1 USING (doc_id)
+    ),
+    fused AS (
+        SELECT doc_id, round(rrf, 6) AS score, rank
+        FROM (
+            SELECT doc_id, rrf,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+                       AS rank
+            FROM f
+        )
+        WHERE rank <= {k}
+    )
+    SELECT 'bm25' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bm
+    UNION ALL
+    SELECT 'knn' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM kn
+    UNION ALL
+    SELECT 'fused' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM fused
+    ORDER BY part, rank
+    """
+
+
 @register(
     "bm25_search",
-    oracle=bm25.bm25_oracle_sql,  # callable: IDF weights + avgdl are
+    oracle=_hybrid_oracle_sql,  # callable: IDF weights + avgdl are
     # corpus-derived, computed driver-side from exact integer stats and
     # inlined as identical literals into BOTH engines (no log evaluated
     # by either engine) — the knn_ivf data-derived-constants pattern
-    tags=("text", "retrieval", "bm25", "scale"),
+    tags=("text", "retrieval", "bm25", "knn", "hybrid", "rrf", "scale"),
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 keyword retrieval over `documents` (text/bm25.py).
+    """Hybrid retrieval: BM25 top-20 keyword ranking (text/bm25.py),
+    vector top-20 cosine ranking (similarity/knn.py, query = vec 0),
+    and their reciprocal-rank fusion (`rrf_fuse`, Cormack et al.) —
+    three parts, one hash.
 
-    One bounded stats aggregate (a single collected row of exact
-    integers), then a shuffle-free row-local scoring scan whose only
-    sort is the TakeOrderedAndProject heap — the batch corpus-mining
-    scale path."""
-    return bm25.bm25_topk(load_table(spark, sf_dir, "documents"))
+    Scale shape: the BM25 leg is one bounded stats aggregate then a
+    shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
+    the vector leg broadcasts the single query row; fusion joins two
+    top-20 lists — driver-broadcastable no matter the corpus size."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..similarity import knn
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    w_bm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = (
+        bm25.bm25_topk(docs, k=k)
+        .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+        .select("doc_id", "rank", "score")
+    )
+    kn = knn.knn_bruteforce(emb, n_queries=1, k=k).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank"),
+        F.col("cosine_sim").alias("score"),
+    )
+    fused = bm25.rrf_fuse(
+        [bm.select("doc_id", "rank"), kn.select("doc_id", "rank")],
+        topn=k,
+    ).select(
+        "doc_id",
+        F.col("rank"),
+        F.round("rrf_score", 6).alias("score"),
+    )
+    part = lambda df, p: df.select(  # noqa: E731
+        F.lit(p).alias("part"), "doc_id", "rank", "score"
+    )
+    return (
+        part(bm, "bm25")
+        .unionByName(part(kn, "knn"))
+        .unionByName(part(fused, "fused"))
+        .orderBy("part", "rank")
+    )
