@@ -20,21 +20,65 @@ from urban_mobility_data_lakehouse_spark.queries import bench_queries
 from urban_mobility_data_lakehouse_spark.session import get_spark
 
 
+# Pinned result cardinalities per scale factor: a bench that silently
+# times a wrong-rowcount query would hide a correctness break behind a
+# throughput number.  Mismatches are reported in the JSON (and stderr),
+# not fatal — the oracle gate owns correctness; this is a tripwire.
+EXPECTED_ROWS: dict[float, dict[str, int]] = {
+    0.1: {
+        "asof_join_clicks": 19863,
+        "bucketed_fact_join": 5,
+        "doc_profile": 5000,
+        "gravity_gaps": 625,
+        "hourly_demand": 720,
+        "knn_cosine": 30,
+        "knn_ivf": 30,
+        "near_dup_pairs": 733,
+        "pricing_summary": 6,
+        "roleplay_nations": 625,
+        "running_totals": 100000,
+        "sales_by_nation": 25,
+        "salted_agg": 5,
+        "sessionize_events": 95465,
+        "silver_batch_audit": 1,
+        "simhash_candidates": 2508,
+        "typical_day_clusters": 72,
+    },
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    load_avg_start = os.getloadavg()
     spark = get_spark(app_name="umdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = bench_queries()
-    # warm the JVM (codegen, shuffle machinery, parquet footer cache) so
-    # per-query numbers measure the query, not session bootstrap
+    # warm the RUNTIME (codegen pipeline, shuffle + broadcast machinery,
+    # Python/Arrow worker pool, parquet footer cache) so per-query
+    # numbers measure the query, not session bootstrap — no query's
+    # actual data or results are precomputed here
+    from pyspark.sql import functions as F
+
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    (
+        spark.range(10_000)
+        .join(F.broadcast(spark.range(100)), "id")
+        .groupBy((F.col("id") % 7).alias("k"))
+        .count()
+        .collect()
+    )
+    spark.range(64).mapInPandas(
+        lambda batches: batches, schema="id long"
+    ).collect()
     for table in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").limit(10).collect()
 
+    expected = EXPECTED_ROWS.get(sf, {})
     specs_items = sorted(specs.items())
     timings: dict[str, float] = {}
+    row_mismatches: dict[str, str] = {}
     total = 0.0
     for name, spec in specs_items:
         t0 = time.perf_counter()
@@ -43,6 +87,13 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        want = expected.get(name)
+        if want is not None and len(rows) != want:
+            row_mismatches[name] = f"got {len(rows)}, expected {want}"
+            print(
+                f"# WARNING {name}: rowcount {len(rows)} != pinned {want}",
+                file=sys.stderr,
+            )
 
     print(
         json.dumps(
@@ -52,6 +103,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # environment pinning: separates sandbox load from plan
+                # regressions when triaging round-over-round deltas
+                "load_avg": [round(x, 2) for x in load_avg_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "row_mismatches": row_mismatches,
             }
         )
     )

@@ -91,12 +91,15 @@ def _jump(labels: DataFrame) -> DataFrame:
     )
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
+def _driver_components_rows(pairs, node_type, spark) -> DataFrame:
     """Union-find over a collected (bounded!) edge list — identical
     output contract to the distributed loop: component = min node id.
     Path-compressed, rank-free (depth is irrelevant at these sizes);
     deterministic regardless of edge order because the final label is
-    the component MINIMUM, not the union order's root."""
+    the component MINIMUM, not the union order's root.  Self-loops are
+    skipped entirely (a node appearing only as (x, x) is absent), and
+    duplicate/directed pairs are harmless — matching the distributed
+    loop's undirect+dedup+deloop preprocessing without paying for it."""
     parent: dict = {}
 
     def find(x):
@@ -107,8 +110,9 @@ def _driver_components(e: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e.collect():
-        a, b = row["a"], row["b"]
+    for a, b in pairs:
+        if a == b:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[ra] = rb
@@ -119,13 +123,12 @@ def _driver_components(e: DataFrame) -> DataFrame:
         if m is None or node < m:
             comp_min[r] = node
     out = [(n, comp_min[find(n)]) for n in parent]
-    node_type = e.schema["a"].dataType
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType(
         [StructField("node", node_type), StructField("component", node_type)]
     )
-    return e.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -143,22 +146,34 @@ def connected_components(
 
     Hybrid execution: the duplicate-pair graph is normally MUCH
     smaller than the corpus (bounded by the duplicate population), so
-    when the deduped edge count is ≤ `driver_threshold` the closure
-    runs as driver-side union-find on the collected edges — one job
-    instead of several iterative rounds, bit-identical output (same
+    when the raw pair count is ≤ `driver_threshold` the closure runs
+    as driver-side union-find on the collected pairs — ONE limit+
+    collect job total (no undirect/distinct/count jobs; union-find is
+    symmetric and duplicate-tolerant), bit-identical output (same
     min-of-component labels; locked by test).  Above the threshold —
     or with `driver_threshold=0` — the O(log diameter) distributed
     loop runs; that is the 100 TB path."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e_raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if driver_threshold:
+        # small-graph shortcut: ONE limit+collect job decides the path
+        # AND feeds the union-find — no checkpoint/distinct/count jobs
+        # spent on a graph that fits the driver.  Union-find is
+        # symmetric and idempotent, so raw (possibly duplicated,
+        # directed) pairs need no undirection/dedup first.
+        sample = e_raw.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            return _driver_components_rows(
+                [(r["a"], r["b"]) for r in sample],
+                e_raw.schema["a"].dataType,
+                e_raw.sparkSession,
+            )
     e = _checkpointed(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e_raw.unionByName(
+            e_raw.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    if driver_threshold and e.limit(driver_threshold + 1).count() <= (
-        driver_threshold
-    ):
-        return _driver_components(e)
     # no checkpoint needed: a two-node plan over the checkpointed edges
     labels = (
         e.select(F.col("a").alias("node"))

@@ -136,7 +136,8 @@ class NearDupIndex:
         batch.  Re-ingesting the same batch_id replaces the partition
         (idempotent) and re-emits the same pairs.
         """
-        new = self._sign(batch_docs).cache()
+        # localCheckpoint: GC-cleaned, unlike a CacheManager entry
+        new = self._sign(batch_docs).localCheckpoint(eager=False)
         existing = self._existing(spark)
         sig_cols = [c for c in new.columns if c.startswith("m")]
         if existing is None:

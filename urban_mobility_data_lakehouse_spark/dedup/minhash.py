@@ -133,8 +133,11 @@ def signatures_from_hashes(
     (doc_id, h) frame — one aggregation pass, K cheap congruences per
     row (vs K md5s in the round-1 design)."""
     seeds = SEEDS if seeds is None else seeds
+    # SQL strings, not Column chains: one py4j round-trip per
+    # aggregate instead of ~6 (the congruence text matches the DuckDB
+    # oracle's _SIG_COLS verbatim)
     aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(P31)).alias(f"m{k}")
+        F.expr(f"min(({a} * h + {b}) % {P31}) AS m{k}")
         for k, (a, b) in enumerate(seeds)
     ]
     return exploded.groupBy("doc_id").agg(*aggs)
@@ -191,7 +194,10 @@ def near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact hashed-shingle-set Jaccard
     ≥ threshold, computed row-locally via array_intersect."""
-    hs = doc_shingle_arrays(documents).cache()
+    # localCheckpoint, not .cache(): consumed three times below, and
+    # checkpoint blocks are ContextCleaner-freed once the result frame
+    # is GC'd, while CacheManager entries leak for the session
+    hs = doc_shingle_arrays(documents).localCheckpoint(eager=False)
     exploded = hs.select("doc_id", F.explode("hs").alias("h"))
 
     cand = candidate_pairs(documents, exploded=exploded)

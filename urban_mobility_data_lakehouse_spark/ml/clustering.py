@@ -124,9 +124,11 @@ def typical_day_clustering(
     (mobility_ingestion_pipeline.py:708-727).
     """
     # hourly is tiny (days × 24 rows) and feeds BOTH the profile pivot
-    # and the gold re-aggregation — cache it so the events scan+shuffle
-    # runs once, not twice.
-    hourly = hourly_totals(events).cache()
+    # and the gold re-aggregation — checkpoint it so the events
+    # scan+shuffle runs once, not twice (localCheckpoint, not .cache():
+    # blocks are ContextCleaner-freed on GC instead of leaking in the
+    # CacheManager for the session).
+    hourly = hourly_totals(events).localCheckpoint(eager=False)
     profiles = day_profiles(hourly)
 
     if backend == "mllib":
@@ -185,7 +187,7 @@ def deterministic_kmeans(
     with the (1 × k·24) centroid row broadcast — no driver-side
     clustering loop over data.
     """
-    hourly = hourly_totals_exact(events).cache()
+    hourly = hourly_totals_exact(events).localCheckpoint(eager=False)
 
     # pivot + normalize, quantized
     wide = (

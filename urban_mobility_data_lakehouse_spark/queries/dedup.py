@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..dedup import components, exact, minhash, simhash
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from . import register
 
 # shared SQL fragments -----------------------------------------------------
@@ -156,10 +156,17 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-reachability CTE).  Cluster rows: doc_a = member,
     doc_b = cluster id (min doc id of the component — the survivor
     under keep-smallest dedup)."""
-    # cached: consumed twice (pair part + the CC loop's edge seed)
+    # materialized once, consumed twice (pair part + the CC loop's
+    # edge seed).  localCheckpoint, NOT .persist(): persist registers
+    # the plan in the CacheManager forever (a leak across the session
+    # — bench queries after this one pay for its blocks), while
+    # checkpoint blocks are freed by the ContextCleaner once the
+    # returned frame is garbage-collected.
+    # fan_out: shingling + minhashing is CPU-bound row-local map
+    # work; see sources/testdata.fan_out (no-op on production layouts)
     pairs = minhash.near_duplicates(
-        load_table(spark, sf_dir, "documents")
-    ).persist()
+        fan_out(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=False)
     clusters = components.duplicate_clusters(
         pairs.select("doc_a", "doc_b")
     )
@@ -188,4 +195,5 @@ def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-verified, min-neighbor canonical ids.  |docs|-bounded
     output — the pair list is quadratic in duplicate-family size and
     only ever exists as a row-local filtered join intermediate."""
-    return simhash.dedup_map(load_table(spark, sf_dir, "documents"))
+    # fan_out: the 60-bit vote aggregation's map side is CPU-bound
+    return simhash.dedup_map(fan_out(load_table(spark, sf_dir, "documents")))

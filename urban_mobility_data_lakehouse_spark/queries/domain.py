@@ -27,7 +27,7 @@ from ..functions.spatial import (
     synthetic_centroid_sql,
     wkt_coords_sql,
 )
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from . import register
 
 # Shared SQL fragments so the DuckDB oracle and any spark.sql variant are
@@ -88,7 +88,10 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched with broadcast dim joins — Catalyst will not push an agg
     through a join on its own, so the plan is authored pre-aggregated.
     """
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fan_out parallelizes the pre-agg's map side (single-row-group
+    # local files scan as 1 task); DECIMAL accumulation keeps the sum
+    # order-independent, so repartitioning cannot move the hash
+    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")

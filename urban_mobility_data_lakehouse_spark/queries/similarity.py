@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..similarity import knn
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from . import register
 
 
@@ -51,8 +51,10 @@ from . import register
     bench=True,
 )
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out: brute-force scoring is row-local dot-product map work
+    # (rank ties break on ids; partitioning cannot move the result)
     return knn.knn_bruteforce(
-        load_table(spark, sf_dir, "embeddings"), n_queries=10, k=3
+        fan_out(load_table(spark, sf_dir, "embeddings")), n_queries=10, k=3
     )
 
 

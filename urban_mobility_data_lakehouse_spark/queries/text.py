@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from ..text import analysis as T
 from ..text import bm25, winnow
 from . import register
@@ -101,7 +101,9 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..text.analysis import _max_run
     from ..text.curation import split_label
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: regex/tokenize profiling is CPU-bound row-local map
+    # work (see sources/testdata.fan_out; no-op on production layouts)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     stats = T.token_stats(docs)
     quality = T.quality_features(docs).drop("n_tokens")
     lines = F.split("text", "\n")

@@ -85,3 +85,26 @@ def register_views(
     """Register each table as a temp view for spark.sql entry points."""
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-split for the
+    session's core count.
+
+    The local testdata parquet files are written as a SINGLE row group,
+    so every scan is one input split and ALL map-side work before the
+    first shuffle (explode/regex/hashing/partial agg) runs in one task
+    — a local artifact, not a plan property.  On a production layout
+    (many files, many row groups) the scan already has ≥ parallelism
+    splits, the condition below is false, and this is a no-op — no
+    extra exchange pollutes the 100 TB plan.
+
+    Only apply upstream of ORDER-INDEPENDENT computation (row-local
+    exprs, integer/DECIMAL aggregation): round-robin repartitioning
+    reorders rows, which would perturb raw double summation.
+    """
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)
