@@ -281,7 +281,7 @@ def test_versioned_retrieval_refuses_vacuumed_history(
     idx.build(spark, docs.filter(F.col("doc_id") < 250))
     idx.add(spark, docs.filter(F.col("doc_id") >= 250))
     for t in (idx.postings, idx.doclen, idx.stats):
-        idx.lake.vacuum("gold", t, keep_version=1)
+        idx.lake.vacuum("gold", t, keep_version=1, grace_seconds=0)
     with pytest.raises(HistoryUnavailableError):
         idx.query(spark, TERMS, k=5, version=0).collect()
     # the live generation still answers

@@ -110,6 +110,8 @@ def test_vacuumed_window_refuses(spark, lake):
     pipe = _pipe(lake)
     pipe.poll(spark)
     lake.delete_where(spark, "silver", "t", F.col("id") < 2, partition_col="p")
-    lake.compact(spark, "silver", "t")  # default vacuum reclaims history
+    # vacuum_grace_seconds=0: the maintenance override — this test
+    # WANTS history gone now (no concurrent readers here)
+    lake.compact(spark, "silver", "t", vacuum_grace_seconds=0)
     with pytest.raises(HistoryUnavailableError):
         pipe.poll(spark)

@@ -1,0 +1,173 @@
+"""Randomized mixed-operation concurrency schedules for the lakehouse.
+
+`test_concurrency.py` pins the pairwise conflict matrix (append vs
+overwrite vs full-table ops); this file stresses the part the matview /
+changefeed layers now depend on — commit-log LINEARITY under an
+arbitrary interleaving of {merge_into (CoW + MoR), delete_where (CoW +
+deletion vectors), append, compact} from concurrent writers.
+
+The schedule is seeded-random, but every writer owns a disjoint key
+range and upserts values derived only from (key, its own op counter),
+so the FINAL table content is order-independent no matter how commits
+interleave or how often optimistic retries fire.  That lets the test
+assert exact content equality against a per-writer model while leaving
+the schedule itself adversarially random.
+
+Invariants checked after the storm:
+  * fsck ok — dense versions, no dangling files/stats/DVs,
+  * final content == the order-independent model,
+  * version-0 time travel still reads the original snapshot,
+  * history length == 1 + number of successful commits (no phantom or
+    lost commits under retry).
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+    ConcurrentWriteError,
+    Lakehouse,
+)
+
+N_WRITERS = 4
+OPS_PER_WRITER = 5
+KEYS_PER_WRITER = 6  # ids [w*100, w*100+5]; ids w*100+50.. are appends
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, value double, partition_date date"
+    )
+
+
+def _base_rows(day):
+    import datetime
+
+    d = datetime.date.fromisoformat(day)
+    return [
+        (w * 100 + i, 0.0, d)
+        for w in range(N_WRITERS)
+        for i in range(KEYS_PER_WRITER)
+    ]
+
+
+def _retry(fn, attempts: int = 12):
+    for i in range(attempts):
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            time.sleep(0.02 * (i + 1))
+    raise AssertionError("op never committed after retries")
+
+
+def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
+    rng = random.Random(20260814)
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    day = "2024-03-01"
+    import datetime
+
+    d = datetime.date.fromisoformat(day)
+    lake.overwrite_partitions(
+        _df(spark, _base_rows(day)), "silver", "fact",
+        partition_col="partition_date",
+    )
+
+    # per-writer op tapes, drawn up-front so the model is reproducible
+    tapes = {
+        w: [
+            rng.choice(["merge_cow", "merge_mor", "delete", "append",
+                        "compact"])
+            for _ in range(OPS_PER_WRITER)
+        ]
+        for w in range(N_WRITERS)
+    }
+    commits = {w: 0 for w in range(N_WRITERS)}
+
+    def run_writer(w):
+        merged = 0
+        appended = 0
+        deleted = False
+        for step, op in enumerate(tapes[w]):
+            if op in ("merge_cow", "merge_mor"):
+                merged += 1
+                val = float(w * 1000 + merged)
+                upd = _df(
+                    spark,
+                    [(w * 100 + i, val, d) for i in range(3)],
+                )
+                _retry(lambda: lake.merge_into(
+                    spark, "silver", "fact", upd, key="event_id",
+                    partition_col="partition_date",
+                    mode=("merge_on_read" if op == "merge_mor"
+                          else "copy_on_write"),
+                ))
+                commits[w] += 1
+            elif op == "delete":
+                # idempotent: always the same per-writer victim key
+                victim = w * 100 + KEYS_PER_WRITER - 1
+                deleted = True
+                _retry(lambda: lake.delete_where(
+                    spark, "silver", "fact",
+                    F.col("event_id") == victim,
+                    partition_col="partition_date",
+                    mode=rng.choice(["copy_on_write", "merge_on_read"]),
+                ))
+                commits[w] += 1
+            elif op == "append":
+                appended += 1
+                row = [(w * 100 + 50 + appended, -1.0, d)]
+                _retry(lambda: lake.append(
+                    _df(spark, row), "silver", "fact"
+                ))
+                commits[w] += 1
+            else:  # compact (content-neutral; may be a no-op commit)
+                before = len(lake.snapshots("silver", "fact"))
+                _retry(lambda: lake.compact(
+                    spark, "silver", "fact",
+                    partition_col="partition_date",
+                ))
+                commits[w] += (
+                    len(lake.snapshots("silver", "fact")) > before
+                )
+        return merged, appended, deleted
+
+    with ThreadPoolExecutor(max_workers=N_WRITERS) as ex:
+        results = list(ex.map(run_writer, range(N_WRITERS)))
+
+    # --- invariant 1: structural integrity + dense versions ---------
+    audit = lake.fsck("silver", "fact")
+    assert audit["ok"], audit["errors"]
+
+    # --- invariant 2: exact order-independent content ---------------
+    expected = {}
+    for (eid, val, _) in _base_rows(day):
+        expected[eid] = val
+    for w, (merged, appended, deleted) in enumerate(results):
+        if merged:
+            for i in range(3):
+                expected[w * 100 + i] = float(w * 1000 + merged)
+        for a in range(1, appended + 1):
+            expected[w * 100 + 50 + a] = -1.0
+        if deleted:
+            expected.pop(w * 100 + KEYS_PER_WRITER - 1)
+    got = {
+        r["event_id"]: r["value"]
+        for r in lake.read(spark, "silver", "fact").collect()
+    }
+    assert got == expected
+
+    # --- invariant 3: time travel to v0 is intact -------------------
+    v0 = lake.read(spark, "silver", "fact", version=0)
+    assert {r["event_id"]: r["value"] for r in v0.collect()} == {
+        eid: val for (eid, val, _) in _base_rows(day)
+    }
+
+    # --- invariant 4: no phantom / lost commits ---------------------
+    n_commits = sum(commits.values())
+    assert len(lake.snapshots("silver", "fact")) == 1 + n_commits

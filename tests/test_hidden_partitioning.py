@@ -491,6 +491,7 @@ def test_partition_scoped_compact_guards(spark, events, tmp_path):
     res = lake.compact(
         spark, "silver", "ev",
         partition_col="day", partitions=["2024-01-10"],
+        vacuum_grace_seconds=0,  # quiescent: count reclaimed files now
     )
     assert res["files_after"] <= res["files_before"]
     assert _ids(lake.read(spark, "silver", "ev")) == ids0

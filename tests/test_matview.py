@@ -201,7 +201,9 @@ def test_vacuumed_cdc_window_forces_full_rebuild(spark, lake):
     lake.delete_where(
         spark, "silver", "t", F.col("id") < 30, partition_col="day"
     )
-    lake.compact(spark, "silver", "t")  # default vacuum=True
+    # zero grace: this test simulates maintenance having ALREADY
+    # reclaimed the refresh window (no concurrent readers here)
+    lake.compact(spark, "silver", "t", vacuum_grace_seconds=0)
     with pytest.raises(HistoryUnavailableError):
         lake.read_changes(spark, "silver", "t", from_version=last)
     out = mv.refresh(spark)

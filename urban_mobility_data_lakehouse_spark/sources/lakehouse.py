@@ -94,6 +94,27 @@ class ConstraintViolationError(Exception):
     Nothing was committed."""
 
 
+def _dir_age_seconds(path: str, now_ns: int) -> float:
+    """Age of a staging directory, preferring the `time_ns` its name
+    embeds (`v{version}-{time_ns:x}-{pid:x}`, `_next_data_dir`) over
+    filesystem mtime — the name survives copies/restores that reset
+    mtimes.  Unparsable names fall back to mtime; a stat failure
+    (dir vanished mid-scan) counts as infinitely old."""
+    base = os.path.basename(path)
+    parts = base.split("-")
+    if len(parts) == 3:
+        try:
+            born_ns = int(parts[1], 16)
+            if 0 < born_ns <= now_ns:
+                return (now_ns - born_ns) / 1e9
+        except ValueError:
+            pass
+    try:
+        return max(0.0, now_ns / 1e9 - os.path.getmtime(path))
+    except OSError:
+        return float("inf")
+
+
 def _commits_conflict(mine: dict, other: dict) -> bool:
     """Can `mine` (a staged entry, key `op`) be appended after `other`
     (an already-logged line, key `operation`) landed between my base
@@ -911,6 +932,7 @@ class Lakehouse:
         target_file_bytes: int | None = None,
         partitions: list[str] | None = None,
         where: list[tuple] | None = None,
+        vacuum_grace_seconds: float | None = None,
     ) -> dict:
         """OPTIMIZE(+VACUUM) analog: rewrite the live data's many small
         files into `target_files_per_partition` right-sized ones.
@@ -1126,7 +1148,13 @@ class Lakehouse:
                 version,
             )
         if vacuum:
-            self.vacuum(schema, name, keep_version=version)
+            if vacuum_grace_seconds is None:
+                self.vacuum(schema, name, keep_version=version)
+            else:
+                self.vacuum(
+                    schema, name, keep_version=version,
+                    grace_seconds=vacuum_grace_seconds,
+                )
         after = _count_data_files(path)
         return {"files_before": before, "files_after": after}
 
@@ -1161,8 +1189,10 @@ class Lakehouse:
             if datetime.datetime.strptime(e["timestamp"], fmt) >= cutoff
         ]
         keep_version = min(kept) if kept else entries[-1]["version"]
+        # the hours window IS the retention policy — no extra grace
         return self.vacuum(
-            schema, name, keep_version=keep_version, dry_run=dry_run
+            schema, name, keep_version=keep_version, dry_run=dry_run,
+            grace_seconds=0.0,
         )
 
     def vacuum(
@@ -1171,6 +1201,7 @@ class Lakehouse:
         name: str,
         keep_version: int,
         dry_run: bool = False,
+        grace_seconds: float = 600.0,
     ) -> dict:
         """Reclaim data directories unreachable from every retained
         version (>= `keep_version`).  Reachability-based, not
@@ -1186,7 +1217,25 @@ class Lakehouse:
         and reports what would go.  Returns {"dirs": [...],
         "bytes": N} of reclaimed (or reclaimable) directories either
         way — the preview a retention policy reviews before the
-        irreversible step."""
+        irreversible step.
+
+        Concurrency safety (`grace_seconds`, Delta's VACUUM-retention
+        analog — default 10 min, pass 0 for the maintenance/compliance
+        paths that must reclaim immediately and KNOW no reader/writer
+        is in flight):
+
+        * a directory referenced by NO version at all is either crash
+          debris or a CONCURRENT writer's staged data whose commit
+          hasn't appended yet (staging happens outside the table lock
+          by design).  Deleting the latter corrupts the write, so
+          never-referenced dirs are reclaimed only when older than
+          `grace_seconds` (age from the `time_ns` embedded in the
+          staging dir name, falling back to mtime).
+        * a directory superseded by a RECENT commit may still be under
+          a concurrent reader whose plan bound to the old version
+          (MVCC reads are lock-free).  It is reclaimed only once the
+          first commit that made it unreachable is `grace_seconds`
+          old."""
         import shutil
 
         data_root = os.path.join(self._table_dir(schema, name), "_data")
@@ -1196,17 +1245,39 @@ class Lakehouse:
         if not entries:
             return {"dirs": [], "bytes": 0}
         keep: set[str] = set()
-        for v in range(keep_version, entries[-1]["version"] + 1):
+        last_ref: dict[str, int] = {}
+        for v in range(entries[-1]["version"] + 1):
             part_map, extra, dvs = self._manifest(schema, name, v)
-            keep.update(d for d, _ in part_map.values())
-            keep.update(extra)
-            keep.update(dvs)  # live deletion vectors stay reachable
+            dirs = {d for d, _ in part_map.values()} | set(extra) | set(dvs)
+            for d in dirs:
+                last_ref[d] = v
+            if v >= keep_version:
+                keep.update(dirs)  # live deletion vectors stay reachable
+        now_ns = time.time_ns()
+
+        def _too_young(full: str) -> bool:
+            if grace_seconds <= 0:
+                return False
+            v_last = last_ref.get(full)
+            if v_last is None:  # never committed: staging-dir age
+                return _dir_age_seconds(full, now_ns) < grace_seconds
+            superseded_at = entries[v_last + 1]["timestamp"]
+            try:
+                age = now_ns / 1e9 - time.mktime(
+                    time.strptime(superseded_at, "%Y-%m-%dT%H:%M:%S")
+                )
+            except ValueError:
+                return False
+            return age < grace_seconds
+
         doomed: list[str] = []
         nbytes = 0
         for d in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, d)
             if full in keep:
                 continue
+            if _too_young(full):
+                continue  # possibly under a concurrent reader/writer
             doomed.append(full)
             for root, _dirs, fnames in os.walk(full):
                 nbytes += sum(
@@ -1775,7 +1846,9 @@ class Lakehouse:
             spark, schema, name, partition_col=partition_col, vacuum=False
         )
         keep = self.snapshots(schema, name)[-1]["version"]
-        rec = self.vacuum(schema, name, keep_version=keep)
+        # compliance deletion reclaims immediately (caller guarantees
+        # quiescence; the bytes must actually be gone)
+        rec = self.vacuum(schema, name, keep_version=keep, grace_seconds=0.0)
         rep = self.fsck(schema, name)
         return {"bytes_reclaimed": rec["bytes"], "ok": rep["ok"]}
 
@@ -1825,7 +1898,8 @@ class Lakehouse:
         orphans = [
             os.path.relpath(d, path)
             for d in self.vacuum(
-                schema, name, keep_version=0, dry_run=True
+                schema, name, keep_version=0, dry_run=True,
+                grace_seconds=0.0,
             )["dirs"]
         ]
         return {"ok": not errors, "errors": errors, "orphans": orphans}
