@@ -78,13 +78,22 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
         partition_col="partition_date",
     )
 
-    # per-writer op tapes, drawn up-front so the model is reproducible
+    # per-writer op tapes, drawn up-front (INCLUDING each delete's
+    # CoW/MoR mode) so worker threads never touch the shared rng —
+    # random.Random is not thread-safe and per-thread draws would make
+    # the schedule irreproducible
+    def _draw_op():
+        op = rng.choice(["merge_cow", "merge_mor", "delete", "append",
+                         "compact"])
+        mode = (
+            rng.choice(["copy_on_write", "merge_on_read"])
+            if op == "delete"
+            else None
+        )
+        return op, mode
+
     tapes = {
-        w: [
-            rng.choice(["merge_cow", "merge_mor", "delete", "append",
-                        "compact"])
-            for _ in range(OPS_PER_WRITER)
-        ]
+        w: [_draw_op() for _ in range(OPS_PER_WRITER)]
         for w in range(N_WRITERS)
     }
     commits = {w: 0 for w in range(N_WRITERS)}
@@ -93,7 +102,7 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
         merged = 0
         appended = 0
         deleted = False
-        for step, op in enumerate(tapes[w]):
+        for step, (op, del_mode) in enumerate(tapes[w]):
             if op in ("merge_cow", "merge_mor"):
                 merged += 1
                 val = float(w * 1000 + merged)
@@ -109,16 +118,19 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
                 ))
                 commits[w] += 1
             elif op == "delete":
-                # idempotent: always the same per-writer victim key
+                # idempotent: always the same per-writer victim key —
+                # a SECOND delete of it matches nothing and commits
+                # nothing (delete_where returns False), so commits are
+                # counted from the return value, not per call
                 victim = w * 100 + KEYS_PER_WRITER - 1
                 deleted = True
-                _retry(lambda: lake.delete_where(
+                committed = _retry(lambda: lake.delete_where(
                     spark, "silver", "fact",
                     F.col("event_id") == victim,
                     partition_col="partition_date",
-                    mode=rng.choice(["copy_on_write", "merge_on_read"]),
+                    mode=del_mode,
                 ))
-                commits[w] += 1
+                commits[w] += bool(committed)
             elif op == "append":
                 appended += 1
                 row = [(w * 100 + 50 + appended, -1.0, d)]
@@ -126,15 +138,15 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
                     _df(spark, row), "silver", "fact"
                 ))
                 commits[w] += 1
-            else:  # compact (content-neutral; may be a no-op commit)
-                before = len(lake.snapshots("silver", "fact"))
+            else:  # compact: content-neutral but ALWAYS a commit (the
+                # rewrite lands in a new version even when layout is
+                # already one file/partition) — a before/after snapshot
+                # count here would race with other writers' commits
                 _retry(lambda: lake.compact(
                     spark, "silver", "fact",
                     partition_col="partition_date",
                 ))
-                commits[w] += (
-                    len(lake.snapshots("silver", "fact")) > before
-                )
+                commits[w] += 1
         return merged, appended, deleted
 
     with ThreadPoolExecutor(max_workers=N_WRITERS) as ex:

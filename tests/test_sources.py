@@ -116,7 +116,10 @@ def test_lakehouse_compact(spark, tmp_path):
     n_parts = events.select("partition_date").distinct().count()
     assert _count_data_files(path) > n_parts
 
-    stats = lake.compact(spark, "silver", "frag", partition_col="partition_date")
+    stats = lake.compact(
+        spark, "silver", "frag", partition_col="partition_date",
+        vacuum_grace_seconds=0.0,  # quiescent test: reclaim now
+    )
     assert stats["files_after"] == n_parts < stats["files_before"]
     after_rows = sorted(
         (r["event_id"], r["value"]) for r in lake.read(spark, "silver", "frag").collect()
@@ -179,7 +182,11 @@ def test_lakehouse_time_travel(spark, tmp_path):
     ]
 
     # compact+vacuum: latest unchanged, pre-compaction versions gone
-    lake.compact(spark, "silver", "tt", partition_col="partition_date")
+    # (grace 0: quiescent test, reclaim immediately)
+    lake.compact(
+        spark, "silver", "tt", partition_col="partition_date",
+        vacuum_grace_seconds=0.0,
+    )
     assert values(lake.read(spark, "silver", "tt")) == [
         1.0, 2.0, 30.0, 40.0, 50.0, 99.0,
     ]
@@ -672,6 +679,8 @@ def test_lakehouse_sorted_compaction(spark, tmp_path):
     lake.compact(
         spark, "silver", "srt",
         partition_col="partition_date", sort_by=["user_id"],
+        vacuum_grace_seconds=0.0,  # reclaim pre-sort files now so the
+        # glob below sees only the sorted layout
     )
     after = sorted(
         r["event_id"]
@@ -776,7 +785,9 @@ def test_lakehouse_vacuum_is_reachability_based(spark, tmp_path):
 
     # aggressive keep_version: the append's dir is still LIVE in the
     # latest manifest and must survive; so must the txn dir
-    lake.vacuum("silver", "vac", keep_version=1)
+    # (grace 0: single-threaded test, quiescence is known — the
+    # default 600 s grace would just defer reclamation)
+    lake.vacuum("silver", "vac", keep_version=1, grace_seconds=0.0)
     got = sorted(
         r["event_id"] for r in lake.read(spark, "silver", "vac").collect()
     )
@@ -784,7 +795,10 @@ def test_lakehouse_vacuum_is_reachability_based(spark, tmp_path):
 
     # a full compaction supersedes everything; its vacuum reclaims
     # both the t-dir and the old v-dir
-    lake.compact(spark, "silver", "vac", partition_col="partition_date")
+    lake.compact(
+        spark, "silver", "vac", partition_col="partition_date",
+        vacuum_grace_seconds=0.0,
+    )
     data_root = str(tmp_path / "lake" / "silver" / "vac" / "_data")
     remaining = sorted(os.listdir(data_root))
     assert len(remaining) == 1 and remaining[0].startswith("v")
@@ -867,13 +881,18 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     lake.overwrite(df, "silver", "v")  # supersedes v0 entirely
     latest = len(lake.snapshots("silver", "v")) - 1
 
-    preview = lake.vacuum("silver", "v", keep_version=latest, dry_run=True)
+    preview = lake.vacuum(
+        "silver", "v", keep_version=latest, dry_run=True,
+        grace_seconds=0.0,  # quiescent test: skip the MVCC-reader grace
+    )
     assert len(preview["dirs"]) == 1 and preview["bytes"] > 0
     assert all(os.path.isdir(d) for d in preview["dirs"])  # untouched
     # time travel still works after the dry run
     assert lake.read_snapshot(spark, "silver", "v", 0).count() == 50
 
-    real = lake.vacuum("silver", "v", keep_version=latest)
+    real = lake.vacuum(
+        "silver", "v", keep_version=latest, grace_seconds=0.0
+    )
     assert real["dirs"] == preview["dirs"]
     assert real["bytes"] == preview["bytes"]
     assert not any(os.path.isdir(d) for d in real["dirs"])

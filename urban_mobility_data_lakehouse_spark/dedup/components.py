@@ -152,7 +152,21 @@ def connected_components(
     symmetric and duplicate-tolerant), bit-identical output (same
     min-of-component labels; locked by test).  Above the threshold —
     or with `driver_threshold=0` — the O(log diameter) distributed
-    loop runs; that is the 100 TB path."""
+    loop runs; that is the 100 TB path.
+
+    The gate deliberately counts RAW pairs (duplicates and directed
+    twins included), NOT unique undirected edges: a pre-gate
+    `distinct()` would cost a full shuffle of the edge list on every
+    call just to sometimes pick the cheaper path, which inverts the
+    shortcut's whole point.  Consequences, accepted: (a) a duplicate-
+    heavy edge list whose UNIQUE edges would fit the driver may take
+    the distributed loop — correct either way, just not minimal-cost;
+    (b) `limit(n+1)` over an unordered input means the path CHOICE is
+    not deterministic for inputs straddling the threshold — the
+    OUTPUT is bit-identical on both paths (locked by
+    test_components.py's equivalence tests), only the plan differs.
+    Callers that need a pinned plan pass `driver_threshold` far from
+    their edge count (or 0)."""
     e_raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if driver_threshold:
         # small-graph shortcut: ONE limit+collect job decides the path

@@ -709,7 +709,7 @@ class Lakehouse:
         condition,
         partition_col: str | None = None,
         mode: str = "copy_on_write",
-    ) -> None:
+    ) -> bool:
         """Row-level DELETE: rewrite only the partitions that contain
         matching rows, keeping the non-matching rows (GDPR-erasure /
         retention shape).  Partitions with no match are not rewritten
@@ -736,7 +736,12 @@ class Lakehouse:
         on every read until `compact()` materializes the deletes and
         clears the vectors.  Same three-valued logic (only TRUE rows
         are named); time travel, CDC, and restore all see DV deletes
-        as ordinary commits."""
+        as ordinary commits.
+
+        Returns True iff a commit happened (False = no matching rows,
+        table untouched, no new version) — callers tracking commit
+        counts must branch on this rather than assume one version per
+        call."""
         if mode == "merge_on_read":
             return self._delete_where_dv(spark, schema, name, condition)
         if mode != "copy_on_write":
@@ -761,13 +766,14 @@ class Lakehouse:
             .collect()
         ]
         if not affected:
-            return
+            return False
         survivors = current.filter(
             F.col(partition_col).cast("string").isin(affected)
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected
         )
+        return True
 
     def _merge_into_mor(
         self,
@@ -811,7 +817,7 @@ class Lakehouse:
 
     def _delete_where_dv(
         self, spark: SparkSession, schema: str, name: str, condition
-    ) -> None:
+    ) -> bool:
         """Merge-on-read delete: commit the matching rows' physical
         positions as a deletion vector (one parquet write, no data
         rewritten).  Reading with positions already excludes earlier
@@ -826,7 +832,7 @@ class Lakehouse:
             )
         )
         if matches.limit(1).count() == 0:
-            return  # no matches → no commit (CoW parity)
+            return False  # no matches → no commit (CoW parity)
         base, data_dir = self._next_data_dir(schema, name)
         matches.coalesce(1).write.mode("overwrite").parquet(data_dir)
         self._commit(
@@ -837,6 +843,7 @@ class Lakehouse:
             ),
             base,
         )
+        return True
 
     def overwrite(
         self,
@@ -1189,10 +1196,15 @@ class Lakehouse:
             if datetime.datetime.strptime(e["timestamp"], fmt) >= cutoff
         ]
         keep_version = min(kept) if kept else entries[-1]["version"]
-        # the hours window IS the retention policy — no extra grace
+        # the hours window IS the retention policy for SUPERSEDED
+        # versions (grace 0), but a concurrent writer's staged-not-yet-
+        # committed dir is outside any version's history — keep the
+        # default staging grace so routine retention can't corrupt an
+        # in-flight commit (unlike purge/compliance paths, retention
+        # has no quiescence guarantee).
         return self.vacuum(
             schema, name, keep_version=keep_version, dry_run=dry_run,
-            grace_seconds=0.0,
+            grace_seconds=0.0, staging_grace_seconds=600.0,
         )
 
     def vacuum(
@@ -1202,6 +1214,7 @@ class Lakehouse:
         keep_version: int,
         dry_run: bool = False,
         grace_seconds: float = 600.0,
+        staging_grace_seconds: float | None = None,
     ) -> dict:
         """Reclaim data directories unreachable from every retained
         version (>= `keep_version`).  Reachability-based, not
@@ -1229,8 +1242,15 @@ class Lakehouse:
           hasn't appended yet (staging happens outside the table lock
           by design).  Deleting the latter corrupts the write, so
           never-referenced dirs are reclaimed only when older than
-          `grace_seconds` (age from the `time_ns` embedded in the
-          staging dir name, falling back to mtime).
+          `staging_grace_seconds` (age from the `time_ns` embedded in
+          the staging dir name, falling back to mtime; None = follow
+          `grace_seconds`).  The two graces are SPLIT because they
+          protect different hazards: retention maintenance
+          (`vacuum_retain`) may legitimately reclaim superseded
+          versions immediately — the hours window IS that policy —
+          but has no quiescence guarantee against in-flight writers,
+          so it keeps the staging grace while zeroing the superseded
+          one.
         * a directory superseded by a RECENT commit may still be under
           a concurrent reader whose plan bound to the old version
           (MVCC reads are lock-free).  It is reclaimed only once the
@@ -1255,12 +1275,20 @@ class Lakehouse:
                 keep.update(dirs)  # live deletion vectors stay reachable
         now_ns = time.time_ns()
 
+        staging_grace = (
+            grace_seconds
+            if staging_grace_seconds is None
+            else staging_grace_seconds
+        )
+
         def _too_young(full: str) -> bool:
-            if grace_seconds <= 0:
-                return False
             v_last = last_ref.get(full)
             if v_last is None:  # never committed: staging-dir age
-                return _dir_age_seconds(full, now_ns) < grace_seconds
+                if staging_grace <= 0:
+                    return False
+                return _dir_age_seconds(full, now_ns) < staging_grace
+            if grace_seconds <= 0:
+                return False
             superseded_at = entries[v_last + 1]["timestamp"]
             try:
                 age = now_ns / 1e9 - time.mktime(
