@@ -72,6 +72,42 @@ def main() -> None:
     spark.range(64).mapInPandas(
         lambda batches: batches, schema="id long"
     ).collect()
+    # window-function and higher-order-function interpreter/JIT paths
+    # (several headline queries are window+HOF-shaped; first use costs
+    # multiple seconds of JVM warmup that belongs to the runtime, not
+    # the query)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("id") % 3).orderBy("id")
+    (
+        spark.range(1000)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .collect()
+    )
+    spark.range(1000).select(
+        F.aggregate(
+            F.zip_with(
+                F.array(F.col("id") * 1.0, F.lit(2.0)),
+                F.array(F.lit(1.0), F.lit(3.0)),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("d"),
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda i: F.struct(
+                        (F.col("id") % 7 * i).cast("double").alias("_d"),
+                        i.cast("int").alias("cell"),
+                    ),
+                )
+            ),
+            lambda s: s["cell"],
+        ).alias("p"),
+    ).collect()
     for table in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").limit(10).collect()
 

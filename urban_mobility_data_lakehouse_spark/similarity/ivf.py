@@ -183,6 +183,50 @@ def assign_cells(
     )
 
 
+def query_probes_from_parquet(
+    sf_dir: str,
+    centroids: list[list[float]],
+    n_queries: int = 10,
+    n_probe: int = 4,
+) -> list[tuple[int, list[float], list[int]]]:
+    """Driver-side probe ranking for the (tiny, bounded) query set:
+    (vec_id, emb float64, probe = n_probe nearest cells).
+
+    Pure-Python sequential folds — `acc += (x-y)*(x-y)` in index order
+    — are the SAME IEEE-754 operation sequence as `_l2sq`'s
+    zip_with+aggregate left fold AND DuckDB's list_reduce, so the
+    probe sets (ties broken by (distance, cell)) are bit-identical to
+    what `with_ranked_cells` computes distributed.  Rationale: the
+    query set is n_queries rows by construction (a user's search
+    batch), so ranking it on the driver replaces a second corpus scan
+    + HOF plan + broadcast-build job with zero Spark jobs.  The CORPUS
+    side keeps the distributed assignment — that's the side that's
+    100 TB."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tbl = tbl.filter(pc.less(tbl.column("vec_id"), n_queries))
+    ids = tbl.column("vec_id").to_pylist()
+    embs = tbl.column("embedding").to_pylist()
+    out = []
+    for vid, e in sorted(zip(ids, embs)):
+        e = [float(x) for x in e]  # float32→float64 widening is exact
+        dists = []
+        for cell, c in enumerate(centroids):
+            acc = 0.0
+            for x, y in zip(e, c):
+                d = x - y
+                acc += d * d
+            dists.append((acc, cell))
+        probe = [cell for _, cell in sorted(dists)[:n_probe]]
+        out.append((int(vid), e, probe))
+    return out
+
+
 def knn_ivf(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -190,10 +234,20 @@ def knn_ivf(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    query_rows: list[tuple[int, list[float], list[int]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine: probe the n_probe nearest cells per
-    query, exact re-rank inside the probed candidate set."""
-    centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
+    query, exact re-rank inside the probed candidate set.
+
+    `centroids`: pass a pre-trained quantizer to skip the in-line
+    training pass.  `train_centroids` (Spark sample collect) and
+    `train_centroids_from_parquet` (pyarrow, no Spark job) produce
+    bit-identical float64 centroids on the same data — callers that
+    know the parquet path prefer the latter (~0.1 s vs ~1.3 s: no
+    Arrow collect job, no py4j round trip)."""
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
 
     # corpus side ranks cells only to depth 1 (its assignment); the
     # n_probe-deep ranking is computed ONLY for the n_queries query
@@ -204,13 +258,23 @@ def knn_ivf(
         F.col("emb").alias("emb_b"),
         "cell",
     )
-    queries = with_ranked_cells(
-        embeddings.filter(F.col("vec_id") < n_queries), centroids, n_probe
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("emb_q"),
-        "probe",
-    )
+    if query_rows is not None:
+        # pre-ranked query batch (see query_probes_from_parquet):
+        # a local relation, broadcast for free — no scan, no HOF plan
+        queries = embeddings.sparkSession.createDataFrame(
+            query_rows,
+            "query_id long, emb_q array<double>, probe array<int>",
+        )
+    else:
+        queries = with_ranked_cells(
+            embeddings.filter(F.col("vec_id") < n_queries),
+            centroids,
+            n_probe,
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("emb_q"),
+            "probe",
+        )
     scored = base.join(
         F.broadcast(queries),
         F.array_contains(F.col("probe"), F.col("cell"))
