@@ -979,7 +979,10 @@ class Lakehouse:
         are reclaimed (time travel reaches back only to the compaction,
         exactly Delta's OPTIMIZE+VACUUM contract).  With vacuum=False
         full history stays readable.  Returns {files_before,
-        files_after}.
+        files_after} counted over LIVE (manifest-reachable) files —
+        Delta's OPTIMIZE-metrics semantics — so superseded directories
+        still on disk awaiting the vacuum grace window (or vacuum=False
+        history) never inflate the layout metric.
         """
         if sort_by and zorder_by:
             raise ValueError(
@@ -987,7 +990,7 @@ class Lakehouse:
                 "IS the multi-column ordering"
             )
         path = self._table_dir(schema, name)
-        before = _count_data_files(path)
+        before = self._count_live_files(schema, name)
         df = self.read(spark, schema, name)
         spec = self.partition_spec(schema, name)
         if spec is not None and partition_col in (None, spec.hidden_col):
@@ -1162,8 +1165,30 @@ class Lakehouse:
                     schema, name, keep_version=version,
                     grace_seconds=vacuum_grace_seconds,
                 )
-        after = _count_data_files(path)
+        after = self._count_live_files(schema, name)
         return {"files_before": before, "files_after": after}
+
+    def _count_live_files(self, schema: str, name: str) -> int:
+        """Data files reachable from the LATEST manifest only: each
+        live partition's slice of its version directory plus the
+        additive (append/MoR-update) dirs.  Superseded version dirs —
+        still on disk for time travel or awaiting the vacuum grace —
+        are not layout; counting them made OPTIMIZE metrics depend on
+        reclamation timing."""
+        part_map, extras, _dvs = self._manifest(schema, name)
+        n = 0
+        seen: set[str] = set()
+        for value, (d, pcol) in part_map.items():
+            sub = os.path.join(d, f"{pcol}={value}")
+            p = sub if os.path.isdir(sub) else d
+            if p not in seen:
+                seen.add(p)
+                n += _count_data_files(p)
+        for d in extras:
+            if d not in seen:
+                seen.add(d)
+                n += _count_data_files(d)
+        return n
 
     def vacuum_retain(
         self,
