@@ -1,11 +1,40 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from urban_mobility_data_lakehouse_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
 SF_ORACLE_DIR = "/root/testdata/sf0.01"
+
+# Heavy lane: long-running stress/sweep tests (multi-thread commit
+# storms, byte-level purge scans, exhaustive equality sweeps) run only
+# with SPARK_GRAFT_SLOW=1 — the SAME env the sf0.1 lanes
+# (test_sf01_*.py) already use, so one flag opens every slow lane.
+# The default lane keeps FULL oracle parity and one representative of
+# every behavior; the slow lane re-runs the adversarial/stress
+# variants.
+SLOW = bool(os.environ.get("SPARK_GRAFT_SLOW"))
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: stress/sweep lane; skipped unless SPARK_GRAFT_SLOW=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="heavy lane; set SPARK_GRAFT_SLOW=1 to run"
+    )
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

@@ -558,6 +558,7 @@ class Lakehouse:
         partition_col: str | None = None,
         partitions: list[str] | None = None,
         extra_meta: dict | None = None,
+        _base: int | None = None,
     ) -> None:
         """Idempotent partition upsert: only partitions present in `df`
         are replaced; everything else is untouched.  Copy-on-write: the
@@ -578,11 +579,22 @@ class Lakehouse:
         `partition_col=None` on a hidden-spec table
         (`set_partition_spec`) derives the partition value from the
         spec's source column — the caller partitions by `days(ts)`
-        without ever materializing a day column."""
+        without ever materializing a day column.
+
+        `_base`: internal — read-modify-write callers (merge_into,
+        delete_where) pass the version count they captured BEFORE
+        reading the table, so a commit that lands between their read
+        and this commit is conflict-checked rather than silently based
+        on stale state (the TOCTOU window the randomized mixed-op
+        schedule test caught: an interleaved commit with a version
+        BELOW the commit-time base escapes the `[base:]` conflict
+        scan)."""
         df, partition_col = self._resolve_partitioning(
             df, schema, name, partition_col
         )
         base, data_dir = self._next_data_dir(schema, name)
+        if _base is not None:
+            base = _base
         entry = self._stage_overwrite_partitions(
             df, schema, name, partition_col, data_dir, partitions
         )
@@ -663,6 +675,10 @@ class Lakehouse:
         updates, partition_col = self._resolve_partitioning(
             updates, schema, name, partition_col
         )
+        # optimistic-concurrency base, captured BEFORE any read of
+        # table state: every commit that lands after what this merge
+        # reads must fall in the conflict scan's [base:] range
+        base = len(self.snapshots(schema, name))
         affected = [
             str(r[0])
             for r in updates.select(partition_col).distinct().collect()
@@ -698,7 +714,7 @@ class Lakehouse:
             # (autoMerge): updates may ADD columns — surviving rows
             # surface NULL there, exactly like an evolving append
             survivors.unionByName(updates, allowMissingColumns=True),
-            schema, name, partition_col
+            schema, name, partition_col, _base=base,
         )
 
     def delete_where(
@@ -749,6 +765,8 @@ class Lakehouse:
                 f"delete_where: unknown mode {mode!r} "
                 "(copy_on_write | merge_on_read)"
             )
+        # base BEFORE the read — see overwrite_partitions `_base`
+        base = len(self.snapshots(schema, name))
         current = self.read(spark, schema, name)
         if partition_col is None:
             current, partition_col = self._resolve_partitioning(
@@ -771,7 +789,8 @@ class Lakehouse:
             F.col(partition_col).cast("string").isin(affected)
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
-            survivors, schema, name, partition_col, partitions=affected
+            survivors, schema, name, partition_col, partitions=affected,
+            _base=base,
         )
         return True
 
@@ -789,6 +808,10 @@ class Lakehouse:
         point, exactly like every other commit."""
         path = self._table_dir(schema, name)
         self._enforce_constraints(updates, schema, name)
+        # base BEFORE the positional read: the DV names row positions
+        # in the files of the state it read, so any commit after that
+        # state must conflict (see overwrite_partitions `_base`)
+        base, data_dir = self._next_data_dir(schema, name)
         current = self.read(spark, schema, name, with_positions=True)
         matches = current.join(
             updates.select(*keys).distinct(), keys, "left_semi"
@@ -796,7 +819,6 @@ class Lakehouse:
             F.col("__dv_file").alias("file_path"),
             F.col("__dv_pos").alias("row_index"),
         )
-        base, data_dir = self._next_data_dir(schema, name)
         dv_dir = data_dir + "-dv"
         matches.coalesce(1).write.mode("overwrite").parquet(dv_dir)
         updates.write.mode("overwrite").parquet(data_dir)
@@ -823,6 +845,8 @@ class Lakehouse:
         rewritten).  Reading with positions already excludes earlier
         DVs, so vectors never name an already-deleted row twice."""
         path = self._table_dir(schema, name)
+        # base BEFORE the positional read (see _merge_into_mor)
+        base, data_dir = self._next_data_dir(schema, name)
         matches = (
             self.read(spark, schema, name, with_positions=True)
             .filter(condition)  # TRUE rows only (3-valued logic)
@@ -833,7 +857,6 @@ class Lakehouse:
         )
         if matches.limit(1).count() == 0:
             return False  # no matches → no commit (CoW parity)
-        base, data_dir = self._next_data_dir(schema, name)
         matches.coalesce(1).write.mode("overwrite").parquet(data_dir)
         self._commit(
             schema, name,
@@ -990,6 +1013,15 @@ class Lakehouse:
                 "IS the multi-column ordering"
             )
         path = self._table_dir(schema, name)
+        # base BEFORE any read of table state: compact's commit RESETS
+        # the whole manifest, so an append that landed between this
+        # read and the commit would otherwise be silently erased (its
+        # version falls below a commit-time base and escapes the
+        # [base:] conflict scan — the lost-append the randomized
+        # mixed-op schedule test caught).  Captured first, the
+        # interleaved append raises ConcurrentWriteError and the
+        # compact retries over the newer state.
+        version, data_dir = self._next_data_dir(schema, name)
         before = self._count_live_files(schema, name)
         df = self.read(spark, schema, name)
         spec = self.partition_spec(schema, name)
@@ -1065,7 +1097,6 @@ class Lakehouse:
             from .skipping import zorder_key
 
             df = df.withColumn(zcol, zorder_key(df, zorder_by))
-        version, data_dir = self._next_data_dir(schema, name)
         if partition_col is not None:
             # hash-repartition by the partition column: every value's
             # rows land in ONE task → exactly one file per partition
