@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import relational as R
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from . import register
 
 
@@ -59,7 +59,13 @@ def hourly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
+    # fan_out: DECIMAL(25,6) partial aggregation is the map-side cost
+    # here (BigDecimal path — the accumulation type exceeds the
+    # compact-long 18-digit bound), and the single-row-group local
+    # file would run it in ONE task.  Order-independent by design, so
+    # the round-robin split cannot perturb the sums; the shipdate
+    # filter still pushes through the repartition to the scan.
+    return R.pricing_summary(fan_out(_t(spark, sf_dir, "lineitem")))
 
 
 @register(
@@ -288,8 +294,10 @@ def scalar_subquery_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out the fact: broadcast-join probes + DECIMAL partials are
+    # row-local map work (see pricing_summary note)
     return R.sales_by_nation(
-        _t(spark, sf_dir, "orders"),
+        fan_out(_t(spark, sf_dir, "orders")),
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),
     )
@@ -315,8 +323,10 @@ def sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def roleplay_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out the fact: five broadcast-join probes + DECIMAL partials
+    # are row-local map work (see pricing_summary note)
     return R.roleplay_nations(
-        _t(spark, sf_dir, "lineitem"),
+        fan_out(_t(spark, sf_dir, "lineitem")),
         _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "supplier"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from ..operators.relational import dsum
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from . import register
 
 
@@ -316,7 +316,12 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE.md's day-equivalent batch shape: full fact scan + typed
     cast cleaning + two broadcast dim joins + batch audit — the workload
     whose per-day latency must stay flat as the table grows."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
+    # fan_out the fact: two broadcast-join probes + the DECIMAL(25,6)
+    # partial aggregate are row-local map work that the single-row-
+    # group local file would otherwise run in ONE task; the typed-cast
+    # filter still pushes through the repartition to the scan.  No-op
+    # on production multi-split layouts (sources/testdata.fan_out).
+    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
