@@ -108,6 +108,40 @@ def main() -> None:
             lambda s: s["cell"],
         ).alias("p"),
     ).collect()
+    # DECIMAL aggregation path (BigDecimal accumulation classes + the
+    # decimal codegen templates — pricing/roleplay/silver all pay this
+    # on first use otherwise)
+    spark.range(100_000).selectExpr(
+        "sum(cast(id as decimal(25,6))) as s",
+        "avg(cast(id as decimal(25,6))) as a",
+    ).collect()
+    # portable-hash expression stack (md5 → hex substring → conv) and
+    # the array set-ops the dedup verifiers run row-locally
+    spark.range(10_000).selectExpr(
+        "conv(substring(md5(cast(id as string)), 1, 15), 16, 10) as h",
+        "size(array_intersect(array(id, id+1), array(id+1, id+2))) as i",
+        "array_distinct(split(concat_ws(' ', 'a', cast(id as string)), ' ')) as d",
+    ).collect()
+    # broadcast nested-loop join with an array-membership condition
+    # feeding a HOF fold (the knn/ann probe shape)
+    probe = spark.range(4).selectExpr(
+        "id as cell", "array(cast(id as double), 1.0d) as c"
+    )
+    (
+        spark.range(500)
+        .selectExpr("id", "id % 4 as cell_q", "array(1.0d, cast(id as double)) as v")
+        .join(
+            F.broadcast(probe),
+            F.expr("array_contains(array(cell_q, cell_q + 1), cell)"),
+        )
+        .selectExpr(
+            "aggregate(zip_with(v, c, (x, y) -> x * y), 0.0d, (a, x) -> a + x) as dot"
+        )
+        .collect()
+    )
+    # localCheckpoint machinery (block manager + ContextCleaner paths
+    # that the dedup/simhash pipelines hit on their first materialize)
+    spark.range(1000).localCheckpoint(eager=False).count()
     for table in ("lineitem", "orders", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").limit(10).collect()
 

@@ -252,11 +252,26 @@ def knn_ivf(
     # corpus side ranks cells only to depth 1 (its assignment); the
     # n_probe-deep ranking is computed ONLY for the n_queries query
     # rows, whose vec_id filter pushes down to the parquet scan — the
-    # corpus is scanned once, not once per consumer
-    base = assign_cells(embeddings, centroids).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("emb").alias("emb_b"),
-        "cell",
+    # corpus is scanned once, not once per consumer.
+    #
+    # localCheckpoint (lazy) = "build the index, then query it" — the
+    # production IVF shape (persistent_ivf.py stores exactly this
+    # frame as a cell-partitioned table).  It is also load-bearing for
+    # the inline plan: InferFiltersFromConstraints derives
+    # isnotnull(cell) from the probe-join condition and, through the
+    # projection alias, re-expands the ENTIRE 16-centroid ranking
+    # expression as a pre-join Filter — the assignment would evaluate
+    # TWICE per corpus row (measured ~2× exec + ~2× plan size).  The
+    # checkpoint is an optimizer barrier: downstream sees a plain
+    # relation, the constraint has nothing to re-expand into.
+    base = (
+        assign_cells(embeddings, centroids)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("emb_b"),
+            "cell",
+        )
+        .localCheckpoint(eager=False)
     )
     if query_rows is not None:
         # pre-ranked query batch (see query_probes_from_parquet):
