@@ -164,3 +164,35 @@ def test_pq_deterministic(spark, sf_dir):
         pq.knn_pq(emb, n_queries=5, k=3).collect()
         == pq.knn_pq(emb, n_queries=5, k=3).collect()
     )
+
+
+def test_lloyd_dead_cells_reseed_to_distinct_points():
+    """≥2 cells dying in one Lloyd's round must re-seed to DISTINCT
+    worst-served points (the old single-argmax re-seed collapsed all
+    dead cells onto one seed), deterministically."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import lloyd
+
+    # duplicate-heavy data (two 5-point coincident clusters + 4
+    # outliers) with k=6: duplicate init centroids tie-break to the
+    # first cell, so ≥2 cells die in one round.  Verified to collapse
+    # to 5 distinct centroids under the old re-seed.
+    x = np.vstack(
+        [
+            np.zeros((5, 3)),
+            np.full((5, 3), 5.0),
+            np.array(
+                [[50.0, 0, 0], [0, 60.0, 0], [0, 0, 70.0], [80.0, 80, 0]]
+            ),
+        ]
+    )
+    cents = np.array(lloyd(x, n_cells=6, seed=0, n_iter=2))
+    assert cents.shape == (6, 3)
+    # all six centroids survive AND are pairwise distinct
+    uniq = {tuple(np.round(c, 9)) for c in cents}
+    assert len(uniq) == 6, f"collapsed centroids: {cents}"
+    # deterministic across runs
+    assert lloyd(x, n_cells=6, seed=0, n_iter=2) == lloyd(
+        x, n_cells=6, seed=0, n_iter=2
+    )

@@ -44,7 +44,8 @@ def lloyd(
     identical sample yields bit-identical float64 centroids, which is
     what lets the oracle inline them as exact literals.  Init is a
     seeded choice without replacement; empty cells are re-seeded from
-    the farthest points so all n_cells survive.
+    the (distinct) worst-served points of that iteration's assignment
+    snapshot, so all n_cells survive and never collapse onto one seed.
     """
     import numpy as np
 
@@ -63,12 +64,24 @@ def lloyd(
         c2 = (cents * cents).sum(axis=1)
         d2 = x2[:, None] - 2.0 * (x @ cents.T) + c2[None, :]
         assign = d2.argmin(axis=1)
+        dead = []
         for c in range(len(cents)):
             members = x[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
-            else:  # re-seed dead cell with the worst-served point
-                cents[c] = x[d2.min(axis=1).argmax()]
+            else:
+                dead.append(c)
+        if dead:
+            # Re-seed every dead cell from a DISTINCT worst-served
+            # point, ranked by the start-of-iteration assignment
+            # distances (a deterministic snapshot: live-cell mean
+            # updates above must not perturb which points count as
+            # worst-served, and two dead cells must never collapse
+            # onto the same seed — the old single-argmax form did
+            # exactly that whenever ≥2 cells died in one round).
+            order = np.argsort(-d2.min(axis=1), kind="stable")
+            for c, idx in zip(dead, order):
+                cents[c] = x[idx]
     return cents.tolist()
 
 
