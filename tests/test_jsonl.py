@@ -139,3 +139,50 @@ def test_split_sides_share_one_materialized_parse(spark, tmp_path):
         assert "Exchange" not in plan
         assert "ExistingRDD" in plan  # served from the checkpoint
     assert clean.count() == 1 and quarantine.count() == 0
+
+
+def test_streaming_jsonl_ingest_exactly_once(spark, tmp_path):
+    """read_jsonl_stream + stream_to_table: crawl files drain with
+    AvailableNow into a lakehouse bronze table, corrupt lines ride
+    along in the corrupt lane, and a re-run adds nothing."""
+    from urban_mobility_data_lakehouse_spark.sources.jsonl import (
+        read_jsonl_stream,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.streaming.daily import (
+        stream_to_table,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_lines(
+        landing / "d0.jsonl",
+        [json.dumps({"doc_id": 1, "text": "a"}), "garbage line"],
+    )
+    _write_lines(landing / "d1.jsonl", [json.dumps({"doc_id": 2, "text": "b"})])
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("bronze")
+
+    def run():
+        q = stream_to_table(
+            read_jsonl_stream(
+                spark, str(landing), schema="doc_id long, text string"
+            ),
+            lake,
+            "bronze",
+            "crawl",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run()
+    df = lake.read(spark, "bronze", "crawl")
+    assert df.count() == 3
+    clean, quarantine = split_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert quarantine.count() == 1
+    run()  # replay: checkpoint + table-level batch ids make it a no-op
+    assert lake.read(spark, "bronze", "crawl").count() == 3

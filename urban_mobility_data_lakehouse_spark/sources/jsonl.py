@@ -173,6 +173,45 @@ def write_jsonl(
     writer.json(path)
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    source_url: str | None = None,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Streaming twin of `read_jsonl` for continuous crawl-dump ingest:
+    `readStream` over the landing directory with the same PERMISSIVE
+    corrupt-record lane and audit columns.  Pair with
+    `streaming.daily.stream_to_table` (exactly-once lakehouse sink) and
+    Trigger.AvailableNow for bounded backlog drains — the checkpoint
+    tracks consumed files, so re-running is a no-op.  Schema must be
+    explicit (streams cannot run an inference pass); land corrupt rows
+    with the batch and split from the bronze table (see
+    `materialize_bronze` — parse-once applies doubly to streams).
+    """
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+        .select(
+            "*",
+            F.current_timestamp().alias("ingestion_timestamp"),
+            F.lit(source_url or path).alias("source_url"),
+            F.input_file_name().alias("filename"),
+        )
+    )
+
+
 def _sample_paths(spark: SparkSession, path: str, n: int) -> list[str]:
     """First `n` matching files, lexicographic — deterministic and
     driver-cheap (one FileSystem glob, no Spark job)."""
