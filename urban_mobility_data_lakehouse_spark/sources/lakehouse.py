@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass
@@ -70,6 +71,10 @@ LOCK_FILE = "_commit.lock"
 _FULL_TABLE_OPS = {
     "overwrite", "compact", "compact_partitioned", "restore",
     "delete_dv", "update_mor",
+    # column-mapping DDL serializes against everything: a writer that
+    # staged logical→physical renames from a pre-DDL snapshot must
+    # retry, not commit misnamed physical columns
+    "rename_column", "drop_column",
 }
 
 
@@ -288,6 +293,194 @@ class Lakehouse:
             with open(os.path.join(path, self.CONSTRAINTS_FILE), "w") as f:
                 json.dump(cs, f)
 
+    # -- column mapping (ALTER TABLE RENAME/DROP COLUMN analog) ------------
+    #
+    # Delta's column-mapping mode, re-expressed for this log: data
+    # files are immutable and always store PHYSICAL column names (the
+    # name a column had when it first appeared); renames and drops are
+    # METADATA-ONLY commits (one log line, no data rewritten — the
+    # whole point at 100 TB).  Reads translate physical→logical at the
+    # end of plan assembly; writers translate logical→physical before
+    # staging, so every data directory of a table shares one physical
+    # namespace regardless of when it was written.  Time travel
+    # replays the mapping to the requested version, so a v3 read shows
+    # v3's column names; RESTORE rolls the mapping back like any other
+    # state.
+
+    def column_state(
+        self, schema: str, name: str, version: int | None = None
+    ) -> tuple[dict[str, str], set[str]]:
+        """(physical→logical renames, dropped physical names) as of
+        `version` (None = latest), replayed from the metadata commits.
+        Empty structures mean logical == physical (the common case —
+        callers fast-path on it)."""
+        entries = self.snapshots(schema, name)
+
+        def replay(upto: int | None) -> tuple[dict[str, str], set[str]]:
+            mapping: dict[str, str] = {}
+            dropped: set[str] = set()
+            for e in entries:
+                if upto is not None and e["version"] > upto:
+                    break
+                op = e["operation"]
+                if op == "restore":
+                    mapping, dropped = replay(e["of_version"])
+                elif op == "rename_column":
+                    phys = next(
+                        (p for p, l in mapping.items() if l == e["old"]),
+                        e["old"],
+                    )
+                    if e["new"] == phys:
+                        mapping.pop(phys, None)  # renamed back home
+                    else:
+                        mapping[phys] = e["new"]
+                elif op == "drop_column":
+                    phys = next(
+                        (p for p, l in mapping.items() if l == e["column"]),
+                        e["column"],
+                    )
+                    mapping.pop(phys, None)
+                    dropped.add(phys)
+            return mapping, dropped
+
+        return replay(version)
+
+    def _retired_physical(self, schema: str, name: str) -> set[str]:
+        """Physical names no data-facing writer may reuse: dropped
+        columns (their bytes still live in old files and would ghost-
+        union under a new column of the same name) and the physical
+        names of renamed columns (a frame carrying one is using a
+        stale, pre-rename name)."""
+        mapping, dropped = self.column_state(schema, name)
+        return dropped | set(mapping)
+
+    def _column_ddl_guard(
+        self, spark: SparkSession, schema: str, name: str, col: str
+    ) -> list[str]:
+        """Shared validation for rename/drop: `col` must exist
+        logically and must not be load-bearing for partitioning,
+        constraints, or bloom indexes (Delta restricts the same ways).
+        Returns the current logical columns."""
+        current = self.read(spark, schema, name).columns
+        if col not in current:
+            raise ValueError(
+                f"{schema}.{name}: no column {col!r} (have {current})"
+            )
+        part_map, _, _ = self._manifest(schema, name, None)
+        pcols = {pcol for _, pcol in part_map.values()}
+        spec = self.partition_spec(schema, name)
+        if spec is not None:
+            pcols |= {spec.source, spec.hidden_col}
+        if col in pcols:
+            raise ValueError(
+                f"{schema}.{name}: {col!r} is a partition column; "
+                "repartition the table instead of renaming/dropping it"
+            )
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        for cname, pred in self.constraints(schema, name).items():
+            if pat.search(pred):
+                raise ValueError(
+                    f"{schema}.{name}: {col!r} is referenced by CHECK "
+                    f"constraint {cname!r} ({pred}); drop the "
+                    "constraint first"
+                )
+        if col in self.bloom_index(schema, name):
+            raise ValueError(
+                f"{schema}.{name}: {col!r} has a bloom index; drop the "
+                "index first"
+            )
+        return current
+
+    def rename_column(
+        self, spark: SparkSession, schema: str, name: str,
+        old: str, new: str,
+    ) -> None:
+        """ALTER TABLE ... RENAME COLUMN old TO new — one metadata
+        commit, zero bytes rewritten.  Refuses names that collide with
+        a live logical column or a retired physical name (whose bytes
+        still exist in immutable files)."""
+        current = self._column_ddl_guard(spark, schema, name, old)
+        if new in current:
+            raise ValueError(
+                f"{schema}.{name}: column {new!r} already exists"
+            )
+        mapping, dropped = self.column_state(schema, name)
+        own_physical = next(
+            (p for p, l in mapping.items() if l == old), old
+        )
+        retired = dropped | (set(mapping) - {own_physical})
+        if new in retired:
+            # renaming BACK to the column's own physical name is fine
+            # (the mapping entry just dissolves); any OTHER retired
+            # name still has foreign bytes behind it
+            raise ValueError(
+                f"{schema}.{name}: {new!r} is a retired physical name "
+                "(old files still store data under it); pick another"
+            )
+        base = len(self.snapshots(schema, name))
+        self._commit(
+            schema, name, dict(op="rename_column", old=old, new=new), base
+        )
+
+    def drop_column(
+        self, spark: SparkSession, schema: str, name: str, column: str
+    ) -> None:
+        """ALTER TABLE ... DROP COLUMN — metadata-only: reads stop
+        surfacing it, files keep their bytes until the next `compact`
+        rewrite (or `purge` for compliance erasure); time travel to a
+        pre-drop version still shows it."""
+        current = self._column_ddl_guard(spark, schema, name, column)
+        if len(current) <= 1:
+            raise ValueError(
+                f"{schema}.{name}: cannot drop the only column"
+            )
+        base = len(self.snapshots(schema, name))
+        self._commit(
+            schema, name, dict(op="drop_column", column=column), base
+        )
+
+    def _apply_column_mapping(
+        self, df: DataFrame, schema: str, name: str,
+        version: int | None = None,
+    ) -> DataFrame:
+        """physical→logical projection for read paths.  Hidden and
+        positional plumbing columns pass through untouched (they are
+        never renameable)."""
+        mapping, dropped = self.column_state(schema, name, version)
+        if not mapping and not dropped:
+            return df
+        return df.select(
+            *[
+                df[c].alias(mapping.get(c, c))
+                for c in df.columns
+                if c not in dropped
+            ]
+        )
+
+    def _to_physical(
+        self, df: DataFrame, schema: str, name: str
+    ) -> DataFrame:
+        """logical→physical rename for write paths.  Frames must speak
+        the CURRENT logical schema: a column named like a retired
+        physical name (dropped, or the pre-rename name of a live
+        column) is refused — silently writing it would resurrect dead
+        bytes or fork the namespace."""
+        mapping, dropped = self.column_state(schema, name)
+        if not mapping and not dropped:
+            return df
+        bad = [c for c in df.columns if c in dropped or c in mapping]
+        if bad:
+            raise ValueError(
+                f"{schema}.{name}: column(s) {bad} use retired physical "
+                "names; writers must use the current logical schema "
+                f"(renames: { {p: l for p, l in mapping.items()} }, "
+                f"dropped: {sorted(dropped)})"
+            )
+        for phys, logical in mapping.items():
+            if logical in df.columns:
+                df = df.withColumnRenamed(logical, phys)
+        return df
+
     # -- Bloom filter indexes (Delta CREATE BLOOMFILTER INDEX analog) ------
 
     BLOOM_FILE = "_bloom_index.json"
@@ -503,6 +696,7 @@ class Lakehouse:
     ) -> dict:
         path = self._table_dir(schema, name)
         self._enforce_constraints(df, schema, name)
+        df = self._to_physical(df, schema, name)
         df.write.mode("overwrite").partitionBy(partition_col).parquet(
             data_dir
         )
@@ -530,6 +724,7 @@ class Lakehouse:
     ) -> dict:
         path = self._table_dir(schema, name)
         self._enforce_constraints(df, schema, name)
+        df = self._to_physical(df, schema, name)
         spec = self.partition_spec(schema, name)
         if spec is not None and spec.source in df.columns:
             # hidden-spec tables lay out even full writes / appends by
@@ -821,7 +1016,9 @@ class Lakehouse:
         )
         dv_dir = data_dir + "-dv"
         matches.coalesce(1).write.mode("overwrite").parquet(dv_dir)
-        updates.write.mode("overwrite").parquet(data_dir)
+        self._to_physical(updates, schema, name).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
         self._commit(
             schema, name,
             self._attach_stats(
@@ -1024,6 +1221,18 @@ class Lakehouse:
         version, data_dir = self._next_data_dir(schema, name)
         before = self._count_live_files(schema, name)
         df = self.read(spark, schema, name)
+        # rewrite in PHYSICAL names (the namespace every data dir
+        # shares); sort/zorder args arrive logical and translate the
+        # same way.  Dropped columns are already absent from the read
+        # frame, so compaction is also the point their bytes actually
+        # leave the files.
+        cmap, _ = self.column_state(schema, name)
+        df = self._to_physical(df, schema, name)
+        _inv = {l: p for p, l in cmap.items()}
+        sort_by = [_inv.get(c, c) for c in sort_by] if sort_by else sort_by
+        zorder_by = (
+            [_inv.get(c, c) for c in zorder_by] if zorder_by else zorder_by
+        )
         spec = self.partition_spec(schema, name)
         if spec is not None and partition_col in (None, spec.hidden_col):
             # hidden-spec tables always compact partition-preserving:
@@ -1683,7 +1892,9 @@ class Lakehouse:
             out = self._apply_dvs(
                 spark, out, dvs, keep_positions=with_positions
             )
-        return self._drop_hidden(out)
+        return self._drop_hidden(
+            self._apply_column_mapping(out, schema, name, version)
+        )
 
     def read_where(
         self,
@@ -1720,6 +1931,15 @@ class Lakehouse:
             for e in self.snapshots(schema, name)
             if e.get("data_dir") is not None and e.get("files") is not None
         }
+        # predicates arrive in LOGICAL names; footer stats and bloom
+        # filters are keyed by the PHYSICAL names the files store —
+        # translate for the pruning layers, keep the logical form for
+        # the residual filter (applied after the mapping projection)
+        _cmap, _ = self.column_state(schema, name, version)
+        _inv = {l: p for p, l in _cmap.items()}
+        phys_preds = [
+            (_inv.get(p[0], p[0]), *p[1:]) for p in predicates
+        ]
         residual = predicates_to_column(predicates)
         bloom_cfg = self.bloom_index(schema, name)
 
@@ -1732,8 +1952,8 @@ class Lakehouse:
             return [
                 os.path.join(d, f["path"])
                 for f in files
-                if file_survives(f, predicates)
-                and bloom_survives(f, predicates, bloom_cfg)
+                if file_survives(f, phys_preds)
+                and bloom_survives(f, phys_preds, bloom_cfg)
             ]
 
         by_dir: dict[str, tuple[str, list[str]]] = {}
@@ -1873,6 +2093,7 @@ class Lakehouse:
             out = out.unionByName(f, allowMissingColumns=True)
         if dvs:
             out = self._apply_dvs(spark, out, dvs)
+        out = self._apply_column_mapping(out, schema, name, version)
         return self._drop_hidden(out.filter(residual))
 
     def _require_dirs(
@@ -2172,7 +2393,16 @@ class Lakehouse:
                 )
             if out is not None and side_dvs:
                 out = self._apply_dvs(spark, out, side_dvs)
-            return None if out is None else self._drop_hidden(out)
+            if out is None:
+                return None
+            # both sides surface the TO-version logical names so the
+            # diff compares columns consistently across a rename; a
+            # column dropped inside the window simply leaves the diff
+            # (its deletions are invisible post-drop — same as Delta
+            # CDF after a schema change)
+            return self._drop_hidden(
+                self._apply_column_mapping(out, schema, name, to_version)
+            )
 
         old_df = changed(old_map, old_extra, new_map, new_extra, old_dvs)
         new_df = changed(new_map, new_extra, old_map, old_extra, new_dvs)
