@@ -46,6 +46,8 @@ def _spark_components(spark, edges, driver_threshold=100_000):
 
 # 0 forces the distributed loop; the default exercises the
 # driver-side union-find fast path — both must agree with the oracle
+@pytest.mark.heavy  # random-graph sweep; cross-path bit-parity and
+# directed topologies stay in the default lane below
 @pytest.mark.parametrize("thresh", [100_000, 0])
 def test_matches_union_find_on_random_graph(spark, thresh):
     rng = random.Random(42)

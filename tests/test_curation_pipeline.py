@@ -140,7 +140,12 @@ def test_optional_exact_substr_stage(spark, docs):
     )
 
     lic = "licensed under the apache license version two point zero"
-    salted = docs.withColumn(
+    # bounded slice: salting the FULL 500-doc corpus with one shared
+    # prefix builds a 500-clique (every rolling-hash window of the
+    # block appears in every doc), which costs minutes without proving
+    # anything ~70 docs don't — the license-cut semantics and the
+    # pass-through of unique text are per-doc properties
+    salted = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "text", F.concat(F.lit(lic + " "), F.col("text"))
     )
     out, stats = curate_corpus(

@@ -238,6 +238,8 @@ def test_refresh_is_idempotent_after_replay(spark, lake):
     assert [e["version"] for e in lake.snapshots("gold", "daily")] == versions
 
 
+@pytest.mark.heavy  # randomized 12-step sweep (~11 s); every mutation
+# kind keeps a directed incremental-vs-recompute test in this file
 def test_random_mutation_sequence_always_matches_recompute(spark, lake):
     """Seeded fuzz: any interleaving of upserts, merges, CoW and MoR
     deletes, and appends must leave refresh() equal to a from-scratch

@@ -59,6 +59,8 @@ predicate = st.tuples(
 )
 
 
+@pytest.mark.heavy  # 30-example sweep (~20 s); directed read_where
+# equivalence coverage stays in the default lane (test_skipping.py)
 @settings(
     max_examples=30,
     deadline=None,

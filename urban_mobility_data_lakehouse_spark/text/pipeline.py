@@ -72,12 +72,23 @@ def curate_corpus(
     stats: dict = {}
 
     def _checkpoint(df: DataFrame, stage: str) -> DataFrame:
-        if audit:
-            stats[stage] = df.count()
         if lake is not None:
             lake.create_schemas(schema)
             lake.overwrite(df, schema, stage)
-            return lake.read(spark, schema, stage)
+            df = lake.read(spark, schema, stage)
+            if audit:
+                stats[stage] = df.count()
+            return df
+        if audit:
+            # the count forces a job anyway — checkpoint FIRST so the
+            # job materializes the stage and downstream stages (and
+            # the next stage's count) reuse its blocks instead of
+            # re-executing the whole upstream chain per stage (that
+            # recompute is quadratic in stage count).  audit=False
+            # remains the single-fused-plan mode the module docstring
+            # describes.
+            df = df.localCheckpoint(eager=False)
+            stats[stage] = df.count()
         return df
 
     if boilerplate_min_docs is not None:
