@@ -221,3 +221,81 @@ def test_mor_paths_respect_mapping(spark, tmp_path):
     assert 2 not in {
         r["k"] for r in lake.read(spark, "silver", "t").collect()
     }
+
+
+def test_add_column_default_fills_only_pre_add_rows(spark, tmp_path):
+    """Rows written before the add read the default; rows written
+    after store real values — including genuine NULLs."""
+    lake = _lake(tmp_path)
+    _seed(spark, lake)
+    lake.add_column(spark, "silver", "t", "lang", "string", default="und")
+    out = lake.read(spark, "silver", "t")
+    assert all(r["lang"] == "und" for r in out.collect())
+    # post-add write: real value and a genuine NULL
+    lake.append(
+        spark.createDataFrame(
+            [(4, 4.0, "b", "en"), (5, 5.0, "b", None)],
+            "k int, v double, d string, lang string",
+        ),
+        "silver", "t",
+    )
+    got = {r["k"]: r["lang"] for r in lake.read(spark, "silver", "t").collect()}
+    assert got[1] == "und" and got[4] == "en" and got[5] is None
+
+
+def test_add_column_time_travel_and_restore(spark, tmp_path):
+    lake = _lake(tmp_path)
+    _seed(spark, lake)                                          # v0
+    lake.add_column(spark, "silver", "t", "score", "double", default=0.5)
+    assert "score" not in lake.read(spark, "silver", "t", version=0).columns
+    assert {r["score"] for r in lake.read(spark, "silver", "t").collect()} \
+        == {0.5}
+    lake.restore("silver", "t", 0)
+    assert "score" not in lake.read(spark, "silver", "t").columns
+
+
+def test_add_then_rename_then_write(spark, tmp_path):
+    lake = _lake(tmp_path)
+    _seed(spark, lake)
+    lake.add_column(spark, "silver", "t", "score", "double", default=0.0)
+    lake.rename_column(spark, "silver", "t", "score", "quality")
+    assert {r["quality"] for r in lake.read(spark, "silver", "t").collect()} \
+        == {0.0}
+    lake.append(
+        spark.createDataFrame(
+            [(6, 6.0, "b", 0.9)], "k int, v double, d string, quality double"
+        ),
+        "silver", "t",
+    )
+    got = {r["k"]: r["quality"]
+           for r in lake.read(spark, "silver", "t").collect()}
+    assert got[6] == 0.9 and got[1] == 0.0
+
+
+def test_add_column_guards(spark, tmp_path):
+    lake = _lake(tmp_path)
+    _seed(spark, lake)
+    with pytest.raises(ValueError, match="already exists"):
+        lake.add_column(spark, "silver", "t", "v", "double")
+    lake.drop_column(spark, "silver", "t", "v")
+    with pytest.raises(ValueError, match="retired"):
+        lake.add_column(spark, "silver", "t", "v", "double")
+    with pytest.raises(ValueError, match="JSON scalar"):
+        lake.add_column(spark, "silver", "t", "m", "string", default=[1])
+
+
+def test_read_where_and_cdc_see_added_default(spark, tmp_path):
+    lake = _lake(tmp_path)
+    _seed(spark, lake)                                          # v0
+    lake.add_column(spark, "silver", "t", "lang", "string", default="und")
+    got = lake.read_where(spark, "silver", "t", [("k", "<=", 2)])
+    assert {r["lang"] for r in got.collect()} == {"und"}
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(3, 33.0, "b", "es")], "k int, v double, d string, lang string"
+        ),
+        "silver", "t", partition_col="d",
+    )
+    ch = lake.read_changes(spark, "silver", "t", from_version=1)
+    rows = {(r["k"], r["_change_type"], r["lang"]) for r in ch.collect()}
+    assert (3, "insert", "es") in rows and (3, "delete", "und") in rows

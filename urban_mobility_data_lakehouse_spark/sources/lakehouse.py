@@ -74,7 +74,7 @@ _FULL_TABLE_OPS = {
     # column-mapping DDL serializes against everything: a writer that
     # staged logical→physical renames from a pre-DDL snapshot must
     # retry, not commit misnamed physical columns
-    "rename_column", "drop_column",
+    "rename_column", "drop_column", "add_column",
 }
 
 
@@ -438,6 +438,97 @@ class Lakehouse:
         self._commit(
             schema, name, dict(op="drop_column", column=column), base
         )
+
+    def add_column(
+        self, spark: SparkSession, schema: str, name: str,
+        column: str, dtype: str, default=None,
+    ) -> None:
+        """ALTER TABLE ... ADD COLUMN with an optional DEFAULT — one
+        metadata commit, zero bytes rewritten.  Exact Delta default
+        semantics, resolved per FILE GENERATION: rows from commits
+        that predate the add (their files lack the column) read the
+        default; commits after the add store real values, so a
+        genuine NULL written later stays NULL.  `default` must be a
+        JSON-scalar (int/float/str/bool/None) — it lives on the log
+        line."""
+        if default is not None and not isinstance(
+            default, (int, float, str, bool)
+        ):
+            raise ValueError(
+                f"add_column default must be a JSON scalar, got "
+                f"{type(default).__name__}"
+            )
+        current = self.read(spark, schema, name).columns
+        if column in current:
+            raise ValueError(
+                f"{schema}.{name}: column {column!r} already exists"
+            )
+        if column in self._retired_physical(schema, name):
+            raise ValueError(
+                f"{schema}.{name}: {column!r} is a retired physical "
+                "name (old files still store data under it); pick "
+                "another"
+            )
+        base = len(self.snapshots(schema, name))
+        self._commit(
+            schema, name,
+            dict(
+                op="add_column", column=column, dtype=dtype,
+                default=default,
+            ),
+            base,
+        )
+
+    def _added_columns(
+        self, schema: str, name: str, version: int | None = None
+    ) -> list[dict]:
+        """add_column declarations live as of `version` (restore-aware,
+        like `column_state`).  Keyed by PHYSICAL name — the name the
+        column had when added; later renames layer on top."""
+        entries = self.snapshots(schema, name)
+
+        def replay(upto: int | None) -> list[dict]:
+            adds: list[dict] = []
+            for e in entries:
+                if upto is not None and e["version"] > upto:
+                    break
+                op = e["operation"]
+                if op == "restore":
+                    adds = replay(e["of_version"])
+                elif op == "add_column":
+                    adds.append(
+                        {
+                            "column": e["column"],
+                            "dtype": e["dtype"],
+                            "default": e.get("default"),
+                        }
+                    )
+            return adds
+
+        return replay(version)
+
+    def _fill_added(
+        self, frames: list[DataFrame], schema: str, name: str,
+        version: int | None = None,
+    ) -> list[DataFrame]:
+        """Attach declared-but-absent added columns (typed default or
+        NULL) to each per-commit frame BEFORE the union — frame
+        membership is exactly 'was this file written before the add',
+        which is what makes the default/genuine-NULL distinction
+        exact."""
+        adds = self._added_columns(schema, name, version)
+        if not adds:
+            return frames
+        out = []
+        for f in frames:
+            for a in adds:
+                if a["column"] not in f.columns:
+                    f = f.withColumn(
+                        a["column"],
+                        F.lit(a["default"]).cast(a["dtype"]),
+                    )
+            out.append(f)
+        return out
 
     def _apply_column_mapping(
         self, df: DataFrame, schema: str, name: str,
@@ -1880,6 +1971,7 @@ class Lakehouse:
             raise FileNotFoundError(
                 f"{schema}.{name} has no data at version {version}"
             )
+        frames = self._fill_added(frames, schema, name, version)
         if tag:
             tdir = self._table_dir(schema, name)
             frames = [self._with_positions(f, tdir) for f in frames]
@@ -2086,6 +2178,7 @@ class Lakehouse:
             return self.read(spark, schema, name, version).filter(
                 F.lit(False)
             )
+        frames = self._fill_added(frames, schema, name, version)
         if dvs:
             frames = [self._with_positions(f, path) for f in frames]
         out = frames[0]
@@ -2379,6 +2472,7 @@ class Lakehouse:
                 .filter(F.col(pcol).cast("string").isin(values))
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [spark.read.parquet(d) for d in sorted(dirs)]
+            frames = self._fill_added(frames, schema, name, to_version)
             if side_dvs and frames:
                 tdir = self._table_dir(schema, name)
                 frames = [
