@@ -1080,6 +1080,183 @@ class Lakehouse:
         )
         return True
 
+    @staticmethod
+    def _apply_set(df: DataFrame, condition, assignments: dict) -> DataFrame:
+        """Project `df` with SET assignments applied to rows where
+        `condition` is TRUE (SQL three-valued logic: NULL/FALSE rows
+        pass through untouched).  Every expression evaluates against
+        the ORIGINAL row — `SET a = b, b = a` swaps, like SQL UPDATE —
+        and is cast back to the column's existing type so the table
+        schema is invariant under updates (Delta casts the same way).
+        """
+        matched = F.coalesce(
+            condition.cast("boolean"), F.lit(False)
+        )
+        types = dict(df.dtypes)
+        exprs = []
+        for c in df.columns:
+            if c in assignments:
+                new = assignments[c]
+                if isinstance(new, str):
+                    new = F.expr(new)
+                exprs.append(
+                    F.when(matched, new.cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                exprs.append(F.col(c))
+        return df.select(*exprs)
+
+    def update_where(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        condition,
+        set: dict,
+        partition_col: str | None = None,
+        mode: str = "copy_on_write",
+    ) -> bool:
+        """Row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``
+        analog) — the third leg of the DML triad next to `merge_into`
+        and `delete_where`.
+
+        `set` maps column name → Column expression (or SQL string),
+        evaluated against the pre-update row; only rows where
+        `condition` is TRUE change (three-valued logic, like DELETE).
+        Assignments are cast to the column's existing type, so the
+        table schema never drifts under UPDATE.
+
+        Copy-on-write (default): only partitions containing a matching
+        row are rewritten — cost ∝ affected partitions, never the
+        table; CDC shows exactly the delete+insert pairs of rows whose
+        values actually changed (a SET that writes the same value back
+        cancels out of the diff).  An assignment may NOT touch the
+        partition column (or a hidden spec's source column): the row
+        would silently move partitions out of the rewritten set — use
+        ``mode="merge_on_read"``, where moves are safe.
+
+        ``mode="merge_on_read"`` (Delta DV-backed UPDATE): the matched
+        rows' positions become a deletion vector and their updated
+        images are appended, both on ONE atomic ``update_mor`` log
+        line — write cost O(matched rows), no partition rewritten,
+        and partition-changing assignments are legal (the old position
+        is deleted wherever it lives).  Readers pay the DV anti-join
+        until `compact()` materializes.
+
+        Returns True iff a commit happened (False = no matching rows,
+        no new version), matching `delete_where`."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(
+                f"update_where: unknown mode {mode!r} "
+                "(copy_on_write | merge_on_read)"
+            )
+        if not set:
+            raise ValueError("update_where: empty SET")
+        if mode == "merge_on_read":
+            return self._update_where_mor(
+                spark, schema, name, condition, set
+            )
+        # base BEFORE the read — see overwrite_partitions `_base`
+        base = len(self.snapshots(schema, name))
+        current = self.read(spark, schema, name)
+        unknown = sorted(k for k in set if k not in current.columns)
+        if unknown:
+            raise ValueError(
+                f"update_where {schema}.{name}: SET names unknown "
+                f"columns {unknown}"
+            )
+        spec = self.partition_spec(schema, name)
+        moved = spec.source if spec is not None else partition_col
+        if moved is not None and moved in set:
+            raise ValueError(
+                f"update_where {schema}.{name}: SET {moved} would "
+                "move rows across partitions under copy-on-write — "
+                'use mode="merge_on_read"'
+            )
+        if partition_col is None:
+            current, partition_col = self._resolve_partitioning(
+                current, schema, name, None
+            )
+        else:
+            current = self._ensure_partition_col(
+                current, schema, name, partition_col
+            )
+        affected = [
+            str(r[0])
+            for r in current.filter(condition)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return False
+        rewritten = self._apply_set(
+            current.filter(
+                F.col(partition_col).cast("string").isin(affected)
+            ),
+            condition,
+            set,
+        )
+        self.overwrite_partitions(
+            rewritten, schema, name, partition_col,
+            partitions=affected, _base=base,
+        )
+        return True
+
+    def _update_where_mor(
+        self, spark: SparkSession, schema: str, name: str,
+        condition, assignments: dict,
+    ) -> bool:
+        """Merge-on-read UPDATE: DV over the matched positions + the
+        updated row images appended, one atomic `update_mor` commit
+        (same log shape as MoR MERGE, so CDC/compaction/fsck handling
+        is shared)."""
+        path = self._table_dir(schema, name)
+        # base BEFORE the positional read (see _merge_into_mor)
+        base, data_dir = self._next_data_dir(schema, name)
+        current = self.read(spark, schema, name, with_positions=True)
+        unknown = sorted(
+            k for k in assignments
+            if k not in current.columns or k.startswith("__dv_")
+        )
+        if unknown:
+            raise ValueError(
+                f"update_where {schema}.{name}: SET names unknown "
+                f"columns {unknown}"
+            )
+        matched = current.filter(condition)
+        if matched.limit(1).count() == 0:
+            return False  # no matches → no commit (CoW parity)
+        updated = self._apply_set(
+            matched, F.lit(True), assignments
+        ).drop("__dv_file", "__dv_pos")
+        self._enforce_constraints(updated, schema, name)
+        dv_dir = data_dir + "-dv"
+        matched.select(
+            F.col("__dv_file").alias("file_path"),
+            F.col("__dv_pos").alias("row_index"),
+        ).coalesce(1).write.mode("overwrite").parquet(dv_dir)
+        self._to_physical(updated, schema, name).write.mode(
+            "overwrite"
+        ).parquet(data_dir)
+        self._commit(
+            schema, name,
+            self._attach_stats(
+                dict(
+                    op="update_mor",
+                    data_dir=os.path.relpath(data_dir, path),
+                    dv_dir=os.path.relpath(dv_dir, path),
+                ),
+                data_dir,
+                schema,
+                name,
+            ),
+            base,
+        )
+        return True
+
     def _merge_into_mor(
         self,
         spark: SparkSession,
@@ -1676,7 +1853,10 @@ class Lakehouse:
 
     def _manifest(
         self, schema: str, name: str, version: int | None = None
-    ) -> tuple[dict[str, tuple[str, str]], list[str], list[str]]:
+    ) -> tuple[
+        dict[str, tuple[str, str]], dict[str, dict[str, list[str]]],
+        list[str],
+    ]:
         """Replay the commit log up to `version` (inclusive; None =
         latest) → (partition → (data_dir, partition_col), extra dirs,
         live deletion-vector dirs).  Pure log arithmetic — no
@@ -1693,7 +1873,10 @@ class Lakehouse:
                 value: (os.path.join(path, d), pcol)
                 for value, (d, pcol) in cp["part_map"].items()
             },
-            [os.path.join(path, d) for d in cp["extra"]],
+            {
+                os.path.join(path, d): excl
+                for d, excl in self._norm_extra(cp["extra"]).items()
+            },
             [os.path.join(path, d) for d in cp.get("dvs", [])],
         )
         return self._replay(
@@ -1736,7 +1919,10 @@ class Lakehouse:
                 value: [os.path.relpath(d, path), pcol]
                 for value, (d, pcol) in part_map.items()
             },
-            "extra": [os.path.relpath(d, path) for d in extra],
+            "extra": {
+                os.path.relpath(d, path): excl
+                for d, excl in extra.items()
+            },
             "dvs": [os.path.relpath(d, path) for d in dvs],
         }
         d = self._checkpoints_dir(path)
@@ -1747,20 +1933,42 @@ class Lakehouse:
             json.dump(cp, f)
         os.replace(tmp, target)
 
+    @staticmethod
+    def _norm_extra(raw) -> dict[str, dict[str, list[str]]]:
+        """Normalize an additive-dir manifest: dir → {partition_col →
+        sorted excluded partition values}.  Accepts the legacy bare
+        list-of-dirs shape (pre-exclusion checkpoints) as 'no
+        exclusions'."""
+        if isinstance(raw, dict):
+            return {
+                d: {p: sorted(v) for p, v in excl.items()}
+                for d, excl in raw.items()
+            }
+        return {d: {} for d in raw}
+
     def _replay(
         self,
         entries: list[dict],
         path: str,
         version: int | None,
-        seed: tuple[dict, list, list] | None = None,
+        seed: tuple[dict, dict, list] | None = None,
         start_after: int = -1,
-    ) -> tuple[dict[str, tuple[str, str]], list[str], list[str]]:
+    ) -> tuple[
+        dict[str, tuple[str, str]], dict[str, dict[str, list[str]]],
+        list[str],
+    ]:
         part_map: dict[str, tuple[str, str]] = {}
-        extra: list[str] = []
+        # additive (append / MoR-update) dirs → partition exclusions:
+        # a later partition OVERWRITE supersedes same-partition rows
+        # that live in OLDER additive dirs, so each overwritten value
+        # is recorded here and filtered out at read time (a newer
+        # append of the same partition is unaffected — its dir enters
+        # the map after the overwrite, with no exclusion)
+        extra: dict[str, dict[str, list[str]]] = {}
         dvs: list[str] = []  # live deletion-vector dirs
         if seed is not None:
             part_map, extra, dvs = (
-                dict(seed[0]), list(seed[1]), list(seed[2]),
+                dict(seed[0]), self._norm_extra(seed[1]), list(seed[2]),
             )
         for e in entries:
             if e["version"] <= start_after:
@@ -1782,22 +1990,31 @@ class Lakehouse:
             if op in ("overwrite", "compact"):
                 # full rewrite: data was read THROUGH the DV filter, so
                 # the new files are clean — vectors reset
-                part_map, extra, dvs = {}, [d], []
+                part_map, extra, dvs = {}, {d: {}}, []
             elif op == "append":
-                extra.append(d)
+                extra[d] = {}
             elif op == "delete_dv":
                 dvs.append(d)
             elif op == "update_mor":
                 # merge-on-read MERGE: one atomic line = new rows
                 # (append semantics) + a vector deleting their old
                 # versions
-                extra.append(d)
+                extra[d] = {}
                 dvs.append(os.path.join(path, e["dv_dir"]))
             elif op in ("overwrite_partitions", "compact_partitioned"):
                 if op == "compact_partitioned":
-                    part_map, extra, dvs = {}, [], []
-                for p in e["partitions"]:
-                    part_map[p] = (d, e["partition_col"])
+                    part_map, extra, dvs = {}, {}, []
+                pcol = e["partition_col"]
+                parts = [str(p) for p in e["partitions"]]
+                for p in parts:
+                    part_map[p] = (d, pcol)
+                # supersede these partitions in every OLDER live
+                # additive dir (rows written there now have a newer
+                # image in `d` — without this they'd resurrect)
+                for excl in extra.values():
+                    excl[pcol] = sorted(
+                        set(excl.get(pcol, ())) | set(parts)
+                    )
                 # a partition overwrite leaves vectors in place: DV rows
                 # referencing superseded files go inert (their file
                 # paths are no longer scanned); compaction reclaims them
@@ -1878,6 +2095,39 @@ class Lakehouse:
             )
         return out if keep_positions else out.drop(*self._POS_COLS)
 
+    def _exclusion_filter(
+        self, f: DataFrame, excl: dict[str, list[str]],
+        schema: str, name: str,
+    ) -> DataFrame:
+        """Drop rows of superseded partitions from an additive-dir
+        frame (see `_replay`: a partition overwrite after an append
+        supersedes the append's same-partition rows).  NULL-safe: a
+        row whose partition value is NULL was never overwritten (only
+        concrete values are) and survives; a frame missing the column
+        entirely (pre-evolution append) likewise passes through —
+        unless it's a hidden-spec column, which is re-derived from its
+        source."""
+        spec = self.partition_spec(schema, name)
+        for pcol, vals in excl.items():
+            if not vals:
+                continue
+            if pcol in f.columns:
+                c = F.col(pcol)
+            elif (
+                spec is not None
+                and pcol == spec.hidden_col
+                and spec.source in f.columns
+            ):
+                c = spec.derive(f)
+            else:
+                continue
+            f = f.filter(
+                ~F.coalesce(
+                    c.cast("string").isin(vals), F.lit(False)
+                )
+            )
+        return f
+
     def read(
         self,
         spark: SparkSession,
@@ -1955,7 +2205,9 @@ class Lakehouse:
             # inference, so skip — the commit stays in history
             if _count_data_files(d) == 0:
                 continue
-            f = spark.read.parquet(d)
+            f = self._exclusion_filter(
+                spark.read.parquet(d), extra[d], schema, name
+            )
             if wanted is not None and pcol_any is not None:
                 f = f.filter(
                     F.col(pcol_any).cast("string").isin(sorted(wanted))
@@ -2149,6 +2401,9 @@ class Lakehouse:
                         p_spec, p_preds, (v := s[len(hidden_pfx):])
                     )
                 }
+                # superseded-partition exclusions prune at the
+                # directory level too (the row filter still re-applies)
+                live -= set(extra[d].get(p_spec.hidden_col, ()))
                 if keep is None:
                     keep = [
                         os.path.join(d, f"{hidden_pfx}{v}")
@@ -2164,13 +2419,25 @@ class Lakehouse:
                     ]
                 if keep:
                     frames.append(
-                        spark.read.option("basePath", d).parquet(*keep)
+                        self._exclusion_filter(
+                            spark.read.option("basePath", d)
+                            .parquet(*keep),
+                            extra[d], schema, name,
+                        )
                     )
                 continue
             if keep is None:
-                frames.append(spark.read.parquet(d))
+                frames.append(
+                    self._exclusion_filter(
+                        spark.read.parquet(d), extra[d], schema, name
+                    )
+                )
             elif keep:
-                frames.append(spark.read.parquet(*keep))
+                frames.append(
+                    self._exclusion_filter(
+                        spark.read.parquet(*keep), extra[d], schema, name
+                    )
+                )
         if not frames:
             # every file provably irrelevant: an empty frame with the
             # table's schema (Catalyst folds the FALSE filter away —
@@ -2463,7 +2730,14 @@ class Lakehouse:
             dirs = [
                 d
                 for d in side_extra
-                if (d not in set(other_extra) or d in dv_touched)
+                if (
+                    d not in other_extra
+                    # an exclusion added between the versions changes
+                    # the dir's LIVE slice (a partition overwrite
+                    # superseded some of its rows) — diff it
+                    or side_extra[d] != other_extra[d]
+                    or d in dv_touched
+                )
                 and _count_data_files(d) > 0
             ]
             frames = [
@@ -2471,7 +2745,12 @@ class Lakehouse:
                 .parquet(d)
                 .filter(F.col(pcol).cast("string").isin(values))
                 for d, (pcol, values) in sorted(by_dir.items())
-            ] + [spark.read.parquet(d) for d in sorted(dirs)]
+            ] + [
+                self._exclusion_filter(
+                    spark.read.parquet(d), side_extra[d], schema, name
+                )
+                for d in sorted(dirs)
+            ]
             frames = self._fill_added(frames, schema, name, to_version)
             if side_dvs and frames:
                 tdir = self._table_dir(schema, name)
