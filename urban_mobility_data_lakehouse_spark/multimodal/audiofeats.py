@@ -1,0 +1,233 @@
+"""Audio feature extraction over decoded PCM WAV payloads — the
+compute stage a multimodal training-data pipeline runs after decode
+(reference surface: the reference stops at matplotlib PNG charts,
+``mobility_ingestion_pipeline.py:776-799``; this is the beyond-reference
+audio lane next to `binaryops.decode_audio`).
+
+Everything here is row-local `mapInPandas` over Arrow batches: one
+audio blob in → a bounded number of frame rows out (duration·rate/hop),
+no shuffle anywhere, so 100 TB of audio shards parallelizes by file
+exactly like the image decode lane.  The FFT is numpy's rfft — real
+spectral features, not a stub; only compressed codecs (MP3 etc.) stay
+out of scope with the stdlib-only constraint.
+
+Features per frame (Hann-windowed, length `frame_len`, stride `hop`):
+  - rms        — root-mean-square amplitude in normalized [-1, 1] units
+  - zcr        — zero-crossing rate (sign changes / (frame_len-1));
+                 ≈ 2·f/rate for a pure tone
+  - centroid_hz — spectral centroid Σ f·|X| / Σ|X|
+  - band_0..band_{B-1} — log-magnitude energy in B equal-width rfft
+                 bands (scalar columns, driver-canonicalizer-safe)
+
+`audio_fingerprint` packs the Haitsma–Kalker-style energy-delta bits
+(band energy rising vs the previous frame) into a hex signature and
+md5s it — the exact-dedup group key for audio, feeding the same
+hash-groupBy dedup the text lane uses (`dedup/exact.py`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+from .binaryops import decode_wav
+
+__all__ = [
+    "encode_wav",
+    "pcm_to_float",
+    "frame_features",
+    "audio_fingerprint",
+]
+
+
+def encode_wav(rate: int, samples) -> bytes:
+    """Minimal 16-bit integer PCM RIFF/WAVE encoder (the test-fixture
+    twin of `binaryops.decode_wav`, like `encode_ppm` for images).
+    `samples`: int16 array (n, channels) or (n,)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    n_ch = arr.shape[1]
+    data = arr.tobytes()
+    byte_rate = rate * n_ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")        # bits per sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def pcm_to_float(samples):
+    """Integer PCM → float64 mono in [-1, 1): 8-bit unsigned centers
+    on 128; 16/32-bit divide by the signed max+1.  Multi-channel mixes
+    down by the channel mean (the standard mono fold)."""
+    import numpy as np
+
+    if samples.dtype == np.uint8:
+        x = (samples.astype("float64") - 128.0) / 128.0
+    elif samples.dtype == np.int16:
+        x = samples.astype("float64") / 32768.0
+    else:
+        x = samples.astype("float64") / 2147483648.0
+    return x.mean(axis=1) if x.ndim == 2 else x
+
+
+def _frames(x, frame_len: int, hop: int):
+    """(n_frames, frame_len) view over mono float samples; zero frames
+    for clips shorter than one window."""
+    import numpy as np
+
+    n = (len(x) - frame_len) // hop + 1 if len(x) >= frame_len else 0
+    if n <= 0:
+        return np.empty((0, frame_len))
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n)[:, None]
+    return x[idx]
+
+
+def _frame_matrix(rate: int, x, frame_len: int, hop: int, n_bands: int):
+    """Per-frame feature rows: (rms, zcr, centroid_hz, band energies).
+    Pure numpy over one clip — the unit `mapInPandas` parallelizes."""
+    import numpy as np
+
+    fr = _frames(x, frame_len, hop)
+    if fr.shape[0] == 0:
+        return np.empty((0, 3 + n_bands))
+    rms = np.sqrt((fr**2).mean(axis=1))
+    signs = np.sign(fr)
+    signs[signs == 0] = 1.0
+    zcr = (np.diff(signs, axis=1) != 0).mean(axis=1)
+    window = np.hanning(frame_len)
+    mag = np.abs(np.fft.rfft(fr * window, axis=1))
+    freqs = np.fft.rfftfreq(frame_len, d=1.0 / rate)
+    tot = mag.sum(axis=1)
+    centroid = np.where(tot > 0, (mag * freqs).sum(axis=1) / np.where(tot > 0, tot, 1.0), 0.0)
+    # B equal-width bands over the rfft bins (DC bin included in band 0)
+    bands = np.array_split(mag**2, n_bands, axis=1)
+    energy = np.column_stack([np.log1p(b.sum(axis=1)) for b in bands])
+    return np.column_stack([rms, zcr, centroid, energy])
+
+
+def frame_features(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Explode (media_id, payload) WAV rows into per-frame spectral
+    feature rows — the audio analog of `sample_video_frames`: fan-out
+    is row-local, bounded by clip length / hop, and every feature is a
+    scalar DOUBLE column (no arrays — the driver-canonicalizer rule).
+    """
+
+    def _feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        cols = ["media_id", "frame_no", "rms", "zcr", "centroid_hz"] + [
+            f"band_{b}" for b in range(n_bands)
+        ]
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                m = _frame_matrix(
+                    rate, pcm_to_float(samples), frame_len, hop, n_bands
+                )
+                for t in range(m.shape[0]):
+                    out.append((int(mid), t, *np.round(m[t], 8)))
+            yield pd.DataFrame(out, columns=cols)
+
+    schema = (
+        "media_id long, frame_no int, rms double, zcr double, "
+        "centroid_hz double, "
+        + ", ".join(f"band_{b} double" for b in range(n_bands))
+    )
+    return media.mapInPandas(_feats, schema=schema)
+
+
+def audio_fingerprint(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    max_frames: int = 64,
+) -> DataFrame:
+    """Deterministic per-clip fingerprint, two bit families packed per
+    frame into `n_bands` bits and hex-joined:
+
+      - an ANCHOR frame encoding frame 0's spectral SHAPE —
+        bit(b) = E(0,b) > E(0,b+1) — so stationary signals (pure
+        tones, steady hum) with different spectra still differ;
+      - then bit(t, b) = 1 iff band b's energy ROSE from frame t-1 to
+        t (Haitsma & Kalker 2002's robust-hash delta shape), over the
+        first `max_frames` transitions.
+
+    md5 of the packed string is the exact-dedup group key — audio
+    dedup becomes the same hash-groupBy the text lane runs; `sig`
+    keeps the raw bits for Hamming-style near-match experiments.
+
+    Output stays |clips|-sized; compute is row-local (no shuffle)."""
+
+    def _fp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        width = (n_bands + 3) // 4
+
+        def _pack(row) -> str:
+            return format(
+                int("".join("1" if v else "0" for v in row), 2),
+                f"0{width}x",
+            )
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                m = _frame_matrix(
+                    rate, pcm_to_float(samples), frame_len, hop, n_bands
+                )
+                energy = m[:, 3:]
+                if energy.shape[0] == 0:
+                    sig = ""
+                else:
+                    anchor = np.append(
+                        energy[0, :-1] > energy[0, 1:], False
+                    )
+                    deltas = (energy[1:] > energy[:-1])[:max_frames]
+                    sig = _pack(anchor) + "".join(
+                        _pack(row) for row in deltas
+                    )
+                out.append(
+                    (
+                        int(mid),
+                        sig,
+                        hashlib.md5(sig.encode()).hexdigest(),
+                        int(m.shape[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sig", "fingerprint", "n_frames"],
+            )
+
+    return media.mapInPandas(
+        _fp,
+        schema=(
+            "media_id long, sig string, fingerprint string, "
+            "n_frames int"
+        ),
+    )
