@@ -4,7 +4,10 @@
 overwrite vs full-table ops); this file stresses the part the matview /
 changefeed layers now depend on — commit-log LINEARITY under an
 arbitrary interleaving of {merge_into (CoW + MoR), delete_where (CoW +
-deletion vectors), append, compact} from concurrent writers.
+deletion vectors), update_where (CoW + MoR), append, compact} from
+concurrent writers.  The interleaving also exercises additive-dir
+supersession: CoW rewrites racing appends must neither resurrect
+appended rows nor lose them.
 
 The schedule is seeded-random, but every writer owns a disjoint key
 range and upserts values derived only from (key, its own op counter),
@@ -56,12 +59,16 @@ def _base_rows(day):
     ]
 
 
-def _retry(fn, attempts: int = 12):
+def _retry(fn, attempts: int = 40):
+    # every writer hammers the SAME partition, and partition overwrites
+    # now conflict with concurrent appends too (ConcurrentAppend rule),
+    # so contention is by design much higher than production disjoint
+    # writers — retry hard before calling starvation a failure
     for i in range(attempts):
         try:
             return fn()
         except ConcurrentWriteError:
-            time.sleep(0.02 * (i + 1))
+            time.sleep(0.02 * min(i + 1, 10))
     raise AssertionError("op never committed after retries")
 
 
@@ -84,10 +91,10 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
     # the schedule irreproducible
     def _draw_op():
         op = rng.choice(["merge_cow", "merge_mor", "delete", "append",
-                         "compact"])
+                         "compact", "update"])
         mode = (
             rng.choice(["copy_on_write", "merge_on_read"])
-            if op == "delete"
+            if op in ("delete", "update")
             else None
         )
         return op, mode
@@ -101,8 +108,7 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
     def run_writer(w):
         merged = 0
         appended = 0
-        deleted = False
-        for step, (op, del_mode) in enumerate(tapes[w]):
+        for step, (op, rw_mode) in enumerate(tapes[w]):
             if op in ("merge_cow", "merge_mor"):
                 merged += 1
                 val = float(w * 1000 + merged)
@@ -123,12 +129,23 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
                 # nothing (delete_where returns False), so commits are
                 # counted from the return value, not per call
                 victim = w * 100 + KEYS_PER_WRITER - 1
-                deleted = True
                 committed = _retry(lambda: lake.delete_where(
                     spark, "silver", "fact",
                     F.col("event_id") == victim,
                     partition_col="partition_date",
-                    mode=del_mode,
+                    mode=rw_mode,
+                ))
+                commits[w] += bool(committed)
+            elif op == "update":
+                # SET over the writer's own keys 1-2 (never deleted, so
+                # it always matches and always commits — counted from
+                # the return value anyway, like delete)
+                committed = _retry(lambda: lake.update_where(
+                    spark, "silver", "fact",
+                    F.col("event_id").isin(w * 100 + 1, w * 100 + 2),
+                    {"value": F.col("value") + 10000.0},
+                    partition_col="partition_date",
+                    mode=rw_mode,
                 ))
                 commits[w] += bool(committed)
             elif op == "append":
@@ -147,27 +164,36 @@ def test_random_mixed_op_schedule_linear_history(spark, tmp_path):
                     partition_col="partition_date",
                 ))
                 commits[w] += 1
-        return merged, appended, deleted
 
     with ThreadPoolExecutor(max_workers=N_WRITERS) as ex:
-        results = list(ex.map(run_writer, range(N_WRITERS)))
+        list(ex.map(run_writer, range(N_WRITERS)))
 
     # --- invariant 1: structural integrity + dense versions ---------
     audit = lake.fsck("silver", "fact")
     assert audit["ok"], audit["errors"]
 
     # --- invariant 2: exact order-independent content ---------------
+    # writers own disjoint key ranges, so the final table equals each
+    # writer's tape replayed SEQUENTIALLY against its own keys,
+    # regardless of how the commits interleaved
     expected = {}
     for (eid, val, _) in _base_rows(day):
         expected[eid] = val
-    for w, (merged, appended, deleted) in enumerate(results):
-        if merged:
-            for i in range(3):
-                expected[w * 100 + i] = float(w * 1000 + merged)
-        for a in range(1, appended + 1):
-            expected[w * 100 + 50 + a] = -1.0
-        if deleted:
-            expected.pop(w * 100 + KEYS_PER_WRITER - 1)
+    for w in range(N_WRITERS):
+        merged = appended = 0
+        for op, _mode in tapes[w]:
+            if op in ("merge_cow", "merge_mor"):
+                merged += 1
+                for i in range(3):
+                    expected[w * 100 + i] = float(w * 1000 + merged)
+            elif op == "delete":
+                expected.pop(w * 100 + KEYS_PER_WRITER - 1, None)
+            elif op == "update":
+                for k in (w * 100 + 1, w * 100 + 2):
+                    expected[k] += 10000.0
+            elif op == "append":
+                appended += 1
+                expected[w * 100 + 50 + appended] = -1.0
     got = {
         r["event_id"]: r["value"]
         for r in lake.read(spark, "silver", "fact").collect()

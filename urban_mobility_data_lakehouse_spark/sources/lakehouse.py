@@ -125,9 +125,15 @@ def _commits_conflict(mine: dict, other: dict) -> bool:
     (an already-logged line, key `operation`) landed between my base
     version and now?  The matrix mirrors Delta's:
 
-      - append vs append: commute (both live in the replay's extra set)
-      - append vs partition overwrite: commute (partition supersession
-        never shadows appended directories in the replay algebra)
+      - append vs anything: an append being COMMITTED commutes (a
+        blind add reads nothing, so nothing it read can be stale —
+        its dir enters the replay after every prior overwrite and
+        carries no exclusions)
+      - partition overwrite vs a landed append: CONFLICT (Delta's
+        ConcurrentAppendException): the overwrite's partition
+        supersession EXCLUDES same-partition rows from older additive
+        dirs, so committing over an append it never read would destroy
+        that append's rows — re-read and retry instead
       - partition overwrite vs partition overwrite: conflict iff they
         touch a common partition (the 8-parallel-day-writers cloud mode
         — docs/report/main.tex:260 — merges cleanly; a same-day race
@@ -139,8 +145,12 @@ def _commits_conflict(mine: dict, other: dict) -> bool:
     a, b = mine["op"], other["operation"]
     if a in _FULL_TABLE_OPS or b in _FULL_TABLE_OPS:
         return True
-    if a == "append" or b == "append":
+    if a == "append":
         return False
+    if b == "append":
+        # append entries carry no partition set, so conservatively any
+        # partition overwrite after a concurrent append must retry
+        return True
     return bool(
         set(mine.get("partitions", ())) & set(other.get("partitions", ()))
     )
