@@ -1,0 +1,196 @@
+#!/usr/bin/env python3
+"""Weak-scaling curve: measure headline queries at ×1 / ×10 / ×100 the
+sf0.1 fact volume and report how wall time actually grows.
+
+SCALE.md argues from plan shape ("one shuffle, bounded output, no
+driver materialization"); this script is the measured counterpart.  It
+replicates the FACT tables (lineitem / orders / events / documents /
+embeddings) k× with key offsets — dims stay fixed, the standard
+fact-growth model — then times the bench queries whose semantics are
+replication-clean.  Dedup/similarity SELF-JOIN queries (near_dup_pairs,
+simhash) are deliberately excluded: k identical copies of every
+document are pairwise near-duplicates, so their candidate sets grow
+O(k²) BY CONSTRUCTION of this synthetic corpus, which measures the
+corpus, not the operator.
+
+The scaled data derives mechanically from the driver-provided
+/root/testdata/sf0.1 tables (never regenerated, never modified) and
+lands under .scale/ (gitignored).  Output: one JSON line per scale ×
+query, then a summary table with the x10/x1 and x100/x10 wall ratios.
+Linear-ish ratios (≈ k on a fixed 32-core box) are the pass signal —
+a super-linear ratio means a hidden O(n²) or a spill; a flat ratio on
+bounded-output aggregations means the scan dominates, which is the 100
+TB expectation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from urban_mobility_data_lakehouse_spark.queries import all_queries
+from urban_mobility_data_lakehouse_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT_ROOT = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scale"),
+)
+
+# key offsets safely above any sf0.1 key
+ORDER_OFF = 10_000_000
+EVENT_OFF = 100_000_000
+USER_OFF = 10_000_000
+DOC_OFF = 10_000_000
+VEC_OFF = 10_000_000
+
+DIMS = ("region", "nation", "customer", "supplier", "part")
+
+# query -> max scale it runs at (regex-heavy row-local CPU is capped:
+# doc_profile at 5k docs is ~2 s, ×100 would be ~3 min of pure regex —
+# the ×10 point already shows the row-local linear scaling)
+QUERIES: dict[str, int] = {
+    "hourly_demand": 100,
+    "pricing_summary": 100,
+    "conditional_agg": 100,
+    "running_totals": 100,
+    "salted_agg": 100,
+    "sessionize_events": 100,
+    "asof_join_clicks": 100,
+    "gravity_gaps": 100,
+    "bucketed_fact_join": 100,
+    "global_stats": 100,
+    "exact_dup_groups": 10,
+    "doc_profile": 10,
+    "knn_ivf": 100,
+}
+
+
+def build_scaled(spark, k: int) -> str:
+    """Materialize the ×k fact tables (idempotent: skips if present)."""
+    out = os.path.join(OUT_ROOT, f"x{k}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    def rep(name: str, offsets: dict[str, int]):
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        copies = spark.range(k).select(F.col("id").alias("_copy"))
+        scaled = df.crossJoin(copies)
+        for col, off in offsets.items():
+            scaled = scaled.withColumn(
+                col, F.col(col) + F.col("_copy") * F.lit(off)
+            )
+        (
+            scaled.drop("_copy")
+            .write.mode("overwrite")
+            .parquet(f"{out}/{name}.parquet")
+        )
+
+    rep("orders", {"o_orderkey": ORDER_OFF})
+    rep("lineitem", {"l_orderkey": ORDER_OFF})
+    # new user ids per copy: weak scaling (more users, same per-user
+    # density) — the sessionize/asof window partitions grow in number,
+    # not in size, exactly how a 100 TB event stream grows
+    rep("events", {"event_id": EVENT_OFF, "user_id": USER_OFF})
+    rep("documents", {"doc_id": DOC_OFF})
+    rep("embeddings", {"vec_id": VEC_OFF})
+    for d in DIMS:
+        dst = f"{out}/{d}.parquet"
+        if not os.path.exists(dst):
+            shutil.copyfile(f"{SRC}/{d}.parquet", dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def main() -> None:
+    scales = [
+        int(s)
+        for s in os.environ.get("SPARK_GRAFT_SCALES", "1,10,100").split(",")
+    ]
+    spark = get_spark(app_name="umdl-scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    dirs = {1: SRC}
+    for k in scales:
+        if k != 1:
+            t0 = time.perf_counter()
+            dirs[k] = build_scaled(spark, k)
+            print(
+                f"# built x{k} in {time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+
+    # bucketed layout builds are DDL, not the benched join (see
+    # bench.py) — pay them outside the timers, per scaled dir
+    import hashlib
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        attach_or_save_bucketed,
+    )
+
+    for k in scales:
+        if QUERIES.get("bucketed_fact_join", 0) >= k:
+            d = dirs[k]
+            tag = hashlib.md5(d.encode()).hexdigest()[:8]
+            attach_or_save_bucketed(
+                spark,
+                spark.read.parquet(f"{d}/lineitem.parquet").select(
+                    "l_orderkey", "l_extendedprice", "l_discount"
+                ),
+                f"bf_lineitem_{tag}", "l_orderkey", 16,
+                sort_col="l_orderkey",
+            )
+            attach_or_save_bucketed(
+                spark,
+                spark.read.parquet(f"{d}/orders.parquet").select(
+                    "o_orderkey", "o_orderpriority"
+                ),
+                f"bf_orders_{tag}", "o_orderkey", 16,
+                sort_col="o_orderkey",
+            )
+
+    results: dict[str, dict[int, float]] = {}
+    for name, max_k in sorted(QUERIES.items()):
+        results[name] = {}
+        # warm the query's codegen/broadcast paths at ×1 so the ×1
+        # number is steady-state — the scaled runs reuse the same
+        # generated code (same plan, different scan paths)
+        qs[name](spark, dirs[1]).collect()
+        for k in scales:
+            if k > max_k:
+                continue
+            t0 = time.perf_counter()
+            n = len(qs[name](spark, dirs[k]).collect())
+            dt = round(time.perf_counter() - t0, 3)
+            results[name][k] = dt
+            print(
+                json.dumps(
+                    {"query": name, "scale": k, "sec": dt, "rows": n}
+                ),
+                file=sys.stderr,
+            )
+
+    summary = {}
+    for name, times in results.items():
+        row = {f"x{k}": v for k, v in times.items()}
+        ks = sorted(times)
+        for a, b in zip(ks, ks[1:]):
+            row[f"ratio_x{b}/x{a}"] = round(times[b] / times[a], 2)
+        summary[name] = row
+    print(json.dumps({"metric": "scale_curve", "sf_base": SRC,
+                      "queries": summary}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

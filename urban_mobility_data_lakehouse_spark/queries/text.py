@@ -94,8 +94,12 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gopher-filter numerators, float-free for the value-hash — PII
     match count over the lookbehind-free rule subset, content-hash
     split — stable across runs/partitionings, unlike rand(seed)).
-    Row-local exprs — no shuffle; joins the operator outputs on
-    doc_id."""
+    Every column is a row-local expression, so the whole profile is
+    ONE projection over ONE scan of `documents` — no joins, no
+    shuffle beyond the oracle-stability sort.  (Earlier versions
+    joined `token_stats` × `quality_features` × a repetition frame on
+    doc_id; at 100 TB that is three scans and two shuffles of the
+    corpus for columns that never needed to leave their row.)"""
     import pyspark.sql.functions as F
 
     from ..text.analysis import _max_run
@@ -104,11 +108,29 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: regex/tokenize profiling is CPU-bound row-local map
     # work (see sources/testdata.fan_out; no-op on production layouts)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    stats = T.token_stats(docs)
-    quality = T.quality_features(docs).drop("n_tokens")
     lines = F.split("text", "\n")
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
+    n_chars = F.length("text")
+    token_chars = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[.,!?;:]", "")
+    )
+    digits = n_chars - F.length(
+        F.regexp_replace(F.col("text"), r"[0-9]", "")
+    )
+    stop = F.size(F.filter(toks, lambda t: t.isin(*T.STOPWORDS["en"])))
+    punct_ratio = punct / n_chars
+    digit_ratio = digits / n_chars
+    stop_ratio = stop / n
+    score = (
+        F.least(F.lit(1.0), n / F.lit(200.0)) * 0.5
+        + F.when((stop_ratio >= 0.05) & (stop_ratio <= 0.6), 0.3)
+        .otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0)
+    )
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
@@ -118,7 +140,7 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in _PII_PATTERNS:
         c = F.size(F.regexp_extract_all("text", F.lit(p), F.lit(0)))
         n_pii = c if n_pii is None else n_pii + c
-    rep = docs.select(
+    return docs.select(
         "doc_id",
         (F.size(lines) - F.size(F.array_distinct(lines)))
         .cast("long")
@@ -128,13 +150,21 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_bigram_count"),
         n_pii.cast("long").alias("n_pii"),
-    )
-    return (
-        stats.join(quality, "doc_id")
-        .join(rep, "doc_id")
-        .withColumn("split", split_label(F.col("doc_id").cast("string")))
-        .orderBy("doc_id")
-    )
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_chars.cast("long").alias("n_chars_actual"),
+        n.cast("long").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(T._TOKEN_RE), F.lit(1))
+        )
+        .cast("long")
+        .alias("n_subtokens"),
+        F.round(token_chars / n, 4).alias("avg_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+        split_label(F.col("doc_id").cast("string")).alias("split"),
+    ).orderBy("doc_id")
 
 
 def _hits_sql(lang: str) -> str:
