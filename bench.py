@@ -150,27 +150,11 @@ def main() -> None:
     # land inside bucketed_fact_join's timing — the benched operator is
     # the zero-exchange join, not the table build, exactly as the
     # query's own docstring frames it.
-    import hashlib
-
-    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
-        attach_or_save_bucketed,
+    from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
+        ensure_bucketed_facts,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    attach_or_save_bucketed(
-        spark,
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        ),
-        f"bf_lineitem_{tag}", "l_orderkey", 16, sort_col="l_orderkey",
-    )
-    attach_or_save_bucketed(
-        spark,
-        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-            "o_orderkey", "o_orderpriority"
-        ),
-        f"bf_orders_{tag}", "o_orderkey", 16, sort_col="o_orderkey",
-    )
+    ensure_bucketed_facts(spark, sf_dir)
 
     expected = EXPECTED_ROWS.get(sf, {})
     specs_items = sorted(specs.items())

@@ -51,23 +51,29 @@ VEC_OFF = 10_000_000
 
 DIMS = ("region", "nation", "customer", "supplier", "part")
 
-# query -> max scale it runs at (regex-heavy row-local CPU is capped:
-# doc_profile at 5k docs is ~2 s, ×100 would be ~3 min of pure regex —
-# the ×10 point already shows the row-local linear scaling)
-QUERIES: dict[str, int] = {
-    "hourly_demand": 100,
-    "pricing_summary": 100,
-    "conditional_agg": 100,
-    "running_totals": 100,
-    "salted_agg": 100,
-    "sessionize_events": 100,
-    "asof_join_clicks": 100,
-    "gravity_gaps": 100,
-    "bucketed_fact_join": 100,
-    "global_stats": 100,
-    "exact_dup_groups": 10,
-    "doc_profile": 10,
-    "knn_ivf": 100,
+# query -> (max scale, timing mode).  Mode "collect" for bounded
+# outputs (the bench contract); "noop" — a distributed write to the
+# no-op sink — for OUTPUT-PROPORTIONAL queries: collecting 10M result
+# rows through one Arrow/py4j pipe times the driver, not the engine
+# (measured: running_totals ×100 was 13× its ×10 under collect, ~8×
+# under noop — the engine is linear, the collect is not; a 100 TB
+# pipeline writes results, it doesn't collect them).
+# Max-scale caps: regex-heavy row-local CPU (doc_profile) is ~2 s per
+# 5k docs — ×10 already shows the row-local linearity.
+QUERIES: dict[str, tuple[int, str]] = {
+    "hourly_demand": (100, "collect"),
+    "pricing_summary": (100, "collect"),
+    "conditional_agg": (100, "collect"),
+    "running_totals": (100, "noop"),
+    "salted_agg": (100, "collect"),
+    "sessionize_events": (100, "noop"),
+    "asof_join_clicks": (100, "noop"),
+    "gravity_gaps": (100, "collect"),
+    "bucketed_fact_join": (100, "collect"),
+    "global_stats": (100, "collect"),
+    "exact_dup_groups": (10, "noop"),
+    "doc_profile": (10, "noop"),
+    "knn_ivf": (100, "collect"),
 }
 
 
@@ -132,50 +138,38 @@ def main() -> None:
 
     # bucketed layout builds are DDL, not the benched join (see
     # bench.py) — pay them outside the timers, per scaled dir
-    import hashlib
-
-    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
-        attach_or_save_bucketed,
+    from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
+        ensure_bucketed_facts,
     )
 
     for k in scales:
-        if QUERIES.get("bucketed_fact_join", 0) >= k:
-            d = dirs[k]
-            tag = hashlib.md5(d.encode()).hexdigest()[:8]
-            attach_or_save_bucketed(
-                spark,
-                spark.read.parquet(f"{d}/lineitem.parquet").select(
-                    "l_orderkey", "l_extendedprice", "l_discount"
-                ),
-                f"bf_lineitem_{tag}", "l_orderkey", 16,
-                sort_col="l_orderkey",
-            )
-            attach_or_save_bucketed(
-                spark,
-                spark.read.parquet(f"{d}/orders.parquet").select(
-                    "o_orderkey", "o_orderpriority"
-                ),
-                f"bf_orders_{tag}", "o_orderkey", 16,
-                sort_col="o_orderkey",
-            )
+        if QUERIES["bucketed_fact_join"][0] >= k:
+            ensure_bucketed_facts(spark, dirs[k])
+
+    def run(df, mode: str) -> int:
+        if mode == "collect":
+            return len(df.collect())
+        df.write.format("noop").mode("overwrite").save()
+        return -1
 
     results: dict[str, dict[int, float]] = {}
-    for name, max_k in sorted(QUERIES.items()):
+    for name, (max_k, mode) in sorted(QUERIES.items()):
         results[name] = {}
         # warm the query's codegen/broadcast paths at ×1 so the ×1
         # number is steady-state — the scaled runs reuse the same
         # generated code (same plan, different scan paths)
-        qs[name](spark, dirs[1]).collect()
+        run(qs[name](spark, dirs[1]), mode)
         for k in scales:
             if k > max_k:
                 continue
             t0 = time.perf_counter()
-            n = len(qs[name](spark, dirs[k]).collect())
+            n = run(qs[name](spark, dirs[k]), mode)
             dt = round(time.perf_counter() - t0, 3)
             results[name][k] = dt
             print(
                 json.dumps(
-                    {"query": name, "scale": k, "sec": dt, "rows": n}
+                    {"query": name, "scale": k, "sec": dt,
+                     "rows": n, "mode": mode}
                 ),
                 file=sys.stderr,
             )

@@ -95,6 +95,28 @@ def test_ivf_trainer_paths_bit_identical(spark, sf_dir):
         assert spark_cents == arrow_cents  # exact ==, not approx
 
 
+def test_assign_cells_arrow_matches_hof(spark, sf_dir):
+    """The Arrow-vectorized assignment (mapInPandas + numpy, the 100 TB
+    path — HOF ranking measured ~150 µs/vector) must be BIT-identical
+    to the pure-Column HOF twin: same left-fold add order for the
+    squared-L2, same (distance, cell) tie-break.  Exact ==, both
+    sf0.001 and the driver-oracle sf0.01."""
+    from tests.conftest import SF_ORACLE_DIR
+
+    for d in (sf_dir, SF_ORACLE_DIR):
+        emb = load_table(spark, d, "embeddings")
+        cents = ivf.train_centroids(emb, n_cells=16, seed=42)
+        arrow = {
+            r["vec_id"]: r["cell"]
+            for r in ivf.assign_cells(emb, cents).collect()
+        }
+        hof = {
+            r["vec_id"]: r["cell"]
+            for r in ivf.assign_cells_hof(emb, cents).collect()
+        }
+        assert arrow == hof
+
+
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf.train_centroids(emb, n_cells=8)

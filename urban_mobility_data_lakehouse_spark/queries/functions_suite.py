@@ -6,6 +6,8 @@ day-equivalent silver batch.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
@@ -342,32 +344,52 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bucketed_fact_join",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) AS n_lines,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                              AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY 1 ORDER BY 1
-    """,
-    tags=("join", "bucketing", "scale"),
-    bench=True,
-)
-def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fact×fact join done the 100 TB way: both sides bucketed on
-    the join key at write time (CLUSTERED BY ... INTO 16 BUCKETS), so
-    the join plans as a SortMergeJoin with NO Exchange on either side —
-    the shuffle happened once at write time, not on every query
-    (tests/test_plans.py proves the zero-exchange property).  The
-    oracle is the plain unbucketed join: bucketing must be
-    result-invariant."""
+def fact_bucket_count(
+    *parquet_paths: str,
+    target_bytes: int = 16 << 20,
+    floor: int = 16,
+    cap: int = 4096,
+) -> int:
+    """Bucket count sized to the DATA, not a constant: one bucket per
+    ~16 MB of source parquet, floored at 16.  A fixed bucket count is
+    the classic bucketing trap — the weak-scaling curve measured it:
+    16 buckets at ×100 the fact volume caps the join at 16 tasks and
+    sorts ~4M rows per task (×23.7 wall at ×10 the data).  At 100 TB
+    you size buckets so one bucket ≈ one task's comfortable sort, and
+    both join sides must agree on the count (same rule, same inputs).
+    """
+    import math
+
+    total = 0
+    for p in parquet_paths:
+        if os.path.isdir(p):
+            for root, _d, fs in os.walk(p):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return max(floor, min(cap, math.ceil(total / target_bytes)))
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Create-or-attach the bucketed lineitem/orders layout for
+    `sf_dir` and return the two table names.  Shared by the query,
+    bench.py's warmup (the one-time CTAS is DDL, not the benched
+    join), and scale_curve.py."""
     import hashlib
 
     from ..sources.lakehouse import attach_or_save_bucketed
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    n_buckets = fact_bucket_count(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        os.path.join(sf_dir, "orders.parquet"),
+    )
     tables = {
         f"bf_lineitem_{tag}": (
             load_table(spark, sf_dir, "lineitem").select(
@@ -385,9 +407,37 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, (df, key) in tables.items():
         # re-registers surviving bucket files from a previous session
         # instead of re-shuffling — write once, ever
-        attach_or_save_bucketed(spark, df, name, key, 16, sort_col=key)
-    li = spark.table(f"bf_lineitem_{tag}")
-    o = spark.table(f"bf_orders_{tag}")
+        attach_or_save_bucketed(
+            spark, df, name, key, n_buckets, sort_col=key
+        )
+    return f"bf_lineitem_{tag}", f"bf_orders_{tag}"
+
+
+@register(
+    "bucketed_fact_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_lines,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(25,6))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("join", "bucketing", "scale"),
+    bench=True,
+)
+def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact×fact join done the 100 TB way: both sides bucketed on
+    the join key at write time (CLUSTERED BY ... INTO n BUCKETS, n
+    sized to the data — see `fact_bucket_count`), so the join plans as
+    a SortMergeJoin with NO Exchange on either side — the shuffle
+    happened once at write time, not on every query
+    (tests/test_plans.py proves the zero-exchange property).  The
+    oracle is the plain unbucketed join: bucketing must be
+    result-invariant."""
+    li_name, o_name = ensure_bucketed_facts(spark, sf_dir)
+    li = spark.table(li_name)
+    o = spark.table(o_name)
     return (
         li.hint("MERGE")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))

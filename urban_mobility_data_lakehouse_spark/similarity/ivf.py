@@ -122,15 +122,21 @@ def train_centroids_from_parquet(
     widening is exact, so both paths see identical inputs and produce
     bit-identical centroids."""
     import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    vec_ids = np.asarray(tbl.column("vec_id").to_pylist())
-    embs = tbl.column("embedding").to_pylist()
+    # sample FIRST, convert 2048 rows — never the corpus.  (The
+    # original to_pylist()-everything form cost 7 s at 200k vectors,
+    # i.e. O(corpus) python objects for an O(sample) result.)
+    vec_ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
     order = np.argsort(vec_ids, kind="stable")[:sample_size]
-    x = np.array([embs[i] for i in order], dtype=np.float64)
+    sub = tbl.take(pa.array(order))
+    x = np.array(
+        sub.column("embedding").to_pylist(), dtype=np.float64
+    )
     return lloyd(x, n_cells=n_cells, seed=seed, n_iter=n_iter)
 
 
@@ -190,7 +196,42 @@ def assign_cells(
     embeddings: DataFrame, centroids: list[list[float]]
 ) -> DataFrame:
     """IVF assignment pass: (vec_id, emb, cell) — the bucketing key a
-    100 TB deployment would partition the index by."""
+    100 TB deployment would partition the index by.
+
+    Arrow-vectorized (mapInPandas + numpy), NOT the HOF ranking of
+    `with_ranked_cells`: Spark's higher-order functions evaluate
+    interpreted per array element, and the measured cost was ~150 µs
+    per vector (31 s for a 200k×64 corpus) — two orders slower than a
+    vectorized batch.  This is the one declared Arrow stage in the ANN
+    plans; it is BIT-IDENTICAL to the HOF path (locked by
+    tests/test_ann.py::test_assign_cells_arrow_matches_hof): the fold
+    below adds (x_j − c_j)² in the same j order as `_l2sq`'s
+    zip_with+aggregate left fold, and argmin's first-minimum rule is
+    the same (distance, cell) tie-break."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            x = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(x), len(c)), dtype=np.float64)
+            for j in range(c.shape[1]):
+                dj = x[:, j, None] - c[None, :, j]
+                acc += dj * dj
+            yield pdf.assign(cell=acc.argmin(axis=1).astype("int32"))
+
+    return embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).mapInPandas(fn, "vec_id long, emb array<double>, cell int")
+
+
+def assign_cells_hof(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Pure-Column twin of `assign_cells` (the pre-Arrow form), kept
+    as the reference implementation the equality test pins the Arrow
+    path against."""
     return with_ranked_cells(embeddings, centroids, 1).select(
         "vec_id", "emb", F.col("probe")[0].alias("cell")
     )

@@ -99,6 +99,14 @@ class ConstraintViolationError(Exception):
     Nothing was committed."""
 
 
+class ManifestExportError(Exception):
+    """The snapshot holds state a plain file manifest cannot express
+    (live deletion vectors, additive-dir partition exclusions, or
+    non-NULL ADD COLUMN defaults).  Refused rather than exported
+    silently wrong; `compact()` materializes all three, after which
+    export succeeds."""
+
+
 def _dir_age_seconds(path: str, now_ns: int) -> float:
     """Age of a staging directory, preferring the `time_ns` its name
     embeds (`v{version}-{time_ns:x}-{pid:x}`, `_next_data_dir`) over
@@ -2921,6 +2929,153 @@ class Lakehouse:
             ),
             "constraints": self.constraints(schema, name),
         }
+
+    def export_manifest(
+        self,
+        schema: str,
+        name: str,
+        version: int | None = None,
+        write: bool = True,
+    ) -> dict:
+        """Consistent-snapshot file manifest for EXTERNAL engines (the
+        Delta symlink-manifest / Iceberg metadata-files shape): the
+        exact parquet files that make up the table as of `version`,
+        plus the metadata an engine with no commit-log reader needs to
+        reconstruct the logical table — physical→logical column
+        renames, dropped physical columns, NULL-default added columns,
+        the partition column read from hive paths, and hidden/derived
+        columns to discard.  `tests/test_manifest_export.py` proves the
+        contract by replaying a manifest in DuckDB and matching
+        `read()` row-for-row.
+
+        Honesty rule: a manifest is a plain file list, so snapshot
+        state that lives OUTSIDE the files is unexportable and raises
+        `ManifestExportError` rather than exporting silently-wrong
+        data: live deletion vectors (merge-on-read deletes/updates not
+        yet materialized), additive-dir partition exclusions (a CoW
+        rewrite superseded a row-subset of an append file), and
+        non-NULL ADD COLUMN defaults (pre-add files must read the
+        default, but the bytes aren't in them).  `compact()`
+        materializes all three; export after it succeeds.
+
+        Lifetime: the manifest pins nothing — `vacuum` of versions the
+        manifest references invalidates it (exactly Delta's symlink
+        manifest caveat).  Export-then-vacuum-to-later is the caller's
+        race to avoid.
+
+        With `write=True` the manifest also lands atomically at
+        `<table>/_manifests/v<N>.json` for out-of-band consumers.
+        """
+        entries = self.snapshots(schema, name)
+        if not entries:
+            raise FileNotFoundError(f"{schema}.{name} does not exist")
+        resolved = (
+            entries[-1]["version"] if version is None else version
+        )
+        part_map, extra, dvs = self._manifest(schema, name, version)
+        self._require_dirs(
+            schema, name, version,
+            {d for d, _ in part_map.values()} | set(extra) | set(dvs),
+        )
+        live_dvs = [d for d in dvs if _count_data_files(d) > 0]
+        if live_dvs:
+            raise ManifestExportError(
+                f"{schema}.{name}@v{resolved} has {len(live_dvs)} live "
+                "deletion-vector dir(s); a file manifest cannot express "
+                "row-position deletes - compact() first"
+            )
+        if any(excl for excl in extra.values()):
+            raise ManifestExportError(
+                f"{schema}.{name}@v{resolved} has additive-dir partition "
+                "exclusions (a rewrite superseded rows inside append "
+                "files); compact() first"
+            )
+        bad_adds = [
+            a for a in self._added_columns(schema, name, version)
+            if a["default"] is not None
+        ]
+        if bad_adds:
+            raise ManifestExportError(
+                f"{schema}.{name}@v{resolved} declares non-NULL ADD "
+                f"COLUMN default(s) {[a['column'] for a in bad_adds]}; "
+                "pre-add files must read the default but don't store "
+                "it - compact() first"
+            )
+
+        # two file groups, because they need DIFFERENT read options:
+        # hive files live under <pcol>=<value>/ dirs and store the
+        # partition value in the PATH only; flat files (appends not yet
+        # laid out) store every column in the data.  One mixed
+        # read_parquet(hive_partitioning=...) call is a binder error in
+        # DuckDB/Trino alike — consumers read each group and union.
+        hive_files: list[str] = []
+        flat_files: list[str] = []
+        partition_cols: set[str] = set()
+        for value, (d, pcol) in sorted(part_map.items()):
+            partition_cols.add(pcol)
+            sub = os.path.join(d, f"{pcol}={value}")
+            if not os.path.isdir(sub):
+                continue  # partition superseded to empty in this dir
+            for root, _dirs, fnames in os.walk(sub):
+                hive_files.extend(
+                    os.path.join(root, fn)
+                    for fn in fnames
+                    if fn.endswith(".parquet")
+                )
+        for d in sorted(extra):
+            for root, _dirs, fnames in os.walk(d):
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    p = os.path.join(root, fn)
+                    # appends under a hidden/explicit spec DO lay out
+                    # by <pcol>=<value> subdirs — classify by path
+                    if "=" in os.path.relpath(p, d):
+                        hive_files.append(p)
+                    else:
+                        flat_files.append(p)
+        mapping, dropped = self.column_state(schema, name, version)
+        spec = self.partition_spec(schema, name)
+        manifest = {
+            "table": f"{schema}.{name}",
+            "version": resolved,
+            "files": sorted(hive_files + flat_files),
+            "hive_files": sorted(hive_files),
+            "flat_files": sorted(flat_files),
+            # physical name (as stored in files / hive paths) → logical
+            "column_mapping": mapping,
+            "dropped_physical_columns": sorted(dropped),
+            # read with union-by-name: schema-evolved commits may add
+            # NULL-backed columns missing from older files
+            "union_by_name": True,
+            # partition value lives in the hive path, not the file
+            "hive_partition_columns": sorted(partition_cols),
+            # hidden partitioning: the derived hive column is plumbing,
+            # not part of the logical schema - drop it after the read
+            "hidden_partition_columns": (
+                [spec.hidden_col] if spec is not None else []
+            ),
+            # NULL-default ADD COLUMNs may not exist in ANY file yet -
+            # consumers must add the missing ones as typed NULLs
+            "added_null_columns": [
+                {
+                    "column": mapping.get(a["column"], a["column"]),
+                    "dtype": a["dtype"],
+                }
+                for a in self._added_columns(schema, name, version)
+            ],
+        }
+        if write:
+            mdir = os.path.join(
+                self._table_dir(schema, name), "_manifests"
+            )
+            os.makedirs(mdir, exist_ok=True)
+            target = os.path.join(mdir, f"v{resolved:08d}.json")
+            tmp = target + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=1)
+            os.replace(tmp, target)
+        return manifest
 
     def list_tables(self, schema: str) -> list[str]:
         d = os.path.join(self.root, schema)
