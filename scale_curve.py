@@ -152,6 +152,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return -1
 
+    # min over SPARK_GRAFT_REPS repetitions: this sandbox shows
+    # transient host-contention bursts (the same x100 query measured
+    # 10 s..304 s across one morning); the minimum is the standard
+    # noise-robust wall-time estimator and approximates the
+    # uncontended run
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "1"))
     results: dict[str, dict[int, float]] = {}
     for name, (max_k, mode) in sorted(QUERIES.items()):
         results[name] = {}
@@ -162,14 +168,17 @@ def main() -> None:
         for k in scales:
             if k > max_k:
                 continue
-            t0 = time.perf_counter()
-            n = run(qs[name](spark, dirs[k]), mode)
-            dt = round(time.perf_counter() - t0, 3)
-            results[name][k] = dt
+            best, n = None, -1
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = run(qs[name](spark, dirs[k]), mode)
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            results[name][k] = best
             print(
                 json.dumps(
-                    {"query": name, "scale": k, "sec": dt,
-                     "rows": n, "mode": mode}
+                    {"query": name, "scale": k, "sec": best,
+                     "rows": n, "mode": mode, "reps": reps}
                 ),
                 file=sys.stderr,
             )
@@ -181,8 +190,17 @@ def main() -> None:
         for a, b in zip(ks, ks[1:]):
             row[f"ratio_x{b}/x{a}"] = round(times[b] / times[a], 2)
         summary[name] = row
+    # environment provenance: this sandbox shows transient host
+    # contention (the same x100 query measured 10s..304s across a
+    # morning) — a fixed-work CPU calibration separates "the plan
+    # regressed" from "the host was busy" when comparing runs
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr("sum(id*2)").collect()
+    calib = round(time.perf_counter() - t0, 3)
     print(json.dumps({"metric": "scale_curve", "sf_base": SRC,
-                      "queries": summary}))
+                      "queries": summary,
+                      "cpu_calibration_sec": calib,
+                      "load_avg": [round(x, 2) for x in os.getloadavg()]}))
     spark.stop()
 
 

@@ -75,6 +75,7 @@ def test_build_is_atomic(spark, docs, tmp_path):
     assert srow["sum_dl"] == sum(r["dl"] for r in len_rows)
 
 
+@pytest.mark.heavy  # 13 s equality sweep; add-path atomicity stays default-lane via test_add_is_atomic_across_the_three_tables
 def test_incremental_add_converges_to_full_rebuild(
     spark, docs, tmp_path
 ):
@@ -138,6 +139,7 @@ def test_hybrid_retrieval_over_persistent_indexes(spark, docs, tmp_path):
     assert abs(top["rrf_score"] - expect) < 1e-12
 
 
+@pytest.mark.heavy  # streaming exactly-once stays covered in the default lane by test_incremental_dedup + test_jsonl; this 23 s variant re-proves it through the 3-table index
 def test_streaming_maintenance_exactly_once(spark, docs, tmp_path):
     """Micro-batched adds drain into the index and converge to the
     from-scratch rebuild; a restart from the same checkpoint

@@ -46,19 +46,8 @@ def test_entry_smoke(spark):
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
-def test_registry_rows_scalar_only(spark, sf_dir):
-    """Driver-canonicalizer contract: the verification driver sorts the
-    collected result with pandas over ALL columns, which raises
-    `TypeError: unhashable type` on array/map/struct cells (round-4
-    `media_byte_profile` ERR).  No registry row may expose a complex
-    type — flatten to scalar columns or a joined string instead.
-    Schema-only: builders run, nothing is collected."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    bad = []
-    for name in sorted(REGISTRY):
-        df = REGISTRY[name].builder(spark, sf_dir)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, f"complex-typed driver-row columns: {bad}"
+# NOTE: the driver-canonicalizer scalar-only contract (no
+# array/map/struct column in any registry row) is enforced inside
+# tests/test_plans.py::test_no_python_udfs_in_registry_plans — the two
+# registry-wide sweeps share one build of all 50 plans (~13 s each
+# when separate) to keep the default lane lean.

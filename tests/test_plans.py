@@ -78,10 +78,30 @@ def test_partition_pruning_on_lakehouse_fact(spark, tmp_path):
 
 def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     """Hot-path queries must stay JVM-side: no BatchEvalPython /
-    ArrowEvalPython stages in any registered oracle-checked plan."""
+    ArrowEvalPython stages in any registered oracle-checked plan.
+    (Declared Arrow *batch* operators — MapInPandas in the packing,
+    media-decode, and IVF cell-assignment stages — are a different
+    node type and a deliberate exception: vectorized numpy over Arrow
+    batches, never row-at-a-time Python.)
+
+    The same sweep also enforces the driver-canonicalizer contract
+    (one registry-wide build is ~13 s of analysis; checking both
+    properties per build keeps the default lane lean): the driver
+    sorts collected results with pandas over ALL columns, which raises
+    `TypeError: unhashable type` on array/map/struct cells (round-4
+    `media_byte_profile` ERR) — no registry row may expose a complex
+    type."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
     for name, spec in sorted(REGISTRY.items()):
-        plan = formatted_plan(spec.builder(spark, sf_dir))
+        df = spec.builder(spark, sf_dir)
+        plan = formatted_plan(df)
         assert "EvalPython" not in plan, f"{name} plan contains Python UDF"
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"complex-typed driver-row columns: {bad}"
 
 
 def test_bucketed_fact_join_query_no_join_key_exchange(spark, sf_dir):
@@ -89,6 +109,19 @@ def test_bucketed_fact_join_query_no_join_key_exchange(spark, sf_dir):
     sides without re-shuffling on the join key — the only exchanges
     allowed are the final groupBy and the presentation sort."""
     df = REGISTRY["bucketed_fact_join"].builder(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_gravity_fact_join_no_orderkey_exchange(spark, sf_dir):
+    """gravity_gaps' lineitem×orders join is the registry's one
+    fact×fact join — it must ride the bucketed layout (write-time
+    co-location), not shuffle the fact: no exchange on either orderkey
+    side.  The weak-scaling curve measured the naive form as the
+    query's dominant term at ×100 the fact volume."""
+    df = REGISTRY["gravity_gaps"].builder(spark, sf_dir)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
     assert "hashpartitioning(l_orderkey" not in plan, plan

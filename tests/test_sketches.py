@@ -58,6 +58,7 @@ def test_global_rollup_is_a_coarser_union(spark, events):
     assert row["n_events"] == events.count()
 
 
+@pytest.mark.heavy  # 16 s incremental-vs-one-shot sweep; sketch merge correctness stays default-lane via the oracle rows + unit merges
 def test_incremental_daily_builds_equal_one_shot(spark, events, tmp_path):
     """Per-day partition upserts, merged at query time, must estimate
     EXACTLY what a single full build estimates — the property that

@@ -27,7 +27,7 @@ from ..functions.spatial import (
     synthetic_centroid_sql,
     wkt_coords_sql,
 )
-from ..sources.testdata import fan_out, load_table
+from ..sources.testdata import load_table
 from . import register
 
 # Shared SQL fragments so the DuckDB oracle and any spark.sql variant are
@@ -88,17 +88,29 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched with broadcast dim joins — Catalyst will not push an agg
     through a join on its own, so the plan is authored pre-aggregated.
     """
-    # fan_out parallelizes the pre-agg's map side (single-row-group
-    # local files scan as 1 task); DECIMAL accumulation keeps the sum
-    # order-independent, so repartitioning cannot move the hash
-    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))
-    orders = load_table(spark, sf_dir, "orders")
+    # The lineitem×orders orderkey join is FACT×FACT — the one join in
+    # the registry that cannot broadcast.  Done naively it shuffles the
+    # whole fact (the weak-scaling curve measured it as gravity's
+    # dominant term at ×100: a full 60M-row exchange).  The 100 TB way
+    # is write-time co-location: both facts live bucketed on orderkey
+    # (ensure_bucketed_facts — the same layout bucketed_fact_join
+    # proves zero-exchange), so the join needs NO shuffle and the OD
+    # pre-agg's groupBy ships only map-side partials.  Column pruning
+    # keeps each scan at exactly the columns used here.  DECIMAL
+    # accumulation keeps the sum order-independent, so physical layout
+    # cannot move the oracle hash.
+    from .functions_suite import ensure_bucketed_facts
+
+    li_name, o_name = ensure_bucketed_facts(spark, sf_dir)
+    lineitem = spark.table(li_name)
+    orders = spark.table(o_name)
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
     od_pairs = (
-        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        lineitem.hint("MERGE")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(

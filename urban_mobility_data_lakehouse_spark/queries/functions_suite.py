@@ -390,16 +390,21 @@ def ensure_bucketed_facts(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
     )
+    # column set serves EVERY orderkey-join consumer (bucketed_fact_join
+    # needs price/discount; gravity_gaps adds suppkey/quantity/custkey)
+    # — parquet column pruning keeps each query's scan narrow, so the
+    # wider layout costs writes nothing at read time
     tables = {
-        f"bf_lineitem_{tag}": (
+        f"bf2_lineitem_{tag}": (
             load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
+                "l_orderkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"
             ),
             "l_orderkey",
         ),
-        f"bf_orders_{tag}": (
+        f"bf2_orders_{tag}": (
             load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_orderpriority"
+                "o_orderkey", "o_custkey", "o_orderpriority"
             ),
             "o_orderkey",
         ),
@@ -410,7 +415,7 @@ def ensure_bucketed_facts(
         attach_or_save_bucketed(
             spark, df, name, key, n_buckets, sort_col=key
         )
-    return f"bf_lineitem_{tag}", f"bf_orders_{tag}"
+    return f"bf2_lineitem_{tag}", f"bf2_orders_{tag}"
 
 
 @register(
