@@ -1,0 +1,97 @@
+"""`recommend_compaction` — the small-file sensor: log arithmetic +
+driver-side stat() only, recommendations scoped to the offending
+partitions, and the output feeds `compact(partitions=...)` directly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from urban_mobility_data_lakehouse_spark.sources.lakehouse import Lakehouse
+
+
+@pytest.fixture()
+def lake(tmp_path):
+    lk = Lakehouse(str(tmp_path / "lake"))
+    lk.create_schemas("silver")
+    return lk
+
+
+def _day_df(spark, day: str, lo: int, n: int = 5, parts: int = 1):
+    return (
+        spark.range(lo, lo + n)
+        .repartition(parts)
+        .select(
+            F.col("id"),
+            F.lit(day).cast("date").alias("partition_date"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+    )
+
+
+def test_advisor_flags_small_file_partition_and_compact_clears(
+    spark, lake
+):
+    # day A: one file; day B: written 6-ways -> 6 tiny live files
+    lake.overwrite_partitions(
+        _day_df(spark, "2024-03-01", 0, 50, parts=1), "silver", "t",
+        partition_col="partition_date",
+    )
+    lake.overwrite_partitions(
+        _day_df(spark, "2024-03-02", 1000, 60, parts=6), "silver", "t",
+        partition_col="partition_date",
+    )
+    rec = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    assert "2024-03-02" in rec["partitions"]
+    assert "2024-03-01" not in rec["partitions"]
+    assert rec["detail"]["2024-03-02"]["small"] >= 4
+
+    before = {
+        r["id"]: r["v"]
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    lake.compact(
+        spark, "silver", "t", partition_col="partition_date",
+        partitions=rec["partitions"],
+    )
+    after = {
+        r["id"]: r["v"]
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert after == before  # advisor-driven compaction is content-neutral
+    rec2 = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    assert rec2["partitions"] == []
+
+
+def test_advisor_counts_flat_appends_as_unpartitioned(spark, lake):
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.0).alias("v")
+    )
+    lake.append(df, "silver", "flat")
+    lake.append(df, "silver", "flat")
+    rec = lake.recommend_compaction("silver", "flat")
+    assert rec["partitions"] == []  # nothing partition-addressable
+    assert rec["unpartitioned_dirs"] == 2
+    assert rec["detail"]["<unpartitioned>"]["files"] >= 2
+
+
+def test_advisor_is_a_pure_metadata_read(spark, lake, monkeypatch):
+    lake.overwrite_partitions(
+        _day_df(spark, "2024-03-01", 0, 50), "silver", "t",
+        partition_col="partition_date",
+    )
+
+    # no Spark job may run: poison the session's executePlan surface
+    called = []
+    monkeypatch.setattr(
+        type(spark), "sql",
+        lambda self, *a, **k: called.append("sql"),
+        raising=False,
+    )
+    lake.recommend_compaction("silver", "t")
+    assert called == []

@@ -2930,6 +2930,94 @@ class Lakehouse:
             "constraints": self.constraints(schema, name),
         }
 
+    def recommend_compaction(
+        self,
+        schema: str,
+        name: str,
+        small_file_bytes: int = 32 << 20,
+        min_small_files: int = 4,
+    ) -> dict:
+        """OPTIMIZE advisor (Delta auto-compaction's decision function,
+        surfaced as a queryable recommendation): per live partition,
+        how many live files there are and how many are SMALL, from log
+        arithmetic + driver-side `stat()` only — no Spark job, no data
+        read.  At 100 TB the small-file problem is an ops loop
+        (streaming appends accrete files until scans schedule tens of
+        thousands of splits); this is the loop's sensor.  On a
+        partition-disciplined table the returned `partitions` list
+        feeds `compact(partitions=...)` directly so the rewrite stays
+        scoped to the offenders; when `unpartitioned_dirs` > 0 the
+        table holds additive (flat-append / MoR-update) dirs and needs
+        one FULL `compact()` first — the same precondition
+        partition-scoped compaction itself enforces.
+
+        Returns ``{"partitions": [values...],   # worth compacting
+                    "detail": {value: {"files": n, "small": n,
+                                       "bytes": total}},
+                    "unpartitioned_dirs": n_extra_dirs,
+                    "reason": ...}`` — a partition is recommended when
+        it holds ≥ `min_small_files` live files under
+        `small_file_bytes`; any additive (unpartitioned append) dir
+        also counts toward its partition when it can be attributed,
+        else is reported in `unpartitioned_dirs` (compact() folds those
+        in regardless).
+        """
+        part_map, extra, _dvs = self._manifest(schema, name)
+        detail: dict[str, dict] = {}
+
+        def scan(d: str, value: str | None, pcol: str | None) -> None:
+            base = (
+                d if value is None
+                else os.path.join(d, f"{pcol}={value}")
+            )
+            if not os.path.isdir(base):
+                return
+            for root, _dirs, fnames in os.walk(base):
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    sz = os.path.getsize(os.path.join(root, fn))
+                    key = value if value is not None else "<unpartitioned>"
+                    row = detail.setdefault(
+                        key, {"files": 0, "small": 0, "bytes": 0}
+                    )
+                    row["files"] += 1
+                    row["bytes"] += sz
+                    if sz < small_file_bytes:
+                        row["small"] += 1
+
+        for value, (d, pcol) in part_map.items():
+            scan(d, value, pcol)
+        pcol_any = next(
+            (pcol for _v, (_d, pcol) in part_map.items()), None
+        )
+        for d in extra:
+            # additive dirs laid out by <pcol>=<value> attribute to
+            # their partitions; flat appends count as unpartitioned
+            attributed = False
+            if pcol_any is not None:
+                for sub in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+                    if sub.startswith(f"{pcol_any}="):
+                        scan(d, sub.split("=", 1)[1], pcol_any)
+                        attributed = True
+            if not attributed:
+                scan(d, None, None)
+        recommended = sorted(
+            v for v, row in detail.items()
+            if v != "<unpartitioned>" and row["small"] >= min_small_files
+        )
+        return {
+            "partitions": recommended,
+            "detail": detail,
+            "unpartitioned_dirs": sum(
+                1 for d in extra if _count_data_files(d) > 0
+            ),
+            "reason": (
+                f">={min_small_files} live files under "
+                f"{small_file_bytes} bytes"
+            ),
+        }
+
     def export_manifest(
         self,
         schema: str,
