@@ -117,6 +117,29 @@ def test_assign_cells_arrow_matches_hof(spark, sf_dir):
         assert arrow == hof
 
 
+def test_lsh_signatures_arrow_matches_hof(spark, sf_dir):
+    """Arrow-vectorized hyperplane signatures must be BIT-identical to
+    the pure-Column HOF twin: same x_j·p_j left-fold order, same >= 0
+    sign, same shiftleft-or packing.  Exact ==, both sf0.001 and the
+    driver-oracle sf0.01 — this is what keeps the SQL oracle's banded
+    candidate replay exact."""
+    from urban_mobility_data_lakehouse_spark.similarity import knn
+
+    from tests.conftest import SF_ORACLE_DIR
+
+    for d in (sf_dir, SF_ORACLE_DIR):
+        emb = load_table(spark, d, "embeddings")
+        arrow = {
+            r["vec_id"]: r["lsh_sig"]
+            for r in knn.lsh_signatures(emb).collect()
+        }
+        hof = {
+            r["vec_id"]: r["lsh_sig"]
+            for r in knn.lsh_signatures_hof(emb).collect()
+        }
+        assert arrow == hof
+
+
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf.train_centroids(emb, n_cells=8)

@@ -214,6 +214,9 @@ def assign_cells(
 
     def fn(batches):
         for pdf in batches:
+            if not len(pdf):
+                yield pdf.assign(cell=np.array([], dtype="int32"))
+                continue
             x = np.array(pdf["emb"].tolist(), dtype=np.float64)
             acc = np.zeros((len(x), len(c)), dtype=np.float64)
             for j in range(c.shape[1]):

@@ -90,7 +90,55 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 def lsh_signatures(
     embeddings: DataFrame, n_planes: int = 16, seed: int = 42, dim: int = 64
 ) -> DataFrame:
-    """Sign-bit signature per vector: bit i = (v · plane_i) >= 0."""
+    """Sign-bit signature per vector: bit i = (v · plane_i) >= 0.
+
+    Arrow-vectorized (mapInPandas + numpy), like `ivf.assign_cells` and
+    for the same two measured reasons: Spark evaluates HOF lambdas
+    interpreted per array element (~150 µs/vector at 16×64), and the
+    16×64 inlined plane literals bloat analysis/codegen.  BIT-identical
+    to the HOF twin `lsh_signatures_hof` (locked by
+    tests/test_ann.py::test_lsh_signatures_arrow_matches_hof): the
+    accumulation below adds x_j·p_j in the same j order as the
+    zip_with+aggregate left fold, the >= 0 sign test sees the identical
+    float64, and the bit-packing replays the same shiftleft-or loop —
+    which is what keeps the SQL oracle's replayed candidate set exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(hyperplanes(dim, n_planes, seed), dtype=np.float64)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"],
+                     "lsh_sig": pd.Series([], dtype="int64")}
+                )
+                continue
+            x = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(x), len(P)), dtype=np.float64)
+            for j in range(P.shape[1]):
+                acc += x[:, j, None] * P[None, :, j]
+            bits = acc >= 0.0
+            sig = np.zeros(len(x), dtype=np.int64)
+            for i in range(P.shape[0]):
+                sig = (sig << 1) | bits[:, i].astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "lsh_sig": sig}
+            )
+
+    return embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).mapInPandas(fn, "vec_id long, lsh_sig long")
+
+
+def lsh_signatures_hof(
+    embeddings: DataFrame, n_planes: int = 16, seed: int = 42, dim: int = 64
+) -> DataFrame:
+    """Pure-Column twin of `lsh_signatures` (the pre-Arrow form), kept
+    as the reference implementation the equality test pins the Arrow
+    path against."""
     planes = hyperplanes(dim, n_planes, seed)
     emb = _as_double(F.col("embedding"))
     bits = [
