@@ -100,3 +100,27 @@ def test_auto_cells_scales_with_corpus(spark):
         ).collect()
     }
     assert max(cells) < 22
+
+
+def test_blocked_path_matches_join_window_twin(spark):
+    """The applyInPandas per-cell block (no pair join, one |cell|²
+    numpy matrix per task) must be BIT-identical to the join+window
+    twin: same fold order for dot/norm, same (cos desc, prior_id asc)
+    tie-break.  Exact ==, sf0.001 + the driver-oracle sf0.01."""
+    from urban_mobility_data_lakehouse_spark.similarity.semdedup import (
+        semantic_dedup_join,
+    )
+
+    for d in (SF_DIR, "/root/testdata/sf0.01"):
+        emb = load_table(spark, d, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        blocked = {
+            r["vec_id"]: (r["cell"], r["dup_of"], r["max_prior_sim"])
+            for r in semantic_dedup(emb, threshold=0.3).collect()
+        }
+        joined = {
+            r["vec_id"]: (r["cell"], r["dup_of"], r["max_prior_sim"])
+            for r in semantic_dedup_join(emb, threshold=0.3).collect()
+        }
+        assert blocked == joined

@@ -65,6 +65,92 @@ def semantic_dedup(
     if centroids is None:
         centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
     assigned = assign_cells(embeddings, centroids)
+
+    # One applyInPandas block per cell, NOT a within-cell pair join:
+    # the join materializes Σ|cell|² pair rows and evaluates three
+    # interpreted HOF folds per pair (~50 µs each, measured — the same
+    # per-element HOF cost assign_cells/lsh_signatures shed); the block
+    # computes the whole |cell|×|cell| cosine matrix as 64 vectorized
+    # passes with the IDENTICAL IEEE op order (dot and norm accumulate
+    # in the same j order as zip_with/aggregate's left fold, the
+    # denominator multiplies norm_a·norm_b the same way, argmax's
+    # first-maximum rule is the (cos desc, prior_id asc) tie-break) —
+    # bit-identity vs the kept join+window twin is test-locked, which
+    # is what keeps the DuckDB oracle replay exact.  Memory per task =
+    # one |cell|² float64 block; with √n cells that's O(n) total and
+    # the ONLY shuffle left is the groupBy(cell) itself.
+    import numpy as np
+    import pandas as pd
+
+    def _cell_drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int32"),
+                "dup_of": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.array(pdf["emb"].tolist(), dtype=np.float64)[order]
+        dot = np.zeros((m, m), dtype=np.float64)
+        nacc = np.zeros(m, dtype=np.float64)
+        for j in range(x.shape[1]):
+            xj = x[:, j]
+            dot += xj[:, None] * xj[None, :]
+            nacc += xj * xj
+        nrm = np.sqrt(nacc)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        # priors = strictly lower ids = strictly lower row index
+        cos[np.triu_indices(m)] = -np.inf
+        best = cos.argmax(axis=1)  # first max → lowest prior id
+        best_cos = cos[np.arange(m), best]
+        keep = best_cos >= threshold  # row 0 is -inf → never kept
+        return pd.DataFrame(
+            {
+                "vec_id": ids[keep],
+                "cell": pdf["cell"].to_numpy()[order][keep],
+                "dup_of": ids[best[keep]],
+                "cos": best_cos[keep],
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(
+            _cell_drops, "vec_id long, cell int, dup_of long, cos double"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.round("cos", 4).alias("max_prior_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_join(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int | str = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Join+window twin of `semantic_dedup` (the pre-Arrow form), kept
+    as the reference implementation the equality test pins the blocked
+    path against."""
+    if n_cells == "auto":
+        import math
+
+        n_cells = max(16, math.isqrt(embeddings.count()))
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_cells=n_cells, seed=seed)
+    assigned = assign_cells(embeddings, centroids)
     prior = assigned.select(
         F.col("vec_id").alias("prior_id"),
         F.col("emb").alias("emb_p"),
