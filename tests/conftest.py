@@ -38,11 +38,16 @@ def pytest_collection_modifyitems(config, items):
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    # per-process warehouse: keeps parallel test shards (and reruns
+    # after a bucketed-layout schema change) from attaching each
+    # other's CTAS dirs
+    wh = tmp_path_factory.mktemp("spark-warehouse")
     spark = get_spark(
         app_name="umdl-tests",
         master="local[8]",
         shuffle_partitions=8,
+        extra_confs={"spark.sql.warehouse.dir": str(wh)},
     )
     yield spark
     spark.stop()
