@@ -117,6 +117,21 @@ def build_scaled(spark, k: int) -> str:
     return out
 
 
+# dedup / self-join family: replication would manufacture O(k²)
+# duplicate pairs, so these are measured on the REAL sf ladder
+# (sf0.001 → sf0.01 → sf0.1 = two genuine decades of corpus growth,
+# duplicate structure included).  All bounded outputs → collect.
+SF_LADDER = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+             "/root/testdata/sf0.1"]
+LADDER_QUERIES = (
+    "near_dup_pairs",
+    "simhash_candidates",
+    "exact_dup_groups",
+    "embedding_near_dups",
+    "text_pairs_suite",
+)
+
+
 def main() -> None:
     scales = [
         int(s)
@@ -183,6 +198,27 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    ladder: dict[str, dict[str, float]] = {}
+    for name in LADDER_QUERIES:
+        ladder[name] = {}
+        run(qs[name](spark, SF_LADDER[0]), "collect")  # warm codegen
+        for d in SF_LADDER:
+            sf_tag = d.rstrip("/").rsplit("/", 1)[-1]
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                n = run(qs[name](spark, d), "collect")
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            ladder[name][sf_tag] = best
+            print(
+                json.dumps(
+                    {"query": name, "sf": sf_tag, "sec": best,
+                     "rows": n, "reps": reps}
+                ),
+                file=sys.stderr,
+            )
+
     summary = {}
     for name, times in results.items():
         row = {f"x{k}": v for k, v in times.items()}
@@ -190,6 +226,13 @@ def main() -> None:
         for a, b in zip(ks, ks[1:]):
             row[f"ratio_x{b}/x{a}"] = round(times[b] / times[a], 2)
         summary[name] = row
+    ladder_summary = {}
+    for name, times in ladder.items():
+        row = dict(times)
+        tags = list(times)
+        for a, b in zip(tags, tags[1:]):
+            row[f"ratio_{b}/{a}"] = round(times[b] / times[a], 2)
+        ladder_summary[name] = row
     # environment provenance: this sandbox shows transient host
     # contention (the same x100 query measured 10s..304s across a
     # morning) — a fixed-work CPU calibration separates "the plan
@@ -199,6 +242,7 @@ def main() -> None:
     calib = round(time.perf_counter() - t0, 3)
     print(json.dumps({"metric": "scale_curve", "sf_base": SRC,
                       "queries": summary,
+                      "sf_ladder": ladder_summary,
                       "cpu_calibration_sec": calib,
                       "load_avg": [round(x, 2) for x in os.getloadavg()]}))
     spark.stop()
