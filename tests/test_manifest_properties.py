@@ -73,9 +73,13 @@ def _spark_rows(df) -> set[tuple]:
     }
 
 
-def _df(spark, rows):
+def _df(spark, rows, vcol="v"):
+    # Writers must speak the CURRENT logical schema: once the tape has
+    # executed rename_column("v", "v2"), every later frame we hand to
+    # append/merge must carry `v2` (the writer's logical→physical
+    # translation maps it back to the physical `v` bytes on disk).
     return spark.createDataFrame(
-        rows, "id long, p string, v double"
+        rows, f"id long, p string, {vcol} double"
     )
 
 
@@ -91,13 +95,15 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
     next_id = 1000
     renamed = False
     for step in range(N_STEPS):
+        vcol = "v2" if renamed else "v"
         op = rng.choice(
             ["append", "merge", "delete_cow", "delete_mor",
              "update_mor", "compact", "add_col", "rename"]
         )
         if op == "append":
             lake.append(
-                _df(spark, [(next_id, str(rng.randrange(3)), 1.0)]),
+                _df(spark, [(next_id, str(rng.randrange(3)), 1.0)],
+                    vcol),
                 "silver", "t",
             )
             next_id += 1
@@ -105,7 +111,7 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
             lake.merge_into(
                 spark, "silver", "t",
                 _df(spark, [(rng.randrange(30), str(rng.randrange(3)),
-                             100.0 + step)]).withColumn(
+                             100.0 + step)], vcol).withColumn(
                     "p", F.col("id").cast("string").substr(1, 1)
                 ).withColumn("p", (F.col("id") % 3).cast("string")),
                 key="id", partition_col="p",
@@ -126,7 +132,7 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
             lake.update_where(
                 spark, "silver", "t",
                 F.col("id") == rng.randrange(30),
-                {"v": F.col("v") + 1.0},
+                {vcol: F.col(vcol) + 1.0},
                 partition_col="p", mode="merge_on_read",
             )
         elif op == "compact":
