@@ -124,3 +124,39 @@ def test_blocked_path_matches_join_window_twin(spark):
             for r in semantic_dedup_join(emb, threshold=0.3).collect()
         }
         assert blocked == joined
+
+
+def test_hot_cell_chunked_block_is_bit_identical(spark, monkeypatch):
+    """Cell-skew memory bound: with n_cells=1 EVERY vector lands in one
+    hot cell (the skew pathology — one cell ≫ average), and a tiny
+    _CHUNK_ELEMS forces the blocked cosine through many row chunks.
+    The chunked result must be BIT-identical to the join+window twin
+    (same IEEE fold order per element, same first-max tie-break), and
+    the per-chunk buffer stays at chunk×|cell| ≤ _CHUNK_ELEMS floats
+    instead of |cell|² — the OOM hazard this bound exists to remove."""
+    import urban_mobility_data_lakehouse_spark.similarity.semdedup as sd
+    from urban_mobility_data_lakehouse_spark.similarity.semdedup import (
+        semantic_dedup_join,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    # chunk_elems < |cell| → rows_per_chunk clamps to 1 (worst case);
+    # also try a mid value that yields several multi-row chunks
+    for elems in (n // 2, 7 * n):
+        monkeypatch.setattr(sd, "_CHUNK_ELEMS", elems)
+        blocked = {
+            r["vec_id"]: (r["dup_of"], r["max_prior_sim"])
+            for r in sd.semantic_dedup(
+                emb, threshold=0.3, n_cells=1
+            ).collect()
+        }
+        joined = {
+            r["vec_id"]: (r["dup_of"], r["max_prior_sim"])
+            for r in semantic_dedup_join(
+                emb, threshold=0.3, n_cells=1
+            ).collect()
+        }
+        assert blocked == joined and len(blocked) > 0

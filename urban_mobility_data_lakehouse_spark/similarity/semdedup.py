@@ -41,6 +41,14 @@ from pyspark.sql import DataFrame, Window
 from .ivf import assign_cells, train_centroids
 from .knn import cosine
 
+# Per-task transient buffer cap for the blocked cosine: ~64 MB of
+# float64 (8e6 elements × 8 B).  Row chunks are sized so
+# chunk × |cell| ≤ this, bounding a skewed hot cell's task memory at
+# O(|cell| · d) input + one 64 MB block instead of |cell|² floats.
+# Module-level so the hot-cell test can shrink it and force many
+# chunks on a small corpus.
+_CHUNK_ELEMS = 8_000_000
+
 
 def semantic_dedup(
     embeddings: DataFrame,
@@ -76,11 +84,19 @@ def semantic_dedup(
     # denominator multiplies norm_a·norm_b the same way, argmax's
     # first-maximum rule is the (cos desc, prior_id asc) tie-break) —
     # bit-identity vs the kept join+window twin is test-locked, which
-    # is what keeps the DuckDB oracle replay exact.  Memory per task =
-    # one |cell|² float64 block; with √n cells that's O(n) total and
-    # the ONLY shuffle left is the groupBy(cell) itself.
+    # is what keeps the DuckDB oracle replay exact.  Memory per task:
+    # the cosine block is computed in ROW CHUNKS sized so a chunk's
+    # float64 buffer stays under ~64 MB regardless of cell size — a
+    # skewed hot cell (k-means cells skew hard on real embedding
+    # corpora) costs O(chunk × |cell|) transient memory instead of the
+    # full |cell|² matrix, which at 100k vectors would be an 80 GB task.
+    # Each element dot[i,k] still accumulates over features j in the
+    # SAME order whatever the chunking, so chunked and unchunked runs
+    # are bit-identical (pinned by test_semdedup's hot-cell test).
     import numpy as np
     import pandas as pd
+
+    chunk_elems = _CHUNK_ELEMS  # snapshot: closure ships to executors
 
     def _cell_drops(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame(
@@ -97,18 +113,25 @@ def semantic_dedup(
         order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
         ids = pdf["vec_id"].to_numpy()[order]
         x = np.array(pdf["emb"].tolist(), dtype=np.float64)[order]
-        dot = np.zeros((m, m), dtype=np.float64)
         nacc = np.zeros(m, dtype=np.float64)
         for j in range(x.shape[1]):
-            xj = x[:, j]
-            dot += xj[:, None] * xj[None, :]
-            nacc += xj * xj
+            nacc += x[:, j] * x[:, j]
         nrm = np.sqrt(nacc)
-        cos = dot / (nrm[:, None] * nrm[None, :])
-        # priors = strictly lower ids = strictly lower row index
-        cos[np.triu_indices(m)] = -np.inf
-        best = cos.argmax(axis=1)  # first max → lowest prior id
-        best_cos = cos[np.arange(m), best]
+        rows_per_chunk = max(1, chunk_elems // m)
+        best = np.zeros(m, dtype=np.int64)
+        best_cos = np.full(m, -np.inf, dtype=np.float64)
+        col_idx = np.arange(m)
+        for a in range(0, m, rows_per_chunk):
+            b = min(m, a + rows_per_chunk)
+            dot = np.zeros((b - a, m), dtype=np.float64)
+            for j in range(x.shape[1]):
+                dot += x[a:b, j][:, None] * x[:, j][None, :]
+            cos = dot / (nrm[a:b, None] * nrm[None, :])
+            # priors = strictly lower ids = strictly lower row index
+            cos[col_idx[None, :] >= np.arange(a, b)[:, None]] = -np.inf
+            chunk_best = cos.argmax(axis=1)  # first max → lowest prior
+            best[a:b] = chunk_best
+            best_cos[a:b] = cos[np.arange(b - a), chunk_best]
         keep = best_cos >= threshold  # row 0 is -inf → never kept
         return pd.DataFrame(
             {
