@@ -131,6 +131,35 @@ LADDER_QUERIES = (
     "text_pairs_suite",
 )
 
+# Pinned result cardinalities per sf, same tripwire as bench.py's
+# EXPECTED_ROWS: a scale lane that silently times a wrong-rowcount
+# query hides a correctness break behind a throughput number.
+# Mismatches land in the output JSON's row_mismatches, not fatally —
+# the oracle gate owns correctness.
+EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
+    "sf0.001": {
+        "near_dup_pairs": 73,
+        "simhash_candidates": 205,
+        "exact_dup_groups": 500,
+        "embedding_near_dups": 23,
+        "text_pairs_suite": 14518,
+    },
+    "sf0.01": {
+        "near_dup_pairs": 72,
+        "simhash_candidates": 186,
+        "exact_dup_groups": 500,
+        "embedding_near_dups": 29,
+        "text_pairs_suite": 14182,
+    },
+    "sf0.1": {
+        "near_dup_pairs": 733,
+        "simhash_candidates": 2508,
+        "exact_dup_groups": 4992,
+        "embedding_near_dups": 324,
+        "text_pairs_suite": 135278,
+    },
+}
+
 
 def main() -> None:
     scales = [
@@ -157,9 +186,14 @@ def main() -> None:
         ensure_bucketed_facts,
     )
 
+    layout_build_sec: dict[str, float] = {}
     for k in scales:
         if QUERIES["bucketed_fact_join"][0] >= k:
+            t0 = time.perf_counter()
             ensure_bucketed_facts(spark, dirs[k])
+            layout_build_sec[f"x{k}"] = round(
+                time.perf_counter() - t0, 3
+            )
 
     def run(df, mode: str) -> int:
         if mode == "collect":
@@ -199,6 +233,7 @@ def main() -> None:
             )
 
     ladder: dict[str, dict[str, float]] = {}
+    row_mismatches: dict[str, str] = {}
     for name in LADDER_QUERIES:
         ladder[name] = {}
         run(qs[name](spark, SF_LADDER[0]), "collect")  # warm codegen
@@ -211,6 +246,16 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 3)
                 best = dt if best is None else min(best, dt)
             ladder[name][sf_tag] = best
+            want = EXPECTED_LADDER_ROWS.get(sf_tag, {}).get(name)
+            if want is not None and n != want:
+                row_mismatches[f"{name}@{sf_tag}"] = (
+                    f"got {n}, expected {want}"
+                )
+                print(
+                    f"# WARNING {name}@{sf_tag}: rowcount {n} != "
+                    f"pinned {want}",
+                    file=sys.stderr,
+                )
             print(
                 json.dumps(
                     {"query": name, "sf": sf_tag, "sec": best,
@@ -243,6 +288,11 @@ def main() -> None:
     print(json.dumps({"metric": "scale_curve", "sf_base": SRC,
                       "queries": summary,
                       "sf_ladder": ladder_summary,
+                      "row_mismatches": row_mismatches,
+                      # one-time bucketed-layout DDL cost, reported
+                      # separately so the benched join numbers are
+                      # honest about what they exclude
+                      "layout_build_sec": layout_build_sec,
                       "cpu_calibration_sec": calib,
                       "load_avg": [round(x, 2) for x in os.getloadavg()]}))
     spark.stop()

@@ -184,6 +184,71 @@ def test_attach_bucketed_preserves_zero_exchange(spark, sf_dir):
             shutil.rmtree(os.path.join(wh0, name), ignore_errors=True)
 
 
+def test_attach_refuses_mismatched_bucket_count(spark, sf_dir):
+    """Surviving bucket files carry a _N_BUCKETS marker recording the
+    count they were physically hashed with.  An attach under a
+    DIFFERENT declared count (source bytes changed across sessions, so
+    fact_bucket_count moved) must REBUILD, never re-register: Spark
+    trusts the DDL's INTO n BUCKETS, skips the exchange, and a
+    declared/physical mismatch silently co-locates wrong keys — a
+    wrong-results bug.  Legacy dirs without a marker are rebuilt too."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        attach_or_save_bucketed,
+        save_bucketed,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    name = "abm_orders"
+    loc = os.path.join(wh, name)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(loc, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    try:
+        save_bucketed(orders, name, "o_custkey", 8)
+        assert open(os.path.join(loc, "_N_BUCKETS")).read() == "8"
+        # fresh session: catalog gone, files survive
+        os.rename(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {name}")
+        os.rename(loc + ".keep", loc)
+        # same count → attach (files untouched: mtimes prove no write)
+        before = {
+            f: os.path.getmtime(os.path.join(loc, f))
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+        attach_or_save_bucketed(spark, orders, name, "o_custkey", 8)
+        after = {
+            f: os.path.getmtime(os.path.join(loc, f))
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+        assert before == after, "same-count attach must not rewrite"
+        # different count → the stale 8-bucket files must NOT be
+        # re-registered as a 16-bucket table; a rebuild writes fresh
+        # files and the marker now says 16
+        spark.sql(f"DROP TABLE {name}")
+        attach_or_save_bucketed(spark, orders, name, "o_custkey", 16)
+        assert open(os.path.join(loc, "_N_BUCKETS")).read() == "16"
+        assert spark.table(name).count() == orders.count()
+        # legacy dir without a marker → rebuild (never trust it);
+        # rebuild made the table MANAGED, so keep the files through
+        # the drop via the rename dance
+        os.rename(loc, loc + ".keep")
+        spark.sql(f"DROP TABLE {name}")
+        os.rename(loc + ".keep", loc)
+        os.remove(os.path.join(loc, "_N_BUCKETS"))
+        attach_or_save_bucketed(spark, orders, name, "o_custkey", 16)
+        assert open(os.path.join(loc, "_N_BUCKETS")).read() == "16"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Co-located join: both sides bucketed on the join key → the join
     must plan with ZERO exchanges (the write-once-shuffle-never

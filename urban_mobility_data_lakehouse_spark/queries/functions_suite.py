@@ -385,11 +385,17 @@ def ensure_bucketed_facts(
 
     from ..sources.lakehouse import attach_or_save_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     n_buckets = fact_bucket_count(
         os.path.join(sf_dir, "lineitem.parquet"),
         os.path.join(sf_dir, "orders.parquet"),
     )
+    # n_buckets is part of the tag: if the source bytes under the same
+    # sf_dir change enough to move the derived count, the name changes
+    # and the stale layout can never be attached under the new count
+    # (attach_or_save_bucketed's _N_BUCKETS marker is the second lock)
+    tag = hashlib.md5(
+        f"{sf_dir}:{n_buckets}".encode()
+    ).hexdigest()[:8]
     # column set serves EVERY orderkey-join consumer (bucketed_fact_join
     # needs price/discount; gravity_gaps adds suppkey/quantity/custkey)
     # — parquet column pruning keeps each query's scan narrow, so the

@@ -3432,6 +3432,27 @@ def save_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.format("parquet").saveAsTable(table_name)
+    # Record the count the files were PHYSICALLY hashed with, so a
+    # later cross-session attach can refuse a mismatched declared
+    # count (see attach_or_save_bucketed: a wrong declared count is a
+    # silent wrong-results bug, Spark trusts the DDL and skips the
+    # exchange).
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    loc = next(
+        (
+            urlparse(r.data_type).path
+            for r in spark.sql(
+                f"DESCRIBE TABLE EXTENDED {table_name}"
+            ).collect()
+            if r.col_name == "Location"
+        ),
+        None,
+    )
+    if loc and os.path.isdir(loc):
+        with open(os.path.join(loc, "_N_BUCKETS"), "w") as f:
+            f.write(str(n_buckets))
 
 
 def attach_or_save_bucketed(
@@ -3453,6 +3474,18 @@ def attach_or_save_bucketed(
     at 100 TB: the shuffle happens once at write time, ever, not once
     per session.  A directory without Spark's _SUCCESS marker (crashed
     write) is discarded and rewritten.
+
+    The declared bucket count is LOAD-BEARING for correctness, not just
+    speed: Spark trusts the DDL's `INTO n BUCKETS`, skips the exchange,
+    and a declared count that differs from the count the files were
+    physically hashed with silently co-locates the WRONG keys — a
+    wrong-results bug, not a slow one.  So the physical count is
+    recorded in a `_N_BUCKETS` marker at write time, and attach refuses
+    to re-register surviving files unless the marker matches the
+    requested count (mismatch or missing marker → rebuild).  This
+    matters whenever the caller derives n_buckets from current source
+    bytes (`fact_bucket_count`) and the sources changed since the
+    layout was written.
     """
     if spark.catalog.tableExists(table_name):
         return
@@ -3461,9 +3494,17 @@ def attach_or_save_bucketed(
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     loc = os.path.join(wh, table_name)
+    n_marker = os.path.join(loc, "_N_BUCKETS")
     complete = os.path.exists(os.path.join(loc, "_SUCCESS")) and any(
         f.endswith(".parquet") for f in os.listdir(loc)
     )
+    if complete:
+        try:
+            with open(n_marker) as f:
+                written_with = int(f.read().strip())
+        except (OSError, ValueError):
+            written_with = -1  # legacy/unknown layout: never trust it
+        complete = written_with == n_buckets
     if complete:
         cols = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
