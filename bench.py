@@ -26,14 +26,14 @@ from urban_mobility_data_lakehouse_spark.session import get_spark
 # not fatal — the oracle gate owns correctness; this is a tripwire.
 EXPECTED_ROWS: dict[float, dict[str, int]] = {
     0.1: {
+        "ann_suite": 90,
         "asof_join_clicks": 19863,
         "bucketed_fact_join": 5,
         "doc_profile": 5000,
         "gravity_gaps": 625,
         "hourly_demand": 720,
-        "knn_cosine": 30,
         "knn_ivf": 30,
-        "near_dup_pairs": 733,
+        "near_dup_pairs": 5733,
         "pricing_summary": 6,
         "roleplay_nations": 625,
         "running_totals": 100000,
@@ -154,7 +154,12 @@ def main() -> None:
         ensure_bucketed_facts,
     )
 
+    t0 = time.perf_counter()
     ensure_bucketed_facts(spark, sf_dir)
+    # reported separately (not inside any query's timing, not in the
+    # total): cross-framework comparisons must grant the baseline the
+    # same pre-built layout, or add this back — see SCALE.md
+    layout_build_sec = round(time.perf_counter() - t0, 3)
 
     expected = EXPECTED_ROWS.get(sf, {})
     specs_items = sorted(specs.items())
@@ -189,6 +194,9 @@ def main() -> None:
                 "load_avg": [round(x, 2) for x in load_avg_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
                 "row_mismatches": row_mismatches,
+                # one-time bucketed-layout DDL, paid in warmup (0.0x if
+                # attached from a previous session's surviving files)
+                "layout_build_sec": layout_build_sec,
             }
         )
     )

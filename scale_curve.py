@@ -138,21 +138,21 @@ LADDER_QUERIES = (
 # the oracle gate owns correctness.
 EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
     "sf0.001": {
-        "near_dup_pairs": 73,
+        "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
         "embedding_near_dups": 23,
         "text_pairs_suite": 14518,
     },
     "sf0.01": {
-        "near_dup_pairs": 72,
+        "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
         "embedding_near_dups": 29,
         "text_pairs_suite": 14182,
     },
     "sf0.1": {
-        "near_dup_pairs": 733,
+        "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
         "embedding_near_dups": 324,

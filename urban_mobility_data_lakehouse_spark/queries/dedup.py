@@ -83,19 +83,16 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.duplicate_groups(doubled)
 
 
-@register(
-    "minhash_signatures",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES})
-    {_SIG}
-    ORDER BY doc_id
-    """,
-    tags=("dedup", "minhash"),
+# per-doc digest of the full K-column minhash signature: md5 of the
+# '|'-joined int64 columns, top 60 bits as BIGINT — both engines render
+# int64 identically, so the digest pins every signature value without
+# widening the near_dup_pairs union to K columns (the standalone
+# minhash_signatures row was folded here to free a driver slot)
+_SIG_COL_LIST = ", ".join(f"m{k}" for k in range(minhash.N_HASHES))
+_SIG_DIGEST = (
+    "CAST(CAST(CONCAT('0x', substr(md5(concat_ws('|', "
+    f"{_SIG_COL_LIST})), 1, 15)) AS UBIGINT) AS BIGINT)"
 )
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash.minhash_signatures(
-        load_table(spark, sf_dir, "documents")
-    ).orderBy("doc_id")
 
 
 @register(
@@ -144,6 +141,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cluster' AS part, node AS doc_a, min(label) AS doc_b,
            CAST(NULL AS DOUBLE) AS jaccard
     FROM reach GROUP BY node
+    UNION ALL
+    SELECT 'sig' AS part, doc_id AS doc_a, {_SIG_DIGEST} AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM sig
     ORDER BY part, doc_a, doc_b
     """,
     tags=("dedup", "minhash", "lsh", "connected-components"),
@@ -155,7 +156,11 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation with pointer jumping; oracle replays it as a recursive
     label-reachability CTE).  Cluster rows: doc_a = member,
     doc_b = cluster id (min doc id of the component — the survivor
-    under keep-smallest dedup)."""
+    under keep-smallest dedup).  Sig rows (folded from the former
+    standalone minhash_signatures registry row): doc_a = doc_id,
+    doc_b = a 60-bit md5 digest of the full K-column signature, so
+    every signature value stays driver-hash-checked without its own
+    slot."""
     # materialized once, consumed twice (pair part + the CC loop's
     # edge seed).  localCheckpoint, NOT .persist(): persist registers
     # the plan in the CacheManager forever (a leak across the session
@@ -164,9 +169,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned frame is garbage-collected.
     # fan_out: shingling + minhashing is CPU-bound row-local map
     # work; see sources/testdata.fan_out (no-op on production layouts)
-    pairs = minhash.near_duplicates(
-        fan_out(load_table(spark, sf_dir, "documents"))
-    ).localCheckpoint(eager=False)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    pairs = minhash.near_duplicates(docs).localCheckpoint(eager=False)
     clusters = components.duplicate_clusters(
         pairs.select("doc_a", "doc_b")
     )
@@ -179,9 +183,30 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("doc_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pair_part.unionByName(cluster_part).orderBy(
-        "part", "doc_a", "doc_b"
+    sig = minhash.minhash_signatures(docs)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"m{k}") for k in range(minhash.N_HASHES)],
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    sig_part = sig.select(
+        F.lit("sig").alias("part"),
+        F.col("doc_id").alias("doc_a"),
+        digest.alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
     )
+    return pair_part.unionByName(cluster_part).unionByName(
+        sig_part
+    ).orderBy("part", "doc_a", "doc_b")
 
 
 @register(

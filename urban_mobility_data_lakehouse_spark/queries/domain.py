@@ -87,6 +87,12 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact is aggregated to OD pairs FIRST (zones² rows at most), then
     enriched with broadcast dim joins — Catalyst will not push an agg
     through a join on its own, so the plan is authored pre-aggregated.
+
+    Side effect, first call per (sf_dir, session) only: building this
+    plan runs `ensure_bucketed_facts` — a CTAS DDL that writes (or
+    cross-session attaches) the bucketed orderkey layout the join
+    rides.  bench.py and scale_curve.py pay it in warmup and report it
+    as `layout_build_sec`; an unwarmed first call pays it inline.
     """
     # The lineitem×orders orderkey join is FACT×FACT — the one join in
     # the registry that cannot broadcast.  Done naively it shuffles the

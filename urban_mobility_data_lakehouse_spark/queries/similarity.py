@@ -15,9 +15,10 @@ from ..sources.testdata import fan_out, load_table
 from . import register
 
 
-@register(
-    "knn_cosine",
-    oracle="""
+# brute-force exact top-k cosine — the ANN baseline every approximate
+# index is judged against.  Folded into ann_suite's 'brute' part (was
+# the standalone knn_cosine registry row) to free a driver slot.
+_BRUTE_ORACLE = """
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -46,18 +47,7 @@ from . import register
     )
     WHERE rnk <= 3
     ORDER BY query_id, rank
-    """,
-    tags=("similarity", "knn"),
-    bench=True,
-)
-def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: brute-force scoring is row-local dot-product map work
-    # (rank ties break on ids; partitioning cannot move the result)
-    return knn.knn_bruteforce(
-        fan_out(load_table(spark, sf_dir, "embeddings")), n_queries=10, k=3
-    )
-
-
+    """
 
 
 def _lsh_oracle(n_queries: int = 10, k: int = 3, n_planes: int = 16,
@@ -217,12 +207,15 @@ def _pq_oracle(
 
 
 def _ann_suite_oracle(sf_dir: str) -> str:
-    """lsh part (static, seed-derived planes) + pq part (data-derived
-    codebooks) in one labeled union."""
+    """brute part (exact baseline) + lsh part (static, seed-derived
+    planes) + pq part (data-derived codebooks) in one labeled union."""
     return f"""
     SELECT * FROM (
-        SELECT 'lsh' AS part, query_id, neighbor_id,
+        SELECT 'brute' AS part, query_id, neighbor_id,
                cosine_sim AS score, rank
+        FROM ({_BRUTE_ORACLE})
+        UNION ALL
+        SELECT 'lsh', query_id, neighbor_id, cosine_sim, rank
         FROM ({_lsh_oracle()})
         UNION ALL
         SELECT 'pq', query_id, neighbor_id, l2_dist, rank
@@ -236,21 +229,37 @@ def _ann_suite_oracle(sf_dir: str) -> str:
     "ann_suite",
     oracle=_ann_suite_oracle,  # callable: pq codebooks are data-derived
     tags=("similarity", "knn", "lsh", "pq", "adc", "scale"),
+    bench=True,  # inherits the folded knn_cosine's bench slot
 )
 def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two ANN index families in one labeled union (was the singleton
-    `knn_lsh`; folded to keep the registry at 50):
+    """Three ANN strategies in one labeled union (was the singleton
+    `knn_lsh`, then absorbed `knn_cosine`; folded to keep the registry
+    at 50):
 
-    `lsh`: random-hyperplane bucketed top-k cosine (knn.knn_lsh) —
-    score = cosine similarity.  `pq`: product-quantization ADC top-k
-    (similarity/pq.py) — the corpus is compressed to 16 codes/vector,
-    scanned asymmetrically for a 50-candidate shortlist, then re-ranked
-    with exact math; score = exact squared L2 of the winners.  Both
-    oracles replay the exact seed-derived constants, so the driver
-    hash-checks the full index geometry end-to-end."""
+    `brute`: exact top-k cosine over the full corpus (knn_bruteforce)
+    — the baseline every approximate index is judged against; score =
+    cosine.  `lsh`: random-hyperplane bucketed top-k cosine
+    (knn.knn_lsh) — score = cosine similarity.  `pq`: product-
+    quantization ADC top-k (similarity/pq.py) — the corpus is
+    compressed to 16 codes/vector, scanned asymmetrically for a
+    50-candidate shortlist, then re-ranked with exact math; score =
+    exact squared L2 of the winners.  All oracles replay the exact
+    seed-derived constants, so the driver hash-checks the full index
+    geometry end-to-end."""
     from ..similarity import pq
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: brute-force scoring is row-local dot-product map work
+    # (rank ties break on ids; partitioning cannot move the result)
+    brute = knn.knn_bruteforce(
+        fan_out(emb), n_queries=10, k=3
+    ).select(
+        F.lit("brute").alias("part"),
+        "query_id",
+        "neighbor_id",
+        F.col("cosine_sim").alias("score"),
+        "rank",
+    )
     lsh = knn.knn_lsh(emb, n_queries=10, k=3).select(
         F.lit("lsh").alias("part"),
         "query_id",
@@ -265,7 +274,9 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l2_dist").alias("score"),
         "rank",
     )
-    return lsh.unionByName(pq_part).orderBy("part", "query_id", "rank")
+    return brute.unionByName(lsh).unionByName(pq_part).orderBy(
+        "part", "query_id", "rank"
+    )
 
 
 def _banded_near_dups_oracle(

@@ -109,76 +109,73 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rollup_daily",
+    "grouping_sets_suite",
     oracle="""
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL')
-               AS event_date,
-           GROUPING(event_type) + 2 * GROUPING(CAST(ts AS DATE))
-               AS grouping_id,
-           count(*) AS n_events
-    FROM events
-    GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
-    ORDER BY grouping_id, event_type, event_date
+    SELECT * FROM (
+        SELECT 'rollup' AS part,
+               coalesce(event_type, 'ALL') AS event_type,
+               coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), 'ALL')
+                   AS grp_key,
+               GROUPING(event_type) + 2 * GROUPING(CAST(ts AS DATE))
+                   AS grouping_id,
+               count(*) AS n_events,
+               CAST(NULL AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        UNION ALL
+        SELECT 'cube',
+               coalesce(event_type, 'ALL'),
+               coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL'),
+               CAST(NULL AS BIGINT),
+               count(*),
+               round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+        FROM events
+        GROUP BY CUBE(event_type, isodow(ts))
+    )
+    ORDER BY part, event_type, grp_key, grouping_id
     """,
-    tags=("rollup", "grouping-sets", "A1"),
+    tags=("rollup", "cube", "grouping-sets", "A1"),
 )
-def rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy (type, date) → (type) → () with GROUPING()
-    flags — absent from the reference (SURVEY §2.4 'Absent') but part
+def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE grouping-set coverage in one labeled union (the
+    former rollup_daily and cube_type_day rows, folded to free driver
+    slots) — absent from the reference (SURVEY §2.4 'Absent') but part
     of a complete aggregation surface; Spark and DuckDB agree on
     grouping-id semantics bit-for-bit.
 
-    Note Spark's rollup nulls trailing columns first (same as DuckDB):
-    grouping_id here is 0 (leaf), 2 (per-type), 3 (grand total).
-    """
+    `rollup`: hierarchy (type, date) → (type) → () with GROUPING()
+    flags; Spark nulls trailing columns first (same as DuckDB), so
+    grouping_id is 0 (leaf), 2 (per-type), 3 (grand total).
+    `cube`: all four grouping sets over (event_type, ISO weekday) in
+    one pass; ISO dow (Mon=1..Sun=7) via weekday()+1 to match DuckDB's
+    isodow (SURVEY §2.8 numbering pitfall)."""
     events = load_table(spark, sf_dir, "events")
     # grouping() must reference plain grouping columns — pre-project
     # (aliased expressions inside rollup() break its resolution)
     base = events.select(
         "event_type", F.to_date("ts").alias("event_date")
     )
-    return (
+    rollup_part = (
         base.rollup("event_type", "event_date")
         .agg(
             (
                 F.grouping("event_type")
                 + F.lit(2) * F.grouping("event_date")
-            ).cast("int").alias("grouping_id"),
+            ).cast("long").alias("grouping_id"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .select(
+            F.lit("rollup").alias("part"),
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce(
                 F.date_format("event_date", "yyyy-MM-dd"), F.lit("ALL")
-            ).alias("event_date"),
+            ).alias("grp_key"),
             "grouping_id",
             "n_events",
+            F.lit(None).cast("double").alias("total_value"),
         )
-        .orderBy("grouping_id", "event_type", "event_date")
     )
-
-
-@register(
-    "cube_type_day",
-    oracle="""
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(isodow(ts) AS VARCHAR), 'ALL') AS iso_dow,
-           count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
-               AS total_value
-    FROM events
-    GROUP BY CUBE(event_type, isodow(ts))
-    ORDER BY event_type, iso_dow
-    """,
-    tags=("cube", "grouping-sets", "A1"),
-)
-def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (event_type, ISO weekday) — all four grouping sets in
-    one pass.  ISO dow (Mon=1..Sun=7) is derived with weekday()+1 to
-    match DuckDB's isodow (SURVEY §2.8 numbering pitfall)."""
-    events = load_table(spark, sf_dir, "events")
-    return (
+    cube_part = (
         events.cube(
             F.col("event_type").alias("event_type"),
             (F.weekday("ts") + 1).alias("iso_dow"),
@@ -191,12 +188,16 @@ def cube_type_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
         .select(
+            F.lit("cube").alias("part"),
             F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
             F.coalesce(
                 F.col("iso_dow").cast("string"), F.lit("ALL")
-            ).alias("iso_dow"),
+            ).alias("grp_key"),
+            F.lit(None).cast("long").alias("grouping_id"),
             "n_events",
             "total_value",
         )
-        .orderBy("event_type", "iso_dow")
+    )
+    return rollup_part.unionByName(cube_part).orderBy(
+        "part", "event_type", "grp_key", "grouping_id"
     )
