@@ -1,0 +1,128 @@
+"""Contracts behind the round-7 driver rows (jsonl_corrupt_lane,
+audio_features, lakehouse_roundtrip) that the oracle-parity hash alone
+doesn't pin.  Parity itself runs in test_oracle_parity (the rows enter
+the registry parametrize automatically)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.queries.audio_suite import (
+    FREQS,
+    N_CLASSES,
+    ensure_audio_corpus,
+)
+from urban_mobility_data_lakehouse_spark.queries.jsonl_suite import (
+    ensure_jsonl_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_tone_classes_have_distinct_fingerprints(spark):
+    """The fp part's soundness rests on this: Spark groups clips by
+    SPECTRAL fingerprint, the oracle by payload bytes — the two
+    partitions coincide iff the 13 tone classes map to 13 DISTINCT
+    fingerprints (same-class clips are byte-identical, so same-
+    fingerprint is automatic).  Pin it directly on one clip per class.
+    """
+    from urban_mobility_data_lakehouse_spark.multimodal.audiofeats import (
+        audio_fingerprint,
+    )
+    from urban_mobility_data_lakehouse_spark.queries.audio_suite import (
+        FRAME_LEN,
+        HOP,
+        _tone_payload,
+    )
+
+    media = spark.createDataFrame(
+        [(c, bytearray(_tone_payload(FREQS[c]))) for c in range(N_CLASSES)],
+        "media_id long, payload binary",
+    )
+    fps = {
+        r["fingerprint"]
+        for r in audio_fingerprint(
+            media, frame_len=FRAME_LEN, hop=HOP
+        ).collect()
+    }
+    assert len(fps) == N_CLASSES
+
+
+def test_audio_fixture_deterministic_and_idempotent():
+    p1 = ensure_audio_corpus(SF_DIR)
+    mtime = os.path.getmtime(p1)
+    p2 = ensure_audio_corpus(SF_DIR)  # second call: no rewrite
+    assert p1 == p2 and os.path.getmtime(p2) == mtime
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(p1)
+    ids = tbl.column("media_id").to_pylist()
+    payloads = tbl.column("payload").to_pylist()
+    # same class => byte-identical payload (the fp-part contract)
+    by_class: dict[int, bytes] = {}
+    for i, pl in zip(ids, payloads):
+        assert by_class.setdefault(i % N_CLASSES, pl) == pl
+
+
+def test_jsonl_fixture_corruption_plan(spark):
+    """Quarantine counts follow the seeded plan: doc_id % 23 in {5, 11}
+    are unparseable, everything else round-trips exactly."""
+    import pyarrow.parquet as pq
+
+    from urban_mobility_data_lakehouse_spark.queries.jsonl_suite import (
+        _DOC_SCHEMA,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+    )
+
+    doc_ids = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    want_bad = sum(1 for d in doc_ids if d % 23 in (5, 11))
+    path = ensure_jsonl_corpus(SF_DIR)
+    clean, quarantine = split_corrupt(
+        read_jsonl(spark, path, schema=_DOC_SCHEMA)
+    )
+    assert quarantine.count() == want_bad
+    assert clean.count() == len(doc_ids) - want_bad
+    # clean rows round-trip the source table's values exactly
+    src = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    good = src.filter(~(F.col("doc_id") % 23).isin(5, 11))
+    assert (
+        clean.select("doc_id", "text", "lang", "source", "n_chars")
+        .exceptAll(good.select("doc_id", "text", "lang", "source",
+                               "n_chars"))
+        .count()
+        == 0
+    )
+
+
+def test_lakehouse_roundtrip_rerun_stable(spark):
+    """The builder rebuilds a throwaway warehouse per call — two calls
+    must produce identical rows (retry/parallel-shard safety)."""
+    from urban_mobility_data_lakehouse_spark.queries.lakehouse_suite import (
+        lakehouse_roundtrip,
+    )
+
+    r1 = lakehouse_roundtrip(spark, SF_DIR).collect()
+    r2 = lakehouse_roundtrip(spark, SF_DIR).collect()
+    assert r1 == r2 and len(r1) > 0
+    # the UPDATE hit exactly the id%7==3 stratum and nothing else
+    src = {
+        r["id"]: r["v"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select(F.col("event_id").alias("id"), F.col("value").alias("v"))
+        .collect()
+    }
+    for row in r1:
+        assert row["id"] % 11 != 0  # deleted stratum is gone
+        want = (
+            src[row["id"]] * 2 + 1
+            if row["id"] % 7 == 3
+            else src[row["id"]]
+        )
+        assert row["v2"] == want and row["flag"] is None

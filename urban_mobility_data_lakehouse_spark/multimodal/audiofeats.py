@@ -37,6 +37,7 @@ from .binaryops import decode_wav
 __all__ = [
     "encode_wav",
     "pcm_to_float",
+    "clip_stats",
     "frame_features",
     "audio_fingerprint",
 ]
@@ -83,6 +84,51 @@ def pcm_to_float(samples):
     else:
         x = samples.astype("float64") / 2147483648.0
     return x.mean(axis=1) if x.ndim == 2 else x
+
+
+def clip_stats(media: DataFrame) -> DataFrame:
+    """Integer decode audit per clip: (media_id, rate, n_samples, and
+    the sum/min/max of the raw integer samples, mixed down by per-frame
+    channel SUM so everything stays exact int64).  This is the
+    oracle-checkable face of the decode path — a one-byte header-offset
+    or endianness bug in `decode_wav` moves these integers, and a
+    DuckDB twin can recompute them positionally from the BLOB's hex
+    dump (no FFT needed).  Row-local mapInPandas, |clips|-sized output.
+    """
+
+    def _stats(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                mono = samples.astype("int64").sum(axis=1)
+                out.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        int(mono.shape[0]),
+                        int(mono.sum()),
+                        int(mono.min()) if len(mono) else 0,
+                        int(mono.max()) if len(mono) else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "rate", "n_samples",
+                    "sum_samples", "min_sample", "max_sample",
+                ],
+            )
+
+    return media.mapInPandas(
+        _stats,
+        schema=(
+            "media_id long, rate long, n_samples long, "
+            "sum_samples long, min_sample long, max_sample long"
+        ),
+    )
 
 
 def _frames(x, frame_len: int, hop: int):

@@ -97,6 +97,9 @@ def _load_all() -> None:
     from . import text  # noqa: F401
     from . import functions_suite  # noqa: F401
     from . import multimodal_suite  # noqa: F401
+    from . import jsonl_suite  # noqa: F401
+    from . import audio_suite  # noqa: F401
+    from . import lakehouse_suite  # noqa: F401
     _loaded = True
     n = len(REGISTRY)
     assert n <= 50, f"registry has {n} queries; driver checks only 50"
