@@ -80,6 +80,62 @@ def test_advisor_counts_flat_appends_as_unpartitioned(spark, lake):
     assert rec["detail"]["<unpartitioned>"]["files"] >= 2
 
 
+def test_advisor_attributes_subdirs_and_still_counts_flat_files(
+    spark, lake
+):
+    """An additive dir can hold BOTH <pcol>=<value> subdirs (attributed
+    to their partitions) and flat top-level files: the subdir files
+    must land in their partitions' detail, the flat files in
+    <unpartitioned>, and `unpartitioned_dirs` counts only dirs with
+    unattributed data files — a fully-attributed dir contributes 0.
+    (The mixed layout is constructed at the filesystem level: the
+    advisor's contract is over the directory shapes any additive op —
+    hidden-spec append, MoR update, external writer — may leave.)"""
+    import os
+    import shutil
+
+    lake.overwrite_partitions(
+        _day_df(spark, "2024-03-01", 0, 50, parts=4), "silver", "t",
+        partition_col="partition_date",
+    )
+    lake.append(_day_df(spark, "2024-03-01", 5000, 3, parts=1),
+                "silver", "t")
+    _pm, extra, _dvs = lake._manifest("silver", "t")
+    add_dir = next(d for d in extra if os.path.isdir(d))
+    flat = [
+        f for f in os.listdir(add_dir) if f.endswith(".parquet")
+    ]
+    assert flat  # plain append lays out flat
+    # attribute one file into a partition subdir inside the SAME dir
+    sub = os.path.join(add_dir, "partition_date=2024-03-01")
+    os.makedirs(sub)
+    shutil.copyfile(
+        os.path.join(add_dir, flat[0]),
+        os.path.join(sub, "attributed.parquet"),
+    )
+    rec = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    # attributed subdir file counts toward its partition (4 + 1)…
+    assert rec["detail"]["2024-03-01"]["files"] == 5
+    # …the flat files are STILL scanned into <unpartitioned> (the
+    # pre-fix code skipped them once any subdir attributed)…
+    assert rec["detail"]["<unpartitioned>"]["files"] == len(flat)
+    # …and the dir counts as unpartitioned because of them
+    assert rec["unpartitioned_dirs"] == 1
+
+    # fully attributed: drop the flat files → the dir vanishes from
+    # unpartitioned_dirs (the pre-fix code still counted it)
+    for f in flat:
+        os.remove(os.path.join(add_dir, f))
+    rec2 = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    assert rec2["unpartitioned_dirs"] == 0
+    assert "<unpartitioned>" not in rec2["detail"]
+    assert rec2["detail"]["2024-03-01"]["files"] == 5
+
+
 def test_advisor_is_a_pure_metadata_read(spark, lake, monkeypatch):
     lake.overwrite_partitions(
         _day_df(spark, "2024-03-01", 0, 50), "silver", "t",

@@ -2957,51 +2957,66 @@ class Lakehouse:
                     "unpartitioned_dirs": n_extra_dirs,
                     "reason": ...}`` — a partition is recommended when
         it holds ≥ `min_small_files` live files under
-        `small_file_bytes`; any additive (unpartitioned append) dir
-        also counts toward its partition when it can be attributed,
-        else is reported in `unpartitioned_dirs` (compact() folds those
-        in regardless).
+        `small_file_bytes`; any additive (unpartitioned append) dir's
+        `<pcol>=<value>` subdirs count toward their partitions, and
+        everything else in it — flat top-level files AND files under
+        unrecognized subdirs — lands in the `<unpartitioned>` detail
+        row.  `unpartitioned_dirs` counts only dirs holding such
+        UNATTRIBUTED data files (a dir whose every data file attributed
+        to a partition does not appear; compact() folds all of them in
+        regardless).
         """
         part_map, extra, _dvs = self._manifest(schema, name)
         detail: dict[str, dict] = {}
 
-        def scan(d: str, value: str | None, pcol: str | None) -> None:
-            base = (
-                d if value is None
-                else os.path.join(d, f"{pcol}={value}")
+        def account(key: str, path: str) -> None:
+            sz = os.path.getsize(path)
+            row = detail.setdefault(
+                key, {"files": 0, "small": 0, "bytes": 0}
             )
+            row["files"] += 1
+            row["bytes"] += sz
+            if sz < small_file_bytes:
+                row["small"] += 1
+
+        def scan(d: str, value: str, pcol: str) -> None:
+            base = os.path.join(d, f"{pcol}={value}")
             if not os.path.isdir(base):
                 return
             for root, _dirs, fnames in os.walk(base):
                 for fn in fnames:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    sz = os.path.getsize(os.path.join(root, fn))
-                    key = value if value is not None else "<unpartitioned>"
-                    row = detail.setdefault(
-                        key, {"files": 0, "small": 0, "bytes": 0}
-                    )
-                    row["files"] += 1
-                    row["bytes"] += sz
-                    if sz < small_file_bytes:
-                        row["small"] += 1
+                    if fn.endswith(".parquet"):
+                        account(value, os.path.join(root, fn))
 
         for value, (d, pcol) in part_map.items():
             scan(d, value, pcol)
         pcol_any = next(
             (pcol for _v, (_d, pcol) in part_map.items()), None
         )
+        unattributed_dirs = 0
         for d in extra:
-            # additive dirs laid out by <pcol>=<value> attribute to
-            # their partitions; flat appends count as unpartitioned
-            attributed = False
-            if pcol_any is not None:
-                for sub in sorted(os.listdir(d)) if os.path.isdir(d) else []:
-                    if sub.startswith(f"{pcol_any}="):
-                        scan(d, sub.split("=", 1)[1], pcol_any)
-                        attributed = True
-            if not attributed:
-                scan(d, None, None)
+            if not os.path.isdir(d):
+                continue
+            stray = 0
+            for root, dirs, fnames in os.walk(d):
+                if root == d and pcol_any is not None:
+                    # peel attributed <pcol>=<value> subdirs out of the
+                    # walk; they count toward their partitions
+                    for sub in sorted(dirs):
+                        if sub.startswith(f"{pcol_any}="):
+                            scan(d, sub.split("=", 1)[1], pcol_any)
+                    dirs[:] = [
+                        s for s in dirs
+                        if not s.startswith(f"{pcol_any}=")
+                    ]
+                for fn in fnames:
+                    if fn.endswith(".parquet"):
+                        account(
+                            "<unpartitioned>", os.path.join(root, fn)
+                        )
+                        stray += 1
+            if stray:
+                unattributed_dirs += 1
         recommended = sorted(
             v for v, row in detail.items()
             if v != "<unpartitioned>" and row["small"] >= min_small_files
@@ -3009,9 +3024,7 @@ class Lakehouse:
         return {
             "partitions": recommended,
             "detail": detail,
-            "unpartitioned_dirs": sum(
-                1 for d in extra if _count_data_files(d) > 0
-            ),
+            "unpartitioned_dirs": unattributed_dirs,
             "reason": (
                 f">={min_small_files} live files under "
                 f"{small_file_bytes} bytes"
