@@ -77,6 +77,27 @@ def test_driver_and_distributed_paths_bit_identical(spark):
     )
 
 
+def test_duplicate_heavy_list_takes_second_gate(spark):
+    """A raw edge list far over the threshold whose UNIQUE edges fit
+    the driver: the second gate (bounded collect over the distinct
+    undirected frame the loop needs anyway) must route it to driver
+    union-find — the final plan has no Join — and the output matches
+    both the oracle and the forced distributed loop."""
+    from urban_mobility_data_lakehouse_spark.dedup.components import (
+        connected_components,
+    )
+
+    unique = [(0, 1), (1, 2), (5, 6), (8, 9), (9, 5)]
+    edges = unique * 40  # 200 raw >> threshold 10; 5 unique << 2*10
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, driver_threshold=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == _uf_components(edges)
+    assert got == _spark_components(spark, edges, 0)
+
+
 def test_disjoint_cliques_and_pair(spark):
     clique1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
     clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]

@@ -154,19 +154,27 @@ def connected_components(
     or with `driver_threshold=0` — the O(log diameter) distributed
     loop runs; that is the 100 TB path.
 
-    The gate deliberately counts RAW pairs (duplicates and directed
-    twins included), NOT unique undirected edges: a pre-gate
+    The FIRST gate deliberately counts RAW pairs (duplicates and
+    directed twins included), NOT unique undirected edges: a pre-gate
     `distinct()` would cost a full shuffle of the edge list on every
     call just to sometimes pick the cheaper path, which inverts the
-    shortcut's whole point.  Consequences, accepted: (a) a duplicate-
-    heavy edge list whose UNIQUE edges would fit the driver may take
-    the distributed loop — correct either way, just not minimal-cost;
-    (b) `limit(n+1)` over an unordered input means the path CHOICE is
-    not deterministic for inputs straddling the threshold — the
-    OUTPUT is bit-identical on both paths (locked by
-    test_components.py's equivalence tests), only the plan differs.
-    Callers that need a pinned plan pass `driver_threshold` far from
-    their edge count (or 0)."""
+    shortcut's whole point.  The gate's CHOICE is deterministic —
+    `limit(n+1)` returns min(n+1, total) rows, and only that SIZE
+    decides the path; row content/order varies run-to-run but feeds a
+    union-find whose output is order-independent (min-of-component).
+
+    A duplicate-heavy edge list whose UNIQUE edges would fit the
+    driver gets a SECOND gate: when raw pairs exceed the threshold,
+    the distributed path must materialize the distinct undirected
+    edge frame anyway (its loop input), so one extra bounded
+    limit+collect over that already-checkpointed frame decides — at
+    ≤ 2·threshold directed-distinct rows the closure still runs as
+    driver union-find (e.g. a crawl batch re-emitting the same few
+    pairs millions of times).  Cost on the genuinely-large path: one
+    bounded collect over a frame the loop needed regardless.  Output
+    is bit-identical on every path (locked by test_components.py's
+    equivalence tests); callers that need a pinned PLAN pass
+    `driver_threshold` far from their edge count (or 0)."""
     e_raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if driver_threshold:
         # small-graph shortcut: ONE limit+collect job decides the path
@@ -188,6 +196,19 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_threshold:
+        # second gate (duplicate-heavy lists): `e` holds each unique
+        # undirected edge twice (both directions), so ≤ 2·threshold
+        # rows means the unique edges fit the driver — and `e` is
+        # already checkpointed for the loop, making this collect
+        # bounded and cheap on either outcome.
+        dedup_sample = e.limit(2 * driver_threshold + 1).collect()
+        if len(dedup_sample) <= 2 * driver_threshold:
+            return _driver_components_rows(
+                [(r["a"], r["b"]) for r in dedup_sample],
+                e_raw.schema["a"].dataType,
+                e_raw.sparkSession,
+            )
     # no checkpoint needed: a two-node plan over the checkpointed edges
     labels = (
         e.select(F.col("a").alias("node"))
