@@ -190,14 +190,24 @@ def candidate_pairs(
 
 
 def near_duplicates(
-    documents: DataFrame, threshold: float = 0.5
+    documents: DataFrame,
+    threshold: float = 0.5,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact hashed-shingle-set Jaccard
-    ≥ threshold, computed row-locally via array_intersect."""
+    ≥ threshold, computed row-locally via array_intersect.  Pass a
+    pre-checkpointed `doc_shingle_arrays` frame as `hashed` when the
+    caller also consumes the shingle sets (e.g. the near_dup_pairs
+    registry row's signature-digest part) — shingling is the corpus
+    pass, so sharing it halves the map work."""
     # localCheckpoint, not .cache(): consumed three times below, and
     # checkpoint blocks are ContextCleaner-freed once the result frame
     # is GC'd, while CacheManager entries leak for the session
-    hs = doc_shingle_arrays(documents).localCheckpoint(eager=False)
+    hs = (
+        hashed
+        if hashed is not None
+        else doc_shingle_arrays(documents).localCheckpoint(eager=False)
+    )
     exploded = hs.select("doc_id", F.explode("hs").alias("h"))
 
     cand = candidate_pairs(documents, exploded=exploded)

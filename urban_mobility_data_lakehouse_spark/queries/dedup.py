@@ -170,7 +170,11 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: shingling + minhashing is CPU-bound row-local map
     # work; see sources/testdata.fan_out (no-op on production layouts)
     docs = fan_out(load_table(spark, sf_dir, "documents"))
-    pairs = minhash.near_duplicates(docs).localCheckpoint(eager=False)
+    # ONE shingling pass serves both the LSH pipeline and the sig part
+    hs = minhash.doc_shingle_arrays(docs).localCheckpoint(eager=False)
+    pairs = minhash.near_duplicates(docs, hashed=hs).localCheckpoint(
+        eager=False
+    )
     clusters = components.duplicate_clusters(
         pairs.select("doc_a", "doc_b")
     )
@@ -183,7 +187,9 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("doc_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    sig = minhash.minhash_signatures(docs)
+    sig = minhash.signatures_from_hashes(
+        hs.select("doc_id", F.explode("hs").alias("h"))
+    )
     digest = F.conv(
         F.substring(
             F.md5(
