@@ -174,6 +174,27 @@ def test_pq_codes_shape_and_range(spark, sf_dir):
         assert all(0 <= c < pq.KSUB for c in r["codes"])
 
 
+def test_pq_arrow_encode_bit_identical_to_hof_twin(spark, sf_dir):
+    """The Arrow `encode_pq` must reproduce the HOF twin's codes
+    exactly — same (x−c)² dim-ordered 0.0-seeded fold, same
+    lowest-code tie-break — at two SFs (the knn_ivf discipline).  This
+    is what keeps the DuckDB oracle's inlined-codebook replay exact."""
+    from urban_mobility_data_lakehouse_spark.similarity import pq
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        emb = load_table(spark, d, "embeddings")
+        books = pq.train_pq(emb)
+        arrow = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq.encode_pq(emb, books).collect()
+        }
+        hof = {
+            r["vec_id"]: list(r["codes"])
+            for r in pq.encode_pq_hof(emb, books).collect()
+        }
+        assert arrow == hof and len(arrow) > 0
+
+
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     """The ADC-shortlist + exact-re-rank pipeline must retrieve nearly
     all of the exact squared-L2 top-k (pure ADC ordering alone is

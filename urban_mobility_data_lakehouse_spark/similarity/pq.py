@@ -136,15 +136,19 @@ def _sub_l2(a_slice: Column, cw: Column) -> Column:
     )
 
 
-def encode_pq(
+def encode_pq_hof(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
     m: int = M,
     ksub: int = KSUB,
     keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, codes array<int>) — codes[j] = argmin_c l2(sub_j, cw).
+    """Higher-order-function twin of `encode_pq` (the pre-Arrow form),
+    kept as the reference implementation the bit-identity test pins the
+    Arrow path against — and as living documentation of the fold order
+    both must reproduce.
 
+    (vec_id, codes array<int>) — codes[j] = argmin_c l2(sub_j, cw).
     argmin = `array_min` over (d2, c) structs: each candidate distance
     is computed ONCE, and struct ordering breaks exact-distance ties by
     the LOWEST code — the same tie the oracle's `ORDER BY d2, c` picks.
@@ -182,6 +186,67 @@ def encode_pq(
     )
 
 
+def encode_pq(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    m: int = M,
+    ksub: int = KSUB,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id, codes array<int>) — codes[j] = argmin_c l2(sub_j, cw),
+    as an Arrow `mapInPandas` batch.
+
+    Spark evaluates HOF lambdas per array element (~µs each), so the
+    HOF encode costs M·KSUB·DSUB ≈ 2048 interpreted evals per vector —
+    the same interpreted-linear-algebra trap the round-6 curve caught
+    in IVF assignment.  The numpy path reproduces the EXACT semantics:
+    each candidate distance accumulates (x−c)² over dims in index
+    order from a 0.0 seed (identical IEEE op order to `_sub_l2`'s left
+    fold), and `argmin`'s first-minimum rule is the struct ordering's
+    lowest-code tie-break.  Bit-identity vs `encode_pq_hof` is
+    test-locked (`test_ann.py`), which keeps the inlined-literal
+    DuckDB oracle replay exact."""
+    import numpy as np
+
+    dsub = len(codebooks[0][0])
+    cw = [np.array(book, dtype=np.float64) for book in codebooks]
+    in_schema = embeddings.schema
+    keep_types = {
+        k: in_schema[k].dataType.simpleString() for k in keep_cols
+    }
+    out_schema = ", ".join(
+        ["vec_id long"]
+        + [f"{k} {t}" for k, t in keep_types.items()]
+        + ["codes array<int>"]
+    )
+
+    def _enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                acc = np.zeros((n, ksub), dtype=np.float64)
+                for d in range(dsub):
+                    diff = sub[:, d][:, None] - cw[j][None, :, d]
+                    acc += diff * diff
+                codes[:, j] = acc.argmin(axis=1)  # first min → lowest c
+            out = {"vec_id": pdf["vec_id"]}
+            for k in keep_cols:
+                out[k] = pdf[k]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return embeddings.select(
+        "vec_id", *keep_cols, "embedding"
+    ).mapInPandas(_enc, schema=out_schema)
+
+
 def knn_pq(
     embeddings: DataFrame,
     n_queries: int = 10,
@@ -204,7 +269,6 @@ def knn_pq(
         embeddings, m=m, ksub=ksub, seed=seed
     )
     dsub = len(codebooks[0][0])
-    spark = embeddings.sparkSession
 
     corpus = encode_pq(embeddings, codebooks, m=m, ksub=ksub).select(
         F.col("vec_id").alias("neighbor_id"), "codes"
@@ -213,23 +277,60 @@ def knn_pq(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("emb_q"),
     )
-    eq = F.col("emb_q")
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sub_l2(
-            F.slice(eq, j * dsub + 1, dsub),
-            F.col("cbs")[j * ksub + F.col("codes")[j]],
-        ),
+    # ADC as an Arrow batch over the encoded corpus: the HOF form
+    # (aggregate over j of a zip_with fold) costs M·DSUB interpreted
+    # evals per (query, neighbor) pair.  The per-query (m × ksub)
+    # distance TABLE is tiny and query count is bounded, so it is
+    # precomputed driver-side with the identical fold order (0.0 seed,
+    # (q−c)² accumulated in dim order), and the scan is a j-ordered
+    # sum of table lookups — the same left-fold ((0+s0)+s1)+… the HOF
+    # plan executes, so adc doubles are bit-identical and the DuckDB
+    # oracle replay stays exact.
+    import numpy as np
+
+    q_rows = sorted(
+        (r["query_id"], [float(v) for v in r["emb_q"]])
+        for r in queries.collect()
     )
-    scored = (
-        corpus.join(F.broadcast(_flat_codebook_row(spark, codebooks)))
-        .join(
-            F.broadcast(queries),
-            F.col("query_id") != F.col("neighbor_id"),
-        )
-        .select("query_id", "neighbor_id", adc.alias("adc"))
+    tables = {}
+    for qid, qe in q_rows:
+        t = np.zeros((m, ksub), dtype=np.float64)
+        for j in range(m):
+            for d in range(dsub):
+                diff = qe[j * dsub + d] - np.asarray(
+                    codebooks[j], dtype=np.float64
+                )[:, d]
+                t[j] += diff * diff
+        tables[qid] = t
+
+    def _adc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nbr = pdf["neighbor_id"].to_numpy()
+            frames = []
+            for qid, _qe in q_rows:
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                t = tables[qid]
+                for j in range(m):
+                    acc = acc + t[j][codes[:, j]]
+                keep = nbr != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nbr[keep],
+                            "adc": acc[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus.mapInPandas(
+        _adc, schema="query_id long, neighbor_id long, adc double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
