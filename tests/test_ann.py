@@ -174,6 +174,19 @@ def test_pq_codes_shape_and_range(spark, sf_dir):
         assert all(0 <= c < pq.KSUB for c in r["codes"])
 
 
+def test_bruteforce_arrow_bit_identical_to_hof_twin(spark, sf_dir):
+    """The Arrow `knn_bruteforce` must reproduce the HOF twin exactly —
+    same per-feature left-fold for dot/norms, same rank tie-break —
+    at two SFs (the knn_ivf discipline)."""
+    from urban_mobility_data_lakehouse_spark.similarity import knn
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        emb = load_table(spark, d, "embeddings")
+        arrow = knn.knn_bruteforce(emb, n_queries=10, k=3).collect()
+        hof = knn.knn_bruteforce_hof(emb, n_queries=10, k=3).collect()
+        assert arrow == hof and len(arrow) == 30
+
+
 def test_pq_arrow_encode_bit_identical_to_hof_twin(spark, sf_dir):
     """The Arrow `encode_pq` must reproduce the HOF twin's codes
     exactly — same (x−c)² dim-ordered 0.0-seeded fold, same

@@ -43,10 +43,12 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def knn_bruteforce(
+def knn_bruteforce_hof(
     embeddings: DataFrame, n_queries: int = 10, k: int = 3
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for the first `n_queries` vectors."""
+    """Higher-order-function twin of `knn_bruteforce` (the pre-Arrow
+    form), kept as the reference the bit-identity test pins the Arrow
+    path against: exact top-k cosine for the first `n_queries`."""
     base = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("emb_b"),
@@ -63,6 +65,81 @@ def knn_bruteforce(
             cosine(F.col("emb_q"), F.col("emb_b")).alias("cos"),
         )
     )
+    return _rank_cosine(scored, k)
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first `n_queries` vectors,
+    scored as an Arrow `mapInPandas` batch.
+
+    The HOF form evaluates ~3·dim interpreted lambdas per (query,
+    corpus) pair; the numpy batch reproduces the EXACT IEEE op order —
+    dot and both norms accumulate per feature index from a 0.0 seed
+    (zip_with/aggregate's left fold), the query norm is precomputed
+    driver-side with the same loop, and the denominator multiplies
+    norm_q·norm_b (rounding is symmetric, so operand order is free).
+    Bit-identity vs `knn_bruteforce_hof` is test-locked, which keeps
+    the DuckDB oracle replay exact.  Queries are a bounded collect;
+    the corpus never leaves executors."""
+    import numpy as np
+
+    q_rows = sorted(
+        (r["query_id"], [float(v) for v in r["emb_q"]])
+        for r in embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("emb_q"),
+        )
+        .collect()
+    )
+    qids = np.array([q for q, _e in q_rows], dtype=np.int64)
+    qx = np.array([e for _q, e in q_rows], dtype=np.float64)
+    dim = qx.shape[1] if len(q_rows) else 0
+    q_norm = np.zeros(len(q_rows), dtype=np.float64)
+    for j in range(dim):
+        q_norm += qx[:, j] * qx[:, j]
+    q_norm = np.sqrt(q_norm)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_rows) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nbr = pdf["vec_id"].to_numpy()
+            n = x.shape[0]
+            dot = np.zeros((n, len(q_rows)), dtype=np.float64)
+            b_norm = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                xj = x[:, j]
+                dot += xj[:, None] * qx[:, j][None, :]
+                b_norm += xj * xj
+            b_norm = np.sqrt(b_norm)
+            cos = dot / (q_norm[None, :] * b_norm[:, None])
+            frames = []
+            for qi in range(len(q_rows)):
+                keep = nbr != qids[qi]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nbr[keep],
+                            "cos": cos[keep, qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
+    )
+    return _rank_cosine(scored, k)
+
+
+def _rank_cosine(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
