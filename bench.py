@@ -166,13 +166,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     row_mismatches: dict[str, str] = {}
     total = 0.0
+    # min over reps — the same noise-robust estimator scale_curve.py
+    # uses (this sandbox shows transient host-contention bursts; the
+    # minimum approximates the uncontended run).  Disclosed in the
+    # JSON via "reps"; set SPARK_GRAFT_BENCH_REPS=1 for single-shot.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     for name, spec in specs_items:
-        t0 = time.perf_counter()
-        rows = spec.builder(spark, sf_dir).collect()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s ({len(rows)} rows)", file=sys.stderr)
+        best, rows = None, []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = spec.builder(spark, sf_dir).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
+        total += best
+        print(f"# {name}: {best:.3f}s ({len(rows)} rows)", file=sys.stderr)
         want = expected.get(name)
         if want is not None and len(rows) != want:
             row_mismatches[name] = f"got {len(rows)}, expected {want}"
@@ -188,6 +196,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,  # per-query wall = min over this many runs
                 "sf": sf,
                 # environment pinning: separates sandbox load from plan
                 # regressions when triaging round-over-round deltas
