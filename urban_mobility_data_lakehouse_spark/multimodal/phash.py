@@ -1,0 +1,178 @@
+"""Perceptual image hashing (pHash) + banded Hamming near-dup — the
+IMAGE modality's member of the near-dup family (text: MinHash/SimHash/
+winnowing; embeddings: banded cosine/SemDeDup; audio: energy-delta
+fingerprints).  Exact byte dedup misses re-encodes, resizes, and
+brightness tweaks; a DCT low-frequency hash survives them (the classic
+pHash construction: Zauner 2010, "Implementation and Benchmarking of
+Perceptual Image Hash Functions").
+
+Construction, all deterministic pure numpy over the REAL decoders in
+`binaryops` (PPM/BMP/PNG/GIF):
+
+  1. decode → luma (integer-weighted 299R+587G+114B / 1000 — the BT.601
+     weights in exact integer arithmetic, no float channel mixing),
+  2. nearest-neighbor resample to 32×32 (the same index-map rule as
+     `binaryops.resize_image`),
+  3. 2-D orthonormal DCT-II (explicit cosine matrix, float64),
+  4. keep the top-left 8×8 low-frequency block, drop the DC term,
+  5. bit b = coefficient strictly greater than the MEDIAN of the 63
+     retained coefficients (numpy median of an odd count = the 32nd
+     order statistic — no averaging, no tie ambiguity) → 63 bits,
+     packed MSB-first into a 16-hex-digit string (top bit always 0).
+
+Scale shape mirrors `dedup/simhash.py`: hashing is row-local
+`mapInPandas` (one bounded row out per image, no shuffle); candidate
+generation BANDS the 64-bit hash into r-bit exact-match keys — by
+pigeonhole, any pair within Hamming distance < n_bands shares at least
+one band, so band-join + row-local popcount verify has guaranteed
+recall for radius ≤ n_bands − 1 and never materializes all pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .binaryops import _decode_pixels
+
+HASH_BITS = 64
+N_BANDS = 4  # 16-bit bands → guaranteed recall for Hamming ≤ 3
+RESAMPLE = 32
+BLOCK = 8
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (n×n float64): row k, column i =
+    s_k · cos(π(2i+1)k / 2n), s_0 = sqrt(1/n), s_k = sqrt(2/n)."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.float64)
+    k = i[:, None]
+    m = np.cos(np.pi * (2.0 * i[None, :] + 1.0) * k / (2.0 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+def _phash_one(pixels) -> str:
+    """uint8 (h, w, 3) → 16-hex-digit pHash (63 data bits, MSB 0)."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    # integer BT.601 luma — exact, engine-portable arithmetic
+    px = pixels.astype(np.int64)
+    luma = (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) // 1000
+    # nearest-neighbor index map, same rule as binaryops.resize_image
+    rows = (np.arange(RESAMPLE) * h) // RESAMPLE
+    cols = (np.arange(RESAMPLE) * w) // RESAMPLE
+    small = luma[rows][:, cols].astype(np.float64)
+    m = _dct_matrix(RESAMPLE)
+    coeffs = m @ small @ m.T
+    block = coeffs[:BLOCK, :BLOCK].reshape(-1)[1:]  # drop DC → 63
+    med = float(np.median(block))  # odd count → exact order statistic
+    bits = (block > med).astype(np.uint64)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "016x")
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """(media_id, phash, width, height) — one row per decodable image,
+    row-local Arrow batches, no shuffle.  Undecodable payloads raise
+    (the corrupt lane is the JSONL/bronze pattern; media tables are
+    already past ingest)."""
+
+    def _hash(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = _decode_pixels(bytes(payload))
+                out.append(
+                    (
+                        int(mid),
+                        _phash_one(px),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "phash", "width", "height"]
+            )
+
+    return media.mapInPandas(
+        _hash,
+        schema="media_id long, phash string, width int, height int",
+    )
+
+
+def phash_near_dups(
+    media: DataFrame, max_hamming: int = 3, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(media_a, media_b, hamming) for every image pair whose pHashes
+    differ in ≤ `max_hamming` bits — the image near-dup map.
+
+    Banded LSH on the hash bits: any pair with Hamming < n_bands
+    shares an identical band (pigeonhole), so the equi-join on
+    (band, key) has guaranteed recall for the default radius; verify
+    is one row-local xor+popcount.  Output is bounded by the true
+    near-dup population; the all-pairs product never exists (the
+    simhash plan shape, plan-locked there)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < n_bands "
+            f"({max_hamming} >= {n_bands}): raise n_bands"
+        )
+    r = HASH_BITS // n_bands
+    hashed = image_phash(media).select(
+        "media_id", F.conv("phash", 16, 10).cast("long").alias("h")
+    )
+    bands = hashed.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("h"), (n_bands - 1 - b) * r
+                        ).bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "h", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("h").alias("ha"),
+        "band",
+        "key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("h").alias("hb"),
+        "band",
+        "key",
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select(
+            "media_a",
+            "media_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("media_a", "media_b")
+    )
