@@ -1,0 +1,134 @@
+"""URL curation (text/urls.py): normalization canon, registrable
+domains, deterministic per-domain quotas, blocklist filtering — all
+pure Column expressions (no Python in the plan)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from urban_mobility_data_lakehouse_spark.sources.testdata import load_table
+from urban_mobility_data_lakehouse_spark.text.urls import (
+    doc_urls,
+    domain_quota,
+    filter_blocklist,
+    normalize_url,
+    registrable_domain,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(spark, url: str) -> str:
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(normalize_url(F.col("u")).alias("n"))
+        .collect()[0]["n"]
+    )
+
+
+def test_normalize_url_canon(spark):
+    cases = {
+        # case, www, fragment, tracking params, param order
+        "HTTPS://WWW.Example.COM/a?b=2&utm_source=x&a=1#frag":
+            "https://example.com/a?a=1&b=2",
+        # default port stripped, explicit kept
+        "https://example.com:443/a": "https://example.com/a",
+        "http://example.com:80/a": "http://example.com/a",
+        "http://example.com:8080/a": "http://example.com:8080/a",
+        # userinfo stripped; root path folded; empty query dropped
+        "https://user:pw@example.com/": "https://example.com",
+        "https://example.com/a?fbclid=zz": "https://example.com/a",
+        # tracking-only vs real param named like a prefix-match miss
+        "https://example.com/a?ref=t&refid=7":
+            "https://example.com/a?refid=7",
+    }
+    for raw, want in cases.items():
+        assert _norm(spark, raw) == want, raw
+    # unparseable → NULL (callers filter)
+    assert _norm(spark, "not a url") is None
+
+
+def test_normalized_twins_collide_raw_urls_do_not(spark):
+    a = "https://www.example.com/x?b=2&a=1&utm_source=s#top"
+    b = "HTTPS://example.com/x?a=1&b=2"
+    assert a != b and _norm(spark, a) == _norm(spark, b)
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "news.bbc.co.uk": "bbc.co.uk",
+        "a.b.example.com": "example.com",
+        "example.com": "example.com",
+        "localhost": "localhost",
+        "www.gov.ac.jp": "gov.ac.jp",
+    }
+    df = spark.createDataFrame(
+        [(h,) for h in cases], "h string"
+    ).select("h", registrable_domain(F.col("h")).alias("rd"))
+    got = {r["h"]: r["rd"] for r in df.collect()}
+    assert got == cases
+
+
+def test_domain_quota_cap_and_determinism(spark):
+    docs = doc_urls(load_table(spark, SF_DIR, "documents"))
+    capped = domain_quota(docs, "url", max_per_domain=5)
+    host = F.split(
+        F.regexp_replace("url", r"^[A-Za-z]+://", ""), "/"
+    )[0]
+    per = (
+        capped.withColumn(
+            "rd", registrable_domain(F.lower(host))
+        )
+        .groupBy("rd")
+        .count()
+        .collect()
+    )
+    assert per and all(r["count"] <= 5 for r in per)
+    # deterministic under repartition: same survivors, not same count
+    ids1 = {r["doc_id"] for r in capped.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in domain_quota(docs.repartition(13), "url", 5)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_blocklist_drops_only_blocked_domains(spark):
+    docs = doc_urls(load_table(spark, SF_DIR, "documents"))
+    # blocklists operate at REGISTRABLE-domain granularity: every
+    # synthetic *.example.com host registers as example.com, so
+    # blocking it drops them all; the *.example.co.uk family
+    # (registrable example.co.uk) survives
+    kept = filter_blocklist(docs, "url", ["example.com"])
+    assert 0 < kept.count() < docs.count()
+    leaked = kept.filter(
+        F.lower("url").rlike(r"\.example\.com[:/]")
+    )
+    assert leaked.count() == 0
+    assert kept.count() == docs.filter(
+        F.col("doc_id") % 5 == 0
+    ).count()
+    # plan stays Python-free (pure Column exprs end-to-end)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_url_dedup_via_normalization(spark):
+    """The end shape: normalize → exact groupBy — URL-level dedup
+    catches tracking-param/fragment twins raw strings miss."""
+    rows = [
+        (1, "https://www.site.com/a?utm_source=x&b=1"),
+        (2, "HTTPS://site.com/a?b=1#frag"),
+        (3, "https://site.com/other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    groups = (
+        df.groupBy(normalize_url(F.col("url")).alias("canon"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
+        .collect()
+    )
+    by_n = sorted(r["n"] for r in groups)
+    assert by_n == [1, 2]
+    assert {r["keep"] for r in groups if r["n"] == 2} == {1}

@@ -1,0 +1,201 @@
+"""URL curation operators — the crawl-side half of a training-data
+pipeline (C4 dropped documents by URL blocklist; RefinedWeb's first
+stage is URL filtering + per-domain balancing before any text is read).
+
+Everything here is pure Column expressions (split / array ops /
+regexp) — JVM-side, codegen-friendly, zero Python in the hot path —
+because URL work runs over EVERY crawl record at 100 TB, before any
+dedup has shrunk the corpus:
+
+  - `parse_url` / `normalize_url` — canonical form for URL-level exact
+    dedup: scheme+host lowercased, userinfo/default-port/fragment
+    stripped, leading `www.` dropped, tracking params (utm_*, fbclid,
+    gclid, ref, …) removed, surviving query params SORTED (param order
+    is presentation, not identity), trailing-slash-only paths folded.
+  - `registrable_domain` — the per-site key for quotas/blocklists:
+    last-two-labels heuristic widened to three for second-level public
+    suffixes (co.uk shape).  A full public-suffix list is a data file,
+    not an algorithm; the hook takes extra suffixes as a parameter.
+  - `domain_quota` — C4-style per-domain cap: deterministic
+    keep-lowest-md5 ranking inside each domain, so the sample is
+    reproducible under repartition/retry and never favors crawl order.
+  - `filter_blocklist` — broadcast anti-join on registrable domain.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+# query params that track, not identify, content
+TRACKING_PREFIXES = ("utm_",)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+# second-level public suffixes under which ONE more label is needed to
+# reach the registrable domain (the co.uk shape) — extendable per call
+SECOND_LEVEL_SUFFIXES = (
+    "co", "com", "net", "org", "ac", "gov", "edu", "or", "ne",
+)
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def parse_url(url: Column) -> Column:
+    """STRUCT(scheme, host, port, path, query) from a URL string —
+    unparseable rows get NULL fields (scheme stays empty), callers
+    filter on `parse_url(u).scheme != ''`."""
+    authority = F.regexp_extract(url, _URL_RE, 2)
+    # strip userinfo, then split host:port
+    hostport = F.element_at(F.split(authority, "@"), -1)
+    host = F.lower(F.element_at(F.split(hostport, ":"), 1))
+    port = F.when(
+        F.size(F.split(hostport, ":")) > 1,
+        F.element_at(F.split(hostport, ":"), 2).cast("int"),
+    )
+    return F.struct(
+        F.lower(F.regexp_extract(url, _URL_RE, 1)).alias("scheme"),
+        host.alias("host"),
+        port.alias("port"),
+        F.regexp_extract(url, _URL_RE, 3).alias("path"),
+        F.regexp_extract(url, _URL_RE, 4).alias("query"),
+    )
+
+
+def _clean_params(query: Column) -> Column:
+    """Sorted array of surviving k=v params (tracking params dropped,
+    empty strings removed)."""
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.exists(
+            F.array(*[F.lit(x) for x in TRACKING_PREFIXES]),
+            lambda pre: p.startswith(pre),
+        )
+        & ~F.element_at(F.split(p, "="), 1).isin(*TRACKING_PARAMS),
+    )
+    return F.array_sort(params)
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL string for exact URL-level dedup (see module
+    docstring for the rules).  NULL for unparseable input."""
+    u = parse_url(url)
+    host = F.regexp_replace(u["host"], r"^www\.", "")
+    default_port = (
+        (u["scheme"] == "http") & (u["port"] == 80)
+    ) | ((u["scheme"] == "https") & (u["port"] == 443))
+    port = F.when(
+        u["port"].isNotNull() & ~default_port,
+        F.concat(F.lit(":"), u["port"].cast("string")),
+    ).otherwise(F.lit(""))
+    path = F.when(u["path"] == "/", F.lit("")).otherwise(u["path"])
+    params = _clean_params(u["query"])
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.when(
+        u["scheme"] != "",
+        F.concat(u["scheme"], F.lit("://"), host, port, path, query),
+    )
+
+
+def registrable_domain(
+    host: Column,
+    second_level: tuple[str, ...] = SECOND_LEVEL_SUFFIXES,
+) -> Column:
+    """Registrable domain of a (lowercased) host: the last two labels,
+    or three when the second-to-last is a known second-level public
+    suffix and the TLD is a 2-letter ccTLD (the co.uk shape)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    second = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    take3 = (
+        (n >= 3)
+        & (F.length(tld) == 2)
+        & second.isin(*second_level)
+    )
+    return F.when(
+        take3, F.array_join(F.slice(labels, -3, 3), ".")
+    ).otherwise(
+        F.when(n >= 2, F.array_join(F.slice(labels, -2, 2), "."))
+        .otherwise(host)
+    )
+
+
+def domain_quota(
+    docs: DataFrame,
+    url_col: str,
+    max_per_domain: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most `max_per_domain` docs per registrable domain —
+    the C4-style balance cap that stops one mega-site from dominating
+    a shard.  Selection is keep-lowest-md5(id): deterministic under
+    repartition/retry and independent of crawl order (a head-N cap
+    samples whatever the crawler saw first, which skews freshness).
+    One shuffle on the domain key — the semantics require it."""
+    host = parse_url(F.col(url_col))["host"]
+    w = Window.partitionBy("_rd").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        docs.withColumn("_rd", registrable_domain(host))
+        .withColumn("_rq", F.row_number().over(w))
+        .filter(F.col("_rq") <= max_per_domain)
+        .drop("_rd", "_rq")
+    )
+
+
+def filter_blocklist(
+    docs: DataFrame, url_col: str, blocked_domains: list[str]
+) -> DataFrame:
+    """Drop docs whose registrable domain is blocklisted.  The list is
+    folded to ONE broadcast array literal probed row-locally — the
+    corpus side stays shuffle-free (blocklists are small; a million-
+    entry list would switch to a broadcast anti-join instead)."""
+    host = parse_url(F.col(url_col))["host"]
+    rd = registrable_domain(host)
+    blocked = F.array(*[F.lit(d.lower()) for d in blocked_domains])
+    return docs.filter(~F.array_contains(blocked, rd))
+
+
+def doc_urls(documents: DataFrame) -> DataFrame:
+    """Deterministic URL column derived from the synthetic documents
+    table (TESTDATA has no native URL column — the `documents_as_media`
+    fixture pattern): doc_id picks path/params/noise, `source` picks
+    the site.  Exercises every normalization rule: mixed case, www,
+    default and explicit ports, tracking params, unsorted params,
+    fragments, co.uk-shaped hosts."""
+    d = F.col("doc_id")
+    site = F.concat(
+        F.when(d % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".example.co.uk")).otherwise(
+            F.lit(".example.com")
+        ),
+    )
+    port = (
+        F.when(d % 11 == 0, F.lit(":443"))
+        .when(d % 13 == 0, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    tracking = F.when(
+        d % 3 == 0, F.lit("&utm_source=feed&fbclid=xyz")
+    ).otherwise(F.lit(""))
+    frag = F.when(d % 2 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    return documents.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            site,
+            port,
+            F.lit("/docs/"),
+            d.cast("string"),
+            F.lit("?b=2&a=1"),
+            tracking,
+            frag,
+        ),
+    )
