@@ -162,6 +162,52 @@ def test_optional_exact_substr_stage(spark, docs):
         assert lic not in r["text"]
 
 
+def test_optional_url_stage(spark, docs):
+    """URL stage (RefinedWeb ordering — first, before any text is
+    read): blocklisted registrable domains leave, normalized-URL twins
+    collapse to the lowest doc_id, per-domain caps hold."""
+    from urban_mobility_data_lakehouse_spark.text.urls import (
+        doc_urls,
+        parse_url,
+        registrable_domain,
+    )
+
+    with_urls = doc_urls(docs)
+    # plant a tracking-param twin of doc 1's URL on a fresh id
+    twin = with_urls.filter(F.col("doc_id") == 1).withColumn(
+        "doc_id", F.lit(900001)
+    ).withColumn(
+        "url", F.concat("url", F.lit("&utm_medium=twin"))
+    )
+    corpus = with_urls.unionByName(twin)
+    train, stats = curate_corpus(
+        spark,
+        corpus,
+        min_quality=0.0,
+        url_col="url",
+        blocked_domains=("example.co.uk",),
+        max_per_domain=20,
+    )
+    assert "url_filtered" in stats
+    out_ids = {r["doc_id"] for r in train.collect()}
+    assert 900001 not in out_ids  # URL twin collapsed to doc 1
+    # blocklist: no surviving co.uk doc anywhere downstream
+    host = parse_url(F.col("url"))["host"]
+    kept_urls = corpus.join(
+        spark.createDataFrame(
+            [(i,) for i in out_ids], "doc_id long"
+        ),
+        "doc_id",
+    )
+    blocked = kept_urls.filter(
+        registrable_domain(host) == "example.co.uk"
+    )
+    assert blocked.count() == 0
+    # cap: 20 per registrable domain at the stage boundary
+    assert stats["url_filtered"] <= 20 * 2  # example.com + unparseable…
+    assert stats["url_filtered"] > 0
+
+
 def test_optional_semdedup_stage(spark, docs, sf_dir):
     """SemDeDup stage: docs whose embedding is semantically-dropped
     leave the funnel; docs without an embedding pass through."""

@@ -41,6 +41,9 @@ def curate_corpus(
     eval_docs: DataFrame | None = None,
     min_quality: float = 0.3,
     near_dup_threshold: float = 0.5,
+    url_col: str | None = None,
+    blocked_domains: tuple[str, ...] = (),
+    max_per_domain: int | None = None,
     boilerplate_min_docs: int | None = None,
     exact_substr_min_tokens: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
@@ -90,6 +93,34 @@ def curate_corpus(
             df = df.localCheckpoint(eager=False)
             stats[stage] = df.count()
         return df
+
+    if url_col is not None:
+        # URL stage FIRST (RefinedWeb's ordering: URL filtering runs
+        # before anything reads text — it's the only stage that can
+        # drop a document without touching its bytes): blocklist →
+        # URL-level exact dedup on the normalized form (tracking-param
+        # / fragment twins collapse; keep-lowest-doc_id) → per-domain
+        # balance cap.  Unparseable URLs fall back to their raw string
+        # as the dedup key — kept, never silently merged.
+        from pyspark.sql import Window
+
+        from .urls import domain_quota, filter_blocklist, normalize_url
+
+        docs = documents
+        if blocked_domains:
+            docs = filter_blocklist(docs, url_col, list(blocked_domains))
+        canon = F.coalesce(
+            normalize_url(F.col(url_col)), F.col(url_col)
+        )
+        w = Window.partitionBy(canon).orderBy(F.col("doc_id").asc())
+        docs = (
+            docs.withColumn("_ur", F.row_number().over(w))
+            .filter(F.col("_ur") == 1)
+            .drop("_ur")
+        )
+        if max_per_domain is not None:
+            docs = domain_quota(docs, url_col, max_per_domain)
+        documents = _checkpoint(docs, "url_filtered")
 
     if boilerplate_min_docs is not None:
         from .boilerplate import strip_boilerplate
