@@ -181,6 +181,18 @@ def _with_meta(entry: dict, extra_meta: dict | None) -> dict:
     return entry
 
 
+# legal type widenings (Delta's type-widening matrix, the exact
+# subset): every conversion is value-preserving — int32 is exact in
+# float64, bigint is NOT (53-bit mantissa), so bigint→double is
+# refused
+_WIDEN_CHAINS: dict[str, tuple[str, ...]] = {
+    "tinyint": ("smallint", "int", "bigint", "double"),
+    "smallint": ("int", "bigint", "double"),
+    "int": ("bigint", "double"),
+    "float": ("double",),
+}
+
+
 @dataclass
 class Lakehouse:
     """A directory-per-table catalog with medallion schema prefixes
@@ -497,6 +509,72 @@ class Lakehouse:
             base,
         )
 
+    def widen_column_type(
+        self, spark: SparkSession, schema: str, name: str,
+        column: str, to_type: str,
+    ) -> None:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE — value-preserving
+        type widening (Delta's type-widening feature): one metadata
+        commit, zero bytes rewritten.  Files keep their narrow
+        physical type forever (immutable); every read path upcasts
+        each per-commit frame before the union, so old int32 files
+        and new int64 files surface as one bigint column.  Writers may
+        keep handing in the narrow type (reads upcast) or the wide
+        one.  Only the widenings in `_WIDEN_CHAINS` are legal — each
+        is exact, so a widened read never changes a value, only its
+        container.  Time travel to a pre-widen version shows the
+        narrow type; RESTORE rolls the widening back with everything
+        else.  Legal steps live in module-level `_WIDEN_CHAINS`."""
+        current = self._column_ddl_guard(spark, schema, name, column)
+        cur_type = dict(
+            self.read(spark, schema, name).dtypes
+        )[column]
+        if column not in current:  # pragma: no cover - guard raises
+            raise ValueError(f"no column {column!r}")
+        legal = _WIDEN_CHAINS.get(cur_type, ())
+        if to_type not in legal:
+            raise ValueError(
+                f"{schema}.{name}: cannot widen {column!r} from "
+                f"{cur_type} to {to_type}; value-preserving widenings "
+                f"from {cur_type}: {list(legal) or 'none'}"
+            )
+        mapping, _dropped = self.column_state(schema, name)
+        phys = next(
+            (p for p, l in mapping.items() if l == column), column
+        )
+        base = len(self.snapshots(schema, name))
+        self._commit(
+            schema, name,
+            dict(
+                op="widen_column", column=phys,
+                from_type=cur_type, to_type=to_type,
+            ),
+            base,
+        )
+
+    def _widened(
+        self, schema: str, name: str, version: int | None = None
+    ) -> dict[str, str]:
+        """physical column → widest committed type as of `version`
+        (restore-aware, like `column_state`).  Later widenings of the
+        same column override earlier ones (the commit guard only
+        admits strictly-widening steps, so last-wins == widest)."""
+        entries = self.snapshots(schema, name)
+
+        def replay(upto: int | None) -> dict[str, str]:
+            widened: dict[str, str] = {}
+            for e in entries:
+                if upto is not None and e["version"] > upto:
+                    break
+                op = e["operation"]
+                if op == "restore":
+                    widened = replay(e["of_version"])
+                elif op == "widen_column":
+                    widened[e["column"]] = e["to_type"]
+            return widened
+
+        return replay(version)
+
     def _added_columns(
         self, schema: str, name: str, version: int | None = None
     ) -> list[dict]:
@@ -533,9 +611,15 @@ class Lakehouse:
         NULL) to each per-commit frame BEFORE the union — frame
         membership is exactly 'was this file written before the add',
         which is what makes the default/genuine-NULL distinction
-        exact."""
+        exact.  Also upcasts type-widened columns per frame (files are
+        immutable, so pre-widen commits carry the narrow physical type
+        forever; the cast BEFORE the union is what lets int32 and
+        int64 file generations surface as one bigint column) — every
+        read path (read / read_where / read_changes) funnels through
+        here, so widening applies uniformly."""
         adds = self._added_columns(schema, name, version)
-        if not adds:
+        widened = self._widened(schema, name, version)
+        if not adds and not widened:
             return frames
         out = []
         for f in frames:
@@ -545,6 +629,9 @@ class Lakehouse:
                         a["column"],
                         F.lit(a["default"]).cast(a["dtype"]),
                     )
+            for col, t in widened.items():
+                if col in f.columns:
+                    f = f.withColumn(col, F.col(col).cast(t))
             out.append(f)
         return out
 
@@ -3165,6 +3252,13 @@ class Lakehouse:
                 }
                 for a in self._added_columns(schema, name, version)
             ],
+            # type-widened columns: files keep their narrow physical
+            # type (immutable), so consumers must CAST after the read
+            # — union_by_name unifies mixed generations on its own,
+            # but a table whose files are all still narrow would
+            # otherwise surface the narrow type.  Keyed by PHYSICAL
+            # name (pre-mapping), values are Spark/ANSI type names.
+            "widened_columns": self._widened(schema, name, version),
         }
         if write:
             mdir = os.path.join(
