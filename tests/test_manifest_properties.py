@@ -73,13 +73,16 @@ def _spark_rows(df) -> set[tuple]:
     }
 
 
-def _df(spark, rows, vcol="v"):
+def _df(spark, rows, vcol="v", vtype="float"):
     # Writers must speak the CURRENT logical schema: once the tape has
     # executed rename_column("v", "v2"), every later frame we hand to
     # append/merge must carry `v2` (the writer's logical→physical
     # translation maps it back to the physical `v` bytes on disk).
+    # v starts FLOAT so the tape's "widen" op (float→double) is legal;
+    # every v value is a small integer, so float32/float64 renderings
+    # agree and the string-compare replay stays exact.
     return spark.createDataFrame(
-        rows, f"id long, p string, {vcol} double"
+        rows, f"id long, p string, {vcol} {vtype}"
     )
 
 
@@ -94,11 +97,12 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
     )
     next_id = 1000
     renamed = False
+    widened = False
     for step in range(N_STEPS):
         vcol = "v2" if renamed else "v"
         op = rng.choice(
             ["append", "merge", "delete_cow", "delete_mor",
-             "update_mor", "compact", "add_col", "rename"]
+             "update_mor", "compact", "add_col", "rename", "widen"]
         )
         if op == "append":
             lake.append(
@@ -148,6 +152,12 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
         elif op == "rename" and not renamed:
             lake.rename_column(spark, "silver", "t", "v", "v2")
             renamed = True
+        elif op == "widen" and not widened:
+            # float→double over the live logical name; later narrow
+            # FLOAT frames from _df stay legal (reads upcast), and the
+            # manifest replay's union_by_name unifies generations
+            lake.widen_column_type(spark, "silver", "t", vcol, "double")
+            widened = True
 
         # contract at the CURRENT version: refuse or replay-exact
         try:
