@@ -115,6 +115,51 @@ def test_blocklist_drops_only_blocked_domains(spark):
     assert "EvalPython" not in plan
 
 
+def test_normalize_url_idempotent_property(spark):
+    """normalize(normalize(u)) == normalize(u) over generated URLs —
+    canonical forms must be fixed points, or URL-dedup keys drift
+    between pipeline runs that normalize different numbers of times.
+    One batched Spark job over the whole generated corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text("abcDEF123", min_size=1, max_size=6)
+    urls = st.builds(
+        lambda scheme, www, host, tld, port, path, params, frag: (
+            f"{scheme}://{'www.' if www else ''}{host}.{tld}"
+            f"{port}{path}"
+            + ("?" + "&".join(params) if params else "")
+            + frag
+        ),
+        st.sampled_from(["http", "HTTPS", "https"]),
+        st.booleans(),
+        label,
+        st.sampled_from(["com", "co.uk", "org", "io"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "/", "/a", "/a/b%20c"]),
+        st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "utm_source=x", "fbclid=y", "z="]
+            ),
+            max_size=3,
+        ),
+        st.sampled_from(["", "#f", "#a/b?c"]),
+    )
+
+    @given(st.lists(urls, min_size=1, max_size=25, unique=True))
+    @settings(max_examples=10, deadline=None)
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "u string")
+        rows = df.select(
+            normalize_url(F.col("u")).alias("once"),
+            normalize_url(normalize_url(F.col("u"))).alias("twice"),
+        ).collect()
+        for r in rows:
+            assert r["once"] == r["twice"], r
+
+    check()
+
+
 def test_url_dedup_via_normalization(spark):
     """The end shape: normalize → exact groupBy — URL-level dedup
     catches tracking-param/fragment twins raw strings miss."""
