@@ -100,6 +100,7 @@ def _load_all() -> None:
     from . import jsonl_suite  # noqa: F401
     from . import audio_suite  # noqa: F401
     from . import lakehouse_suite  # noqa: F401
+    from . import url_suite  # noqa: F401
     _loaded = True
     n = len(REGISTRY)
     assert n <= 50, f"registry has {n} queries; driver checks only 50"

@@ -243,20 +243,11 @@ def consult_gaps_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "haversine_pairs",
-    oracle=f"""
-    SELECT CAST(z1.n_nationkey AS BIGINT) AS zone_a,
-           CAST(z2.n_nationkey AS BIGINT) AS zone_b,
-           round({_DIST_SQL}, 4) AS distance_km
-    FROM nation z1 JOIN nation z2 ON z1.n_nationkey < z2.n_nationkey
-    ORDER BY zone_a, zone_b
-    """,
-    tags=("spatial", "J5"),
-)
 def haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-centroid distance matrix — st_distance_spheroid parity unit
-    (upper triangle only; the theta-join exercises range predicates)."""
+    (upper triangle only; the theta-join exercises range predicates).
+    Folded into `spatial_suite`'s `dist` part (was a standalone
+    registry row) to free a driver slot."""
     nation = load_table(spark, sf_dir, "nation")
     z1 = nation.select(
         F.col("n_nationkey").alias("ka"),
@@ -342,7 +333,7 @@ def _point_in_const_sql() -> str:
 
 
 @register(
-    "consult_polygon_intersects",
+    "spatial_suite",
     oracle=f"""
     WITH zones(zone_key, wkt) AS (VALUES {", ".join(
         f"({k}, '{w}')" for k, w in _ZONE_WKTS
@@ -360,29 +351,51 @@ def _point_in_const_sql() -> str:
                ({_point_in_const_sql()}) AS centroid_inside
         FROM parsed
     )
-    SELECT CAST(f.zone_key AS BIGINT) AS zone_id,
-           n.n_name AS zone_name,
-           f.intersects,
-           f.centroid_inside,
-           (f.intersects AND NOT f.centroid_inside) AS border_zone,
-           coalesce(c.n_customers, 0) AS n_customers
-    FROM flags f
-    JOIN nation n ON f.zone_key = n.n_nationkey
-    LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers
-               FROM customer GROUP BY 1) c
-      ON c.c_nationkey = f.zone_key
-    ORDER BY zone_id
+    SELECT * FROM (
+        SELECT 'poly' AS part,
+               CAST(f.zone_key AS BIGINT) AS zone_a,
+               CAST(NULL AS BIGINT) AS zone_b,
+               n.n_name AS zone_name,
+               f.intersects,
+               f.centroid_inside,
+               (f.intersects AND NOT f.centroid_inside) AS border_zone,
+               coalesce(c.n_customers, 0) AS n_customers,
+               CAST(NULL AS DOUBLE) AS distance_km
+        FROM flags f
+        JOIN nation n ON f.zone_key = n.n_nationkey
+        LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers
+                   FROM customer GROUP BY 1) c
+          ON c.c_nationkey = f.zone_key
+        UNION ALL
+        SELECT 'dist',
+               CAST(z1.n_nationkey AS BIGINT),
+               CAST(z2.n_nationkey AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN),
+               CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+               CAST(NULL AS BIGINT),
+               round({_DIST_SQL}, 4)
+        FROM nation z1 JOIN nation z2
+          ON z1.n_nationkey < z2.n_nationkey
+    )
+    ORDER BY part, zone_a, zone_b
     """,
-    tags=("J9", "spatial", "consultation"),
+    tags=("J9", "J5", "spatial", "consultation"),
 )
-def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True polygon×polygon ST_Intersects consultation
+def spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two spatial consultations in one labeled union (the former
+    `consult_polygon_intersects` plus the folded `haversine_pairs`,
+    merged to free a driver slot):
+
+    `poly`: true polygon×polygon ST_Intersects consultation
     (mobility_consultations.py:66-68,153-154 filters zone POLYGONS
     against the query polygon): every zone is flagged with the full
     intersection test AND the centroid approximation, exposing the
     border zones where the two disagree.  All pure Column exprs —
     WKT parse via regexp, ray-cast + edge-crossing via higher-order
-    array functions; the zone dim is broadcast."""
+    array functions; the zone dim is broadcast.
+    `dist`: the zone-centroid haversine distance matrix (upper
+    triangle; st_distance_spheroid parity unit) — zone_a/zone_b ids
+    with distance_km."""
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
     zones = spark.createDataFrame(
@@ -403,7 +416,8 @@ def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_zone = customer.groupBy(
         F.col("c_nationkey").alias("ckey")
     ).agg(F.count(F.lit(1)).alias("n_customers"))
-    return (
+    null_b = F.lit(None).cast("boolean")
+    poly_part = (
         broadcast(flags)
         .join(
             broadcast(nation),
@@ -411,7 +425,9 @@ def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(per_zone, F.col("zone_id") == F.col("ckey"), "left")
         .select(
-            "zone_id",
+            F.lit("poly").alias("part"),
+            F.col("zone_id").alias("zone_a"),
+            F.lit(None).cast("long").alias("zone_b"),
             F.col("n_name").alias("zone_name"),
             "intersects",
             "centroid_inside",
@@ -421,8 +437,22 @@ def consult_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_customers"), F.lit(0)).alias(
                 "n_customers"
             ),
+            F.lit(None).cast("double").alias("distance_km"),
         )
-        .orderBy("zone_id")
+    )
+    dist_part = haversine_pairs(spark, sf_dir).select(
+        F.lit("dist").alias("part"),
+        "zone_a",
+        "zone_b",
+        F.lit(None).cast("string").alias("zone_name"),
+        null_b.alias("intersects"),
+        null_b.alias("centroid_inside"),
+        null_b.alias("border_zone"),
+        F.lit(None).cast("long").alias("n_customers"),
+        "distance_km",
+    )
+    return poly_part.unionByName(dist_part).orderBy(
+        "part", "zone_a", "zone_b"
     )
 
 
