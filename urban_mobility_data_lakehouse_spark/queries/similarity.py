@@ -267,7 +267,13 @@ def ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine_sim").alias("score"),
         "rank",
     )
-    pq_part = pq.knn_pq(emb, n_queries=10, k=3).select(
+    # codebooks via the pyarrow twin (bit-identical to the Spark-
+    # sampled trainer, memoized per sf_dir) — skips the per-build
+    # orderBy+limit+toPandas sampling job, the knn_ivf pattern
+    pq_part = pq.knn_pq(
+        emb, n_queries=10, k=3,
+        codebooks=pq.train_pq_from_parquet(sf_dir),
+    ).select(
         F.lit("pq").alias("part"),
         "query_id",
         "neighbor_id",

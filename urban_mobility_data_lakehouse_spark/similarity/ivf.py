@@ -109,6 +109,10 @@ def train_centroids(
     return lloyd(x, n_cells=n_cells, seed=seed, n_iter=n_iter)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def train_centroids_from_parquet(
     sf_dir: str,
     n_cells: int = 16,
@@ -120,7 +124,13 @@ def train_centroids_from_parquet(
     reads `embeddings.parquet` with pyarrow, takes the same
     lowest-vec_id sample, and runs the same `lloyd`.  float32→float64
     widening is exact, so both paths see identical inputs and produce
-    bit-identical centroids."""
+    bit-identical centroids.
+
+    Memoized per argument tuple (training is pure of `sf_dir`'s
+    bytes): every consumer — the knn_ivf/semdedup builders, their
+    oracle generators, bench reps — retrains the identical quantizer
+    otherwise.  Callers must not mutate the returned lists (none do).
+    """
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -83,6 +83,10 @@ def train_pq(
     ]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
 def train_pq_from_parquet(
     sf_dir: str,
     m: int = M,
@@ -92,7 +96,9 @@ def train_pq_from_parquet(
     n_iter: int = 10,
 ) -> list[list[list[float]]]:
     """Spark-free twin of `train_pq` (pyarrow read, stable lowest-vec_id
-    sample, identical `lloyd`) — bit-identical codebooks, for oracles."""
+    sample, identical `lloyd`) — bit-identical codebooks, for oracles.
+    Memoized per argument tuple (pure of the file bytes, same contract
+    as `ivf.train_centroids_from_parquet`); callers must not mutate."""
     import numpy as np
     import pyarrow.parquet as pq_
 
