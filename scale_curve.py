@@ -129,6 +129,8 @@ LADDER_QUERIES = (
     "exact_dup_groups",
     "embedding_near_dups",
     "text_pairs_suite",
+    "jsonl_corrupt_lane",
+    "url_curation",
 )
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's
@@ -138,6 +140,8 @@ LADDER_QUERIES = (
 # the oracle gate owns correctness.
 EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
     "sf0.001": {
+        "jsonl_corrupt_lane": 10,
+        "url_curation": 505,
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
@@ -145,6 +149,8 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "text_pairs_suite": 14518,
     },
     "sf0.01": {
+        "jsonl_corrupt_lane": 10,
+        "url_curation": 505,
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
@@ -152,6 +158,8 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "text_pairs_suite": 14182,
     },
     "sf0.1": {
+        "jsonl_corrupt_lane": 10,
+        "url_curation": 5005,
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
