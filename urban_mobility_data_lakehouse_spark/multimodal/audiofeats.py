@@ -30,6 +30,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .binaryops import decode_wav
@@ -40,6 +41,8 @@ __all__ = [
     "clip_stats",
     "frame_features",
     "audio_fingerprint",
+    "frame_bits",
+    "audio_near_dups",
 ]
 
 
@@ -276,4 +279,134 @@ def audio_fingerprint(
             "media_id long, sig string, fingerprint string, "
             "n_frames int"
         ),
+    )
+
+
+def frame_bits(
+    media: DataFrame,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    max_frames: int = 64,
+) -> DataFrame:
+    """(media_id, frame_no, bits) — the per-frame energy-delta bit
+    words of `audio_fingerprint`, one BIGINT per frame transition
+    (frame_no 0 = the anchor word encoding frame 0's spectral shape).
+    The exploded form is what sub-fingerprint SEARCH needs: Haitsma &
+    Kalker match clips by looking up exact word hits, then verifying
+    the bit-error rate over the aligned sequences — `audio_near_dups`
+    below is exactly that, Spark-shaped."""
+
+    def _bits(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav(bytes(payload))
+                m = _frame_matrix(
+                    rate, pcm_to_float(samples), frame_len, hop, n_bands
+                )
+                energy = m[:, 3:]
+                if energy.shape[0] == 0:
+                    continue
+                anchor = np.append(
+                    energy[0, :-1] > energy[0, 1:], False
+                )
+                words = [anchor] + list(
+                    (energy[1:] > energy[:-1])[:max_frames]
+                )
+                for t, row in enumerate(words):
+                    val = 0
+                    for b in row:
+                        val = (val << 1) | int(b)
+                    out.append((int(mid), t, val))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_no", "bits"]
+            )
+
+    return media.mapInPandas(
+        _bits, schema="media_id long, frame_no int, bits long"
+    )
+
+
+def audio_near_dups(
+    media: DataFrame,
+    max_ber: float = 0.15,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_bands: int = 8,
+    max_frames: int = 64,
+) -> DataFrame:
+    """(media_a, media_b, n_frames, ber) for clip pairs whose
+    fingerprints agree within a bit-error rate — the robust-hash
+    near-match of Haitsma & Kalker 2002, Spark-shaped:
+
+      1. candidates = pairs sharing at least one EXACT per-frame bit
+         word at the same frame_no (their sub-fingerprint lookup as a
+         (frame_no, bits) equi-join — a perturbed copy keeps most
+         words intact, so some word collides; unrelated clips collide
+         on a word only by chance and are killed by the verify);
+      2. verify = both clips' word sequences zipped row-locally, BER =
+         Σ popcount(xor) / (n_words · n_bands), kept when ≤ max_ber.
+
+    No all-pairs product anywhere; the verify joins two |clips|-bounded
+    array rows per CANDIDATE pair only.  Same-length clips only (the
+    fixed-grid fingerprint; time-offset search would slide the window
+    server-side, out of scope here)."""
+    bits = frame_bits(
+        media, frame_len=frame_len, hop=hop,
+        n_bands=n_bands, max_frames=max_frames,
+    ).localCheckpoint(eager=False)
+    cand = (
+        bits.select(
+            F.col("media_id").alias("media_a"), "frame_no", "bits"
+        )
+        .join(
+            bits.select(
+                F.col("media_id").alias("media_b"), "frame_no", "bits"
+            ),
+            ["frame_no", "bits"],
+        )
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b")
+        .distinct()
+    )
+    seqs = bits.groupBy("media_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("frame_no", "bits"))
+        ).alias("_sw")
+    ).select(
+        "media_id",
+        F.transform(F.col("_sw"), lambda s: s["bits"]).alias("words"),
+    )
+    a = seqs.select(
+        F.col("media_id").alias("media_a"), F.col("words").alias("wa")
+    )
+    b = seqs.select(
+        F.col("media_id").alias("media_b"), F.col("words").alias("wb")
+    )
+    diff_bits = F.aggregate(
+        F.zip_with(
+            "wa", "wb",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(a, "media_a")
+        .join(b, "media_b")
+        .filter(F.size("wa") == F.size("wb"))  # fixed-grid contract
+        .select(
+            "media_a",
+            "media_b",
+            F.size("wa").alias("n_frames"),
+            F.round(
+                diff_bits / (F.size("wa") * F.lit(n_bands)), 4
+            ).alias("ber"),
+        )
+        .filter(F.col("ber") <= max_ber)
+        .orderBy("media_a", "media_b")
     )
