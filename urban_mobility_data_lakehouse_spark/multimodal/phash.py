@@ -112,6 +112,31 @@ def image_phash(media: DataFrame) -> DataFrame:
     )
 
 
+def hash_bands(hashed: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, h, band, key): a 64-bit hash column split into r-bit
+    exact-match keys — by pigeonhole any pair within Hamming < n_bands
+    shares at least one band.  Shared by the batch near-dup map below
+    and the incremental index (`phash_index.ImageDupIndex`)."""
+    r = HASH_BITS // n_bands
+    return hashed.select(
+        F.col(id_col),
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("h"), (n_bands - 1 - b) * r
+                        ).bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "h", "bk.band", "bk.key")
+
+
 def phash_near_dups(
     media: DataFrame, max_hamming: int = 3, n_bands: int = N_BANDS
 ) -> DataFrame:
@@ -129,27 +154,10 @@ def phash_near_dups(
             f"banding guarantees recall only for max_hamming < n_bands "
             f"({max_hamming} >= {n_bands}): raise n_bands"
         )
-    r = HASH_BITS // n_bands
     hashed = image_phash(media).select(
         "media_id", F.conv("phash", 16, 10).cast("long").alias("h")
     )
-    bands = hashed.select(
-        "media_id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.col("h"), (n_bands - 1 - b) * r
-                        ).bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("media_id", "h", "bk.band", "bk.key")
+    bands = hash_bands(hashed, "media_id", n_bands)
     a = bands.select(
         F.col("media_id").alias("media_a"),
         F.col("h").alias("ha"),

@@ -26,32 +26,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.lakehouse import Lakehouse
-from .phash import HASH_BITS, N_BANDS, image_phash
+from .phash import N_BANDS, hash_bands, image_phash
 
 BATCH_COL = "ingest_batch"
-
-
-def _bands(hashed: DataFrame, id_col: str, n_bands: int) -> DataFrame:
-    """(id, h, band, key): the hash split into r-bit exact-match keys —
-    by pigeonhole any pair within Hamming < n_bands shares a band."""
-    r = HASH_BITS // n_bands
-    return hashed.select(
-        F.col(id_col),
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.col("h"), (n_bands - 1 - b) * r
-                        ).bitwiseAND(F.lit((1 << r) - 1)).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "h", "bk.band", "bk.key")
 
 
 class ImageDupIndex:
@@ -112,12 +89,12 @@ class ImageDupIndex:
                     new.select("media_id"), "media_id", "left_anti"
                 )
             )
-        probe = _bands(
+        probe = hash_bands(
             new.withColumnRenamed("media_id", "probe_id"),
             "probe_id",
             self.n_bands,
         ).withColumnRenamed("h", "hp")
-        target = _bands(
+        target = hash_bands(
             corpus.withColumnRenamed("media_id", "target_id"),
             "target_id",
             self.n_bands,
