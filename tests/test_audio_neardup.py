@@ -78,6 +78,53 @@ def test_perturbed_copy_found_exact_copy_found_strangers_not(spark):
         assert (a, b) in {(0, 10), (1, 11)}, got
 
 
+def test_incremental_index_matches_full_recompute(spark, tmp_path):
+    """AudioDupIndex: per-batch pair unions must equal the full-corpus
+    audio_near_dups across batch splits, no pair emitted twice, and a
+    crash-retry replay of a batch is idempotent."""
+    from urban_mobility_data_lakehouse_spark.multimodal.audio_index import (
+        AudioDupIndex,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    media = _corpus(spark)
+    full = {
+        (r["media_a"], r["media_b"]): r["ber"]
+        for r in audio_near_dups(media, max_ber=0.15).collect()
+    }
+    assert full
+    for split in ([(0, 5), (5, 100)], [(0, 1), (1, 11), (11, 100)]):
+        lake = Lakehouse(
+            str(tmp_path / f"lake{split[0][1]}_{len(split)}")
+        )
+        lake.create_schemas("gold")
+        idx = AudioDupIndex(lake, max_ber=0.15)
+        got: dict = {}
+        for k, (lo, hi) in enumerate(split):
+            batch = media.filter(
+                (media.media_id >= lo) & (media.media_id < hi)
+            )
+            emitted = {
+                (r["media_a"], r["media_b"]): r["ber"]
+                for r in idx.ingest(spark, batch, f"b{k}").collect()
+            }
+            assert not set(emitted) & set(got), "pair emitted twice"
+            got.update(emitted)
+        assert got == full, split
+    # retry idempotence on the last lake/batch
+    again = {
+        (r["media_a"], r["media_b"]): r["ber"]
+        for r in idx.ingest(
+            spark,
+            media.filter(media.media_id >= 11),
+            f"b{len(split) - 1}",
+        ).collect()
+    }
+    assert again == emitted
+
+
 def test_candidates_are_equi_join_not_all_pairs(spark):
     media = _corpus(spark)
     out = audio_near_dups(media, max_ber=0.15)
