@@ -131,3 +131,63 @@ def test_candidates_are_equi_join_not_all_pairs(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_streaming_ingest_persists_pairs(spark, tmp_path):
+    """AudioDupIndex.streaming_ingest: foreachBatch micro-batches
+    drain into the index exactly-once — the persisted `<name>_pairs`
+    log equals the full-corpus recompute (detected pairs must NOT be
+    silently dropped), and a restart from the same checkpoint
+    processes nothing new."""
+    from urban_mobility_data_lakehouse_spark.multimodal.audio_index import (
+        AudioDupIndex,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    media = _corpus(spark)
+    full = {
+        (r["media_a"], r["media_b"]): r["ber"]
+        for r in audio_near_dups(media, max_ber=0.15).collect()
+    }
+    assert full
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    # slice0 holds the (0,10) pair, slice1 adds (1,11) — BOTH
+    # micro-batches must log pairs
+    for k, (lo, hi) in enumerate([(0, 11), (11, 100)]):
+        media.filter(
+            (media.media_id >= lo) & (media.media_id < hi)
+        ).coalesce(1).write.parquet(str(stream_dir / f"slice{k}"))
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("gold")
+    idx = AudioDupIndex(lake, max_ber=0.15)
+
+    def _stream():
+        return (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir) + "/slice*")
+        )
+
+    q = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    logged = idx.pairs(spark)
+    got = {
+        (r["media_a"], r["media_b"]): r["ber"]
+        for r in logged.collect()
+    }
+    assert got == full
+    assert logged.select("ingest_batch").distinct().count() == 2
+    n_index = idx.state(spark).count()
+    assert n_index == media.count()
+
+    # restart with the same checkpoint: nothing re-processed
+    q2 = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    assert idx.state(spark).count() == n_index
+    assert logged.count() == len(got)

@@ -71,3 +71,48 @@ def test_reingest_is_idempotent(spark, tmp_path):
         lake.read(spark, "gold", "embedding_index").count()
         == emb.count()
     )
+
+
+def test_streaming_ingest_persists_pairs(spark, tmp_path):
+    """foreachBatch micro-batches drain into the index exactly-once:
+    the persisted `<name>_pairs` log equals the full-corpus recompute
+    (the detected pairs must NOT be silently dropped), and a restart
+    from the same checkpoint processes nothing new."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    full = _pairs(banded_near_dups(emb, threshold=0.45))
+    assert full, "corpus must contain banded near-dup pairs"
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for k in range(3):
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+            str(stream_dir / f"slice{k}")
+        )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("gold")
+    idx = EmbeddingDupIndex(lake, threshold=0.45)
+
+    def _stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir) + "/slice*")
+        )
+
+    q = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    logged = idx.pairs(spark)
+    assert _pairs(logged) == full  # ids AND rounded cosines
+    assert logged.select("ingest_batch").distinct().count() >= 2
+    n_index = idx.state(spark).count()
+    assert n_index == emb.count()
+
+    # restart with the same checkpoint: nothing re-processed
+    q2 = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    assert idx.state(spark).count() == n_index
+    assert _pairs(idx.pairs(spark)) == full

@@ -103,3 +103,49 @@ def test_guard(tmp_path):
         ImageDupIndex(
             Lakehouse(str(tmp_path / "l")), max_hamming=4, n_bands=4
         )
+
+
+def test_streaming_ingest_persists_pairs(spark, tmp_path):
+    """foreachBatch micro-batches drain into the index exactly-once:
+    the persisted `<name>_pairs` log equals the full-corpus recompute
+    (the detected pairs must NOT be silently dropped), and a restart
+    from the same checkpoint processes nothing new."""
+    media = _corpus(spark)
+    full = _pairs(phash_near_dups(media, max_hamming=3))
+    assert full, "fixture must contain near-dup pairs"
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    # slice0 holds the 8+100 and 1+101 pairs, slice1 adds 2+102 —
+    # BOTH micro-batches must log pairs
+    for k, (lo, hi) in enumerate([(0, 102), (102, 200)]):
+        media.filter(
+            (media.media_id >= lo) & (media.media_id < hi)
+        ).coalesce(1).write.parquet(str(stream_dir / f"slice{k}"))
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("gold")
+    idx = ImageDupIndex(lake, max_hamming=3)
+
+    def _stream():
+        return (
+            spark.readStream.schema(media.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir) + "/slice*")
+        )
+
+    q = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    logged = idx.pairs(spark)
+    got = _pairs(logged)
+    assert got == full
+    assert logged.select("ingest_batch").distinct().count() == 2
+    n_index = idx.state(spark).count()
+    assert n_index == media.count()
+
+    # restart with the same checkpoint: nothing re-processed
+    q2 = idx.streaming_ingest(spark, _stream(), str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    assert idx.state(spark).count() == n_index
+    assert _pairs(idx.pairs(spark)) == full

@@ -7,47 +7,31 @@ data pipeline receives a crawl slice per day and must answer "which of
 these documents near-duplicate anything we already have (or each
 other)?" in time proportional to the BATCH, not the corpus.  The
 batch-mode `dedup.minhash.near_duplicates` recomputes signatures for
-every document on every run; this module persists them once:
+every document on every run; this index persists them once:
 
   index table (Lakehouse, partitioned by ingest batch):
       doc_id, hs ARRAY<LONG>   -- hashed-shingle set (exact verify)
       m0..m15 BIGINT           -- MinHash signature (LSH banding)
 
-  ingest(batch) =
-      1. shingle + sign the new docs only          (row-local)
-      2. LSH-probe: band-key equi-join of the new docs' bands against
-         index ∪ batch bands                       (the only shuffle)
-      3. verify candidates with exact hashed-shingle Jaccard,
-         row-local array_intersect — same geometry, same seeds, same
-         rounding as the batch path                (codegen)
-      4. commit the new signatures as a partition overwrite keyed by
-         batch id — so RE-running a batch replaces its partition
-         instead of duplicating it (idempotent retries for free)
+This is the text adapter of the shared engine
+(`dedup.banded_index.BandedDupIndex` — see its docstring for the
+sign → band-probe → verify → idempotent-commit skeleton, the
+exactness contract, and the scale notes; the image / audio / embedding
+modalities are `multimodal.phash_index.ImageDupIndex`,
+`multimodal.audio_index.AudioDupIndex`, and
+`similarity.incremental.EmbeddingDupIndex`).  The hooks here:
 
-Exactness contract (tested): ingesting batches B₁…Bₖ in any split and
-unioning the returned pair frames yields EXACTLY
-`near_duplicates(B₁ ∪ … ∪ Bₖ)` — every qualifying pair is emitted
-exactly once, by the batch where its LATER document arrived.  That
-holds because a cross-batch pair (new, old) can only be found once
-`new` exists, and a within-batch pair is found by probing the batch
-against itself.
+  _sign    shingle + MinHash the new docs only, fully row-local
+           (array_min over the permuted hash array ≡ the batch path's
+           grouped MIN, without its explode → groupBy shuffles)
+  _band    md5 band keys over signature rows (`minhash.band_keys`)
+  _verify  exact hashed-shingle Jaccard via row-local array_intersect
+           — same geometry, same seeds, same rounding as the batch
+           path, so emitted rows are bit-equal to `near_duplicates`
 
-Scale notes: the probe joins |batch|×BANDS band rows against the
-index's — Spark/AQE broadcasts the batch side when it is small, so
-the index is scanned but never shuffled.  For corpora where even the
-scan dominates, bucket the index by band_key (`save_bucketed`) to
-make the probe shuffle-free on the index side; the lakehouse-
-partition-per-batch layout here instead optimizes the write path
-(append-only history, idempotent re-ingest, time travel over index
-growth).  Storing `hs` trades storage (~|shingles| longs per doc) for
-exact verification — drop the column and the `jaccard` filter to run
+Storing `hs` trades storage (~|shingles| longs per doc) for exact
+verification — drop the column and the `jaccard` filter to run
 signature-estimate-only at lower storage cost.
-
-Reference scope note: the reference engine has no dedup surface at
-all (this whole family is beyond-reference, per BASELINE.json); the
-incremental shape mirrors how its daily partition upserts work
-(mobility_ingestion_pipeline.py's day loop) applied to the dedup
-problem.
 """
 
 from __future__ import annotations
@@ -56,6 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.lakehouse import Lakehouse
+from .banded_index import BATCH_COL, BandedDupIndex
 from .minhash import (
     P31,
     SEEDS,
@@ -63,11 +48,14 @@ from .minhash import (
     doc_shingle_arrays,
 )
 
-BATCH_COL = "ingest_batch"
+__all__ = ["BATCH_COL", "NearDupIndex"]
 
 
-class NearDupIndex:
+class NearDupIndex(BandedDupIndex):
     """Persistent MinHash+LSH index over a Lakehouse table."""
+
+    id_col = "doc_id"
+    pair_prefix = "doc"
 
     def __init__(
         self,
@@ -76,30 +64,13 @@ class NearDupIndex:
         name: str = "minhash_index",
         threshold: float = 0.5,
     ):
-        self.lake = lake
-        self.schema = schema
-        self.name = name
+        super().__init__(lake, schema=schema, name=name)
         self.threshold = threshold
-
-    # -- index state -------------------------------------------------------
-
-    def _existing(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return self.lake.read(spark, self.schema, self.name)
-        except FileNotFoundError:
-            return None  # first batch bootstraps the table
 
     def signatures(self, spark: SparkSession) -> DataFrame:
         """The index as (doc_id, hs, m0.., ingest_batch) — versioned,
         time-travelable like any lakehouse table."""
-        df = self._existing(spark)
-        if df is None:
-            raise FileNotFoundError(
-                f"{self.schema}.{self.name}: no batches ingested yet"
-            )
-        return df
-
-    # -- ingest ------------------------------------------------------------
+        return self.state(spark)
 
     @staticmethod
     def _sign(batch_docs: DataFrame) -> DataFrame:
@@ -120,65 +91,18 @@ class NearDupIndex:
         ]
         return hs.select("doc_id", "hs", *sig_cols)
 
-    def ingest(
-        self,
-        spark: SparkSession,
-        batch_docs: DataFrame,
-        batch_id: str,
-    ) -> DataFrame:
-        """Detect near-dups of `batch_docs` against the corpus-so-far
-        plus the batch itself, then commit the batch's signatures.
-
-        Returns (doc_a, doc_b, jaccard) with doc_a < doc_b — exactly
-        the rows `near_duplicates` would emit for these pairs.  The
-        returned frame's scan set is frozen BEFORE the commit, so
-        collecting it after ingest() returns does not double-read the
-        batch.  Re-ingesting the same batch_id replaces the partition
-        (idempotent) and re-emits the same pairs.
-        """
-        # localCheckpoint: GC-cleaned, unlike a CacheManager entry
-        new = self._sign(batch_docs).localCheckpoint(eager=False)
-        existing = self._existing(spark)
-        sig_cols = [c for c in new.columns if c.startswith("m")]
-        if existing is None:
-            corpus = new.select("doc_id", "hs", *sig_cols)
-        else:
-            # a re-ingested doc REPLACES its indexed copy (otherwise a
-            # crash-retry would pair every batch doc with its own stale
-            # twin and double every verify row)
-            corpus = new.select("doc_id", "hs", *sig_cols).unionByName(
-                existing.select("doc_id", "hs", *sig_cols).join(
-                    new.select("doc_id"), "doc_id", "left_anti"
-                )
-            )
-
-        # LSH probe: batch bands × corpus bands (AQE broadcasts the
-        # batch side when small → the index is scanned, never shuffled)
-        probe = band_keys(new.select("doc_id", *sig_cols)).select(
-            F.col("doc_id").alias("probe_id"), "band_id", "band_key"
-        )
-        target = band_keys(corpus.select("doc_id", *sig_cols)).select(
-            F.col("doc_id").alias("target_id"), "band_id", "band_key"
-        )
-        cand = (
-            probe.join(target, ["band_id", "band_key"])
-            .filter(F.col("probe_id") != F.col("target_id"))
-            .select(
-                F.least("probe_id", "target_id").alias("doc_a"),
-                F.greatest("probe_id", "target_id").alias("doc_b"),
-            )
-            .distinct()
+    def _band(self, signed: DataFrame, id_alias: str) -> DataFrame:
+        sig_cols = [c for c in signed.columns if c.startswith("m")]
+        return band_keys(signed.select("doc_id", *sig_cols)).select(
+            F.col("doc_id").alias(id_alias),
+            F.col("band_id").alias("band"),
+            F.col("band_key").alias("key"),
         )
 
-        # exact verify — identical expression chain to the batch path
-        # (filter before rounding), so emitted rows are bit-equal
-        a = corpus.select(
-            F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")
-        )
-        b = corpus.select(
-            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")
-        )
-        joined = cand.join(a, "doc_a").join(b, "doc_b").select(
+    def _verify(self, joined: DataFrame) -> DataFrame:
+        # identical expression chain to the batch path (filter before
+        # rounding), so emitted rows are bit-equal to `near_duplicates`
+        sized = joined.select(
             "doc_a",
             "doc_b",
             F.size(F.array_intersect("hs_a", "hs_b")).alias("n_common"),
@@ -188,66 +112,6 @@ class NearDupIndex:
         jaccard = F.col("n_common") / (
             F.col("n_a") + F.col("n_b") - F.col("n_common")
         )
-        pairs = (
-            joined.filter(jaccard >= self.threshold)
-            .select("doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard"))
-            .orderBy("doc_a", "doc_b")
-        )
-
-        self.lake.overwrite_partitions(
-            new.withColumn(BATCH_COL, F.lit(str(batch_id))),
-            self.schema,
-            self.name,
-            partition_col=BATCH_COL,
-        )
-        return pairs
-
-    # -- persisted pair log + streaming ingest -----------------------------
-
-    def ingest_and_log(
-        self, spark: SparkSession, batch_docs: DataFrame, batch_id: str
-    ) -> None:
-        """`ingest`, then persist the emitted pairs to a companion
-        `<name>_pairs` table — ALSO partitioned by batch id, so a
-        replayed batch rewrites its own pair slice instead of appending
-        duplicates.  Index commit and pair commit are two idempotent
-        writes keyed by the same batch id: any crash-retry converges."""
-        pairs = self.ingest(spark, batch_docs, batch_id)
-        self.lake.overwrite_partitions(
-            pairs.withColumn(BATCH_COL, F.lit(str(batch_id))),
-            self.schema,
-            f"{self.name}_pairs",
-            partition_col=BATCH_COL,
-        )
-
-    def pairs(self, spark: SparkSession) -> DataFrame:
-        """Every near-dup pair ever emitted (doc_a, doc_b, jaccard,
-        ingest_batch) — by the exactness contract, equal to a full-
-        corpus `near_duplicates` over everything ingested."""
-        return self.lake.read(spark, self.schema, f"{self.name}_pairs")
-
-    def streaming_ingest(
-        self,
-        spark: SparkSession,
-        stream_docs: DataFrame,
-        checkpoint_dir: str,
-    ):
-        """Deduplicate a document STREAM against all history: each
-        micro-batch becomes one index batch (`foreachBatch`, the
-        standard Structured-Streaming-to-lakehouse bridge).  Exactly-
-        once composition: the checkpoint makes batch ids stable across
-        restarts, and both writes are idempotent per batch id — a
-        replayed micro-batch overwrites its own partitions.  Returns
-        the started query (AvailableNow trigger: drain-and-stop, the
-        daily-ingest shape; hand a different trigger to the returned
-        builder pattern if continuous)."""
-
-        def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.ingest_and_log(spark, batch_df, batch_id=f"mb{batch_id}")
-
-        return (
-            stream_docs.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
+        return sized.filter(jaccard >= self.threshold).select(
+            "doc_a", "doc_b", F.round(jaccard, 4).alias("jaccard")
         )

@@ -1,38 +1,45 @@
-"""Incremental image near-dup index: the pHash twin of
-`dedup/incremental.NearDupIndex` — each NEW batch of images is checked
-against every image ever ingested in time proportional to the BATCH,
-not the corpus.
+"""Incremental image near-dup index: the pHash adapter of the shared
+engine (`dedup.banded_index.BandedDupIndex` — see its docstring for
+the sign → band-probe → verify → idempotent-commit skeleton and the
+exactness contract) — each NEW batch of images is checked against
+every image ever ingested in time proportional to the BATCH, not the
+corpus.
 
 Index table (Lakehouse, partitioned by ingest batch):
     media_id BIGINT, h BIGINT (the 63-bit pHash), ingest_batch STRING
 
-ingest(batch) = hash the new images only (row-local Arrow over the
-real decoders) → band-probe the new hashes against index ∪ batch
-(the only shuffle; AQE broadcasts the batch side) → verify candidates
-with one row-local xor/popcount → commit the batch's hashes as a
-partition overwrite keyed by batch id (re-running a batch replaces
-its partition: idempotent retries for free).
+The hooks here:
+
+  _sign    pHash the new images only (row-local Arrow over the real
+           stdlib decoders), stored as one 63-bit long
+  _band    r-bit exact-match band keys over the hash
+           (`phash.hash_bands`) — by pigeonhole any pair within
+           Hamming < n_bands shares at least one band
+  _verify  one row-local xor/popcount; keep pairs ≤ max_hamming
 
 Exactness contract (tested): ingesting batches B₁…Bₖ in any split and
 unioning the returned pair frames yields EXACTLY
 `phash_near_dups(B₁ ∪ … ∪ Bₖ)` — every qualifying pair emitted once,
-by the batch where its LATER image arrived (probe side = new images
-only, so settled old-old pairs can never re-emit).
+by the batch where its LATER image arrived.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
+from ..dedup.banded_index import BATCH_COL, BandedDupIndex
 from ..sources.lakehouse import Lakehouse
 from .phash import N_BANDS, hash_bands, image_phash
 
-BATCH_COL = "ingest_batch"
+__all__ = ["BATCH_COL", "ImageDupIndex"]
 
 
-class ImageDupIndex:
+class ImageDupIndex(BandedDupIndex):
     """Persistent pHash index over a Lakehouse table."""
+
+    id_col = "media_id"
+    pair_prefix = "media"
 
     def __init__(
         self,
@@ -47,98 +54,29 @@ class ImageDupIndex:
                 "banding guarantees recall only for max_hamming < "
                 f"n_bands ({max_hamming} >= {n_bands})"
             )
-        self.lake = lake
-        self.schema = schema
-        self.name = name
+        super().__init__(lake, schema=schema, name=name)
         self.max_hamming = max_hamming
         self.n_bands = n_bands
 
-    def _existing(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return self.lake.read(spark, self.schema, self.name)
-        except FileNotFoundError:
-            return None  # first batch bootstraps the table
-
-    def ingest(
-        self,
-        spark: SparkSession,
-        batch_media: DataFrame,
-        batch_id: str,
-    ) -> DataFrame:
-        """Detect near-dups of `batch_media` (media_id, payload)
-        against the corpus-so-far plus the batch itself, then commit
-        the batch's hashes.  Returns (media_a, media_b, hamming) with
-        media_a < media_b — exactly the rows `phash_near_dups` would
-        emit for these pairs."""
-        new = (
-            image_phash(batch_media)
-            .select(
-                "media_id",
-                F.conv("phash", 16, 10).cast("long").alias("h"),
-            )
-            .localCheckpoint(eager=False)
+    @staticmethod
+    def _sign(batch_media: DataFrame) -> DataFrame:
+        return image_phash(batch_media).select(
+            "media_id",
+            F.conv("phash", 16, 10).cast("long").alias("h"),
         )
-        existing = self._existing(spark)
-        if existing is None:
-            corpus = new
-        else:
-            # a re-ingested image REPLACES its indexed copy (a crash
-            # retry must not pair a batch image with its stale twin)
-            corpus = new.unionByName(
-                existing.select("media_id", "h").join(
-                    new.select("media_id"), "media_id", "left_anti"
-                )
-            )
-        probe = hash_bands(
-            new.withColumnRenamed("media_id", "probe_id"),
-            "probe_id",
+
+    def _band(self, signed: DataFrame, id_alias: str) -> DataFrame:
+        return hash_bands(
+            signed.withColumnRenamed("media_id", id_alias),
+            id_alias,
             self.n_bands,
-        ).withColumnRenamed("h", "hp")
-        target = hash_bands(
-            corpus.withColumnRenamed("media_id", "target_id"),
-            "target_id",
-            self.n_bands,
-        ).withColumnRenamed("h", "ht")
-        pairs = (
-            probe.join(target, ["band", "key"])
-            .filter(F.col("probe_id") != F.col("target_id"))
-            .select(
-                F.least("probe_id", "target_id").alias("media_a"),
-                F.greatest("probe_id", "target_id").alias("media_b"),
-                F.bit_count(
-                    F.col("hp").bitwiseXOR(F.col("ht"))
-                ).alias("hamming"),
-            )
-            .filter(F.col("hamming") <= self.max_hamming)
-            .distinct()
-            .orderBy("media_a", "media_b")
-        )
-        self.lake.overwrite_partitions(
-            new.withColumn(BATCH_COL, F.lit(str(batch_id))),
-            self.schema,
-            self.name,
-            partition_col=BATCH_COL,
-        )
-        return pairs
+        ).select(id_alias, "band", "key")
 
-    def streaming_ingest(
-        self,
-        spark: SparkSession,
-        stream_media: DataFrame,
-        checkpoint_dir: str,
-    ):
-        """Deduplicate an image STREAM against all history — each
-        micro-batch becomes one index batch (`foreachBatch`); the
-        checkpoint keeps batch ids stable across restarts and the
-        partition overwrite is idempotent per batch id, so replays
-        converge (the `NearDupIndex.streaming_ingest` composition)."""
-
-        def _sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.ingest(spark, batch_df, batch_id=f"mb{batch_id}")
-
-        return (
-            stream_media.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+    def _verify(self, joined: DataFrame) -> DataFrame:
+        return joined.select(
+            "media_a",
+            "media_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).alias("hamming"),
+        ).filter(F.col("hamming") <= self.max_hamming)
