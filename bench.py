@@ -151,11 +151,11 @@ def main() -> None:
     # the zero-exchange join, not the table build, exactly as the
     # query's own docstring frames it.
     from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
-        ensure_bucketed_facts,
+        prepare,
     )
 
     t0 = time.perf_counter()
-    ensure_bucketed_facts(spark, sf_dir)
+    prepare(spark, sf_dir)
     # reported separately (not inside any query's timing, not in the
     # total): cross-framework comparisons must grant the baseline the
     # same pre-built layout, or add this back — see SCALE.md
@@ -164,22 +164,32 @@ def main() -> None:
     expected = EXPECTED_ROWS.get(sf, {})
     specs_items = sorted(specs.items())
     timings: dict[str, float] = {}
+    timings_mean: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     row_mismatches: dict[str, str] = {}
     total = 0.0
+    total_mean = 0.0
     # min over reps — the same noise-robust estimator scale_curve.py
     # uses (this sandbox shows transient host-contention bursts; the
     # minimum approximates the uncontended run).  Disclosed in the
-    # JSON via "reps"; set SPARK_GRAFT_BENCH_REPS=1 for single-shot.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # JSON via "reps"; mean and the rep-1 (cold: later reps benefit
+    # from warmed caches) walls are ALSO emitted so cross-round totals
+    # compare like-for-like under any estimator.  Set
+    # SPARK_GRAFT_BENCH_REPS=1 for single-shot; values < 1 are clamped.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     for name, spec in specs_items:
-        best, rows = None, []
+        walls: list[float] = []
+        rows = []
         for _ in range(reps):
             t0 = time.perf_counter()
             rows = spec.builder(spark, sf_dir).collect()
-            dt = round(time.perf_counter() - t0, 3)
-            best = dt if best is None else min(best, dt)
+            walls.append(round(time.perf_counter() - t0, 3))
+        best = min(walls)
         timings[name] = best
+        timings_mean[name] = round(sum(walls) / len(walls), 3)
+        timings_cold[name] = walls[0]
         total += best
+        total_mean += timings_mean[name]
         print(f"# {name}: {best:.3f}s ({len(rows)} rows)", file=sys.stderr)
         want = expected.get(name)
         if want is not None and len(rows) != want:
@@ -197,6 +207,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,  # per-query wall = min over this many runs
+                # matched estimators for cross-round comparison: mean
+                # over reps, and the rep-1 wall (the COLD run — later
+                # reps benefit from warmed OS/parquet caches)
+                "queries_mean": timings_mean,
+                "queries_cold": timings_cold,
+                "total_mean": round(total_mean, 3),
                 "sf": sf,
                 # environment pinning: separates sandbox load from plan
                 # regressions when triaging round-over-round deltas

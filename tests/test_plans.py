@@ -107,7 +107,14 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
 def test_bucketed_fact_join_query_no_join_key_exchange(spark, sf_dir):
     """The registered bucketed_fact_join query must read both bucketed
     sides without re-shuffling on the join key — the only exchanges
-    allowed are the final groupBy and the presentation sort."""
+    allowed are the final groupBy and the presentation sort.  The
+    layout is built by the EXPLICIT prepare step (builders are
+    side-effect-free and merely attach it)."""
+    from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
+        prepare,
+    )
+
+    prepare(spark, sf_dir)
     df = REGISTRY["bucketed_fact_join"].builder(spark, sf_dir)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
@@ -121,6 +128,11 @@ def test_gravity_fact_join_no_orderkey_exchange(spark, sf_dir):
     co-location), not shuffle the fact: no exchange on either orderkey
     side.  The weak-scaling curve measured the naive form as the
     query's dominant term at ×100 the fact volume."""
+    from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
+        prepare,
+    )
+
+    prepare(spark, sf_dir)
     df = REGISTRY["gravity_gaps"].builder(spark, sf_dir)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
@@ -334,3 +346,46 @@ def test_simhash_selfjoin_computes_fingerprints_once(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "md5" not in plan.lower()  # fingerprints behind checkpoint
     assert "Scan ExistingRDD" in plan  # both sides read it
+
+
+def test_query_builders_never_write_the_bucketed_layout(
+    spark, sf_dir, tmp_path
+):
+    """Plan-building must be side-effect-free: in a warehouse where the
+    bucketed layout was never prepared, building + running the
+    bucketed_fact_join and gravity_gaps queries writes NOTHING under
+    the warehouse dir (they fall back to plain parquet scans) and
+    still returns the same rows as the prepared plan."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def bucket_dirs():
+        return {
+            d for d in os.listdir(wh) if d.startswith("bf2_")
+        } if os.path.exists(wh) else set()
+
+    # drop any layout earlier tests prepared (files AND catalog)
+    import shutil
+
+    for t in spark.catalog.listTables():
+        if t.name.startswith("bf2_"):
+            spark.sql(f"DROP TABLE {t.name}")
+    for d in bucket_dirs():
+        shutil.rmtree(os.path.join(wh, d))
+
+    before = bucket_dirs()
+    unprepared = {
+        name: REGISTRY[name].builder(spark, sf_dir).collect()
+        for name in ("bucketed_fact_join", "gravity_gaps")
+    }
+    assert bucket_dirs() == before, "builder wrote the layout"
+
+    from urban_mobility_data_lakehouse_spark.queries.functions_suite import (
+        prepare,
+    )
+
+    prepare(spark, sf_dir)
+    for name, rows in unprepared.items():
+        assert REGISTRY[name].builder(spark, sf_dir).collect() == rows

@@ -177,3 +177,28 @@ def test_url_dedup_via_normalization(spark):
     by_n = sorted(r["n"] for r in groups)
     assert by_n == [1, 2]
     assert {r["keep"] for r in groups if r["n"] == 2} == {1}
+
+
+def test_ipv6_literal_hosts_stay_distinct(spark):
+    """Bracketed IPv6 hosts must parse as whole literals — a naive
+    ':' split maps every v6 host to '[' and URL dedup would merge
+    distinct hosts (and drop distinct documents)."""
+    n1 = _norm(spark, "https://[::1]:8080/x")
+    n2 = _norm(spark, "https://[::2]:8080/x")
+    assert n1 != n2
+    assert n1 == "https://[::1]:8080/x"
+    # default port stripped for v6 too; hex lowered
+    assert _norm(spark, "https://[2001:DB8::1]:443/x") == (
+        "https://[2001:db8::1]/x"
+    )
+    assert _norm(spark, "https://[::1]/x") == "https://[::1]/x"
+
+
+def test_blocklist_keeps_null_urls(spark):
+    """A NULL url must pass through the blocklist (later content-based
+    filters own those rows) — array_contains(NULL) must not silently
+    drop them."""
+    rows = [(1, "https://bad.com/a"), (2, None), (3, "https://ok.com/b")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = filter_blocklist(df, "url", ["bad.com"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]

@@ -165,10 +165,18 @@ def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
 
 
 def candidate_pairs(
-    documents: DataFrame, exploded: DataFrame | None = None
+    documents: DataFrame | None = None,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
-    Pass a cached exploded (doc_id, h) frame to avoid re-shingling."""
+    Pass EITHER raw documents OR a cached exploded (doc_id, h) frame
+    (to avoid re-shingling) — never both: the exploded frame alone
+    defines the corpus, so accepting a second frame would silently
+    invite a mismatched pair of inputs."""
+    if (documents is None) == (exploded is None):
+        raise ValueError(
+            "pass exactly one of documents / exploded"
+        )
     sig = (
         signatures_from_hashes(exploded)
         if exploded is not None
@@ -190,16 +198,21 @@ def candidate_pairs(
 
 
 def near_duplicates(
-    documents: DataFrame,
+    documents: DataFrame | None = None,
     threshold: float = 0.5,
     hashed: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact hashed-shingle-set Jaccard
-    ≥ threshold, computed row-locally via array_intersect.  Pass a
-    pre-checkpointed `doc_shingle_arrays` frame as `hashed` when the
-    caller also consumes the shingle sets (e.g. the near_dup_pairs
-    registry row's signature-digest part) — shingling is the corpus
-    pass, so sharing it halves the map work."""
+    ≥ threshold, computed row-locally via array_intersect.  Pass
+    EITHER raw documents OR a pre-checkpointed `doc_shingle_arrays`
+    frame as `hashed` (when the caller also consumes the shingle sets,
+    e.g. the near_dup_pairs registry row's signature-digest part —
+    shingling is the corpus pass, so sharing it halves the map work).
+    Never both: the hashed frame alone defines the corpus, and a
+    mismatched (documents, hashed) pair would silently produce pairs
+    for a corpus the caller never named."""
+    if (documents is None) == (hashed is None):
+        raise ValueError("pass exactly one of documents / hashed")
     # localCheckpoint, not .cache(): consumed three times below, and
     # checkpoint blocks are ContextCleaner-freed once the result frame
     # is GC'd, while CacheManager entries leak for the session
@@ -210,7 +223,7 @@ def near_duplicates(
     )
     exploded = hs.select("doc_id", F.explode("hs").alias("h"))
 
-    cand = candidate_pairs(documents, exploded=exploded)
+    cand = candidate_pairs(exploded=exploded)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b").select(

@@ -57,7 +57,18 @@ def _dct_matrix(n: int):
 
 
 def _phash_one(pixels) -> str:
-    """uint8 (h, w, 3) → 16-hex-digit pHash (63 data bits, MSB 0)."""
+    """uint8 (h, w, 3) → 16-hex-digit pHash (63 data bits, MSB 0).
+
+    The DCT accumulation order is part of the hash's DEFINITION, not
+    an implementation detail: both float64 folds below are strictly
+    LEFT-TO-RIGHT (np.cumsum over elementwise products — cumsum must
+    produce every prefix, so it cannot reassociate), never BLAS
+    `m @ small` (dgemm blocks/reorders additions, so its low bits vary
+    by library).  That makes the hash bit-replayable by any engine
+    with IEEE float64 + a sequential fold — the DuckDB oracle of the
+    `multimodal_suite` driver row replays it with `list_reduce`, and
+    `tests/test_phash.py` locks this path against a pure-Python
+    left-fold twin."""
     import numpy as np
 
     h, w = pixels.shape[:2]
@@ -70,9 +81,12 @@ def _phash_one(pixels) -> str:
     rows = (np.arange(RESAMPLE) * h) // RESAMPLE
     cols = (np.arange(RESAMPLE) * w) // RESAMPLE
     small = luma[rows][:, cols].astype(np.float64)
-    m = _dct_matrix(RESAMPLE)
-    coeffs = m @ small @ m.T
-    block = coeffs[:BLOCK, :BLOCK].reshape(-1)[1:]  # drop DC → 63
+    mk = _dct_matrix(RESAMPLE)[:BLOCK]  # only 8 basis rows are kept
+    # stage 1: t[k, j] = fold_i mk[k, i] * small[i, j]  (left fold)
+    t = np.cumsum(mk[:, :, None] * small[None, :, :], axis=1)[:, -1, :]
+    # stage 2: c[k, l] = fold_j t[k, j] * mk[l, j]      (left fold)
+    coeffs = np.cumsum(t[:, None, :] * mk[None, :, :], axis=2)[:, :, -1]
+    block = coeffs.reshape(-1)[1:]  # drop DC → 63
     med = float(np.median(block))  # odd count → exact order statistic
     bits = (block > med).astype(np.uint64)
     val = 0

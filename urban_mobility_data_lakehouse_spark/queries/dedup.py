@@ -172,7 +172,7 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # ONE shingling pass serves both the LSH pipeline and the sig part
     hs = minhash.doc_shingle_arrays(docs).localCheckpoint(eager=False)
-    pairs = minhash.near_duplicates(docs, hashed=hs).localCheckpoint(
+    pairs = minhash.near_duplicates(hashed=hs).localCheckpoint(
         eager=False
     )
     clusters = components.duplicate_clusters(

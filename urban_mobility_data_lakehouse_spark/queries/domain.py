@@ -88,11 +88,11 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched with broadcast dim joins — Catalyst will not push an agg
     through a join on its own, so the plan is authored pre-aggregated.
 
-    Side effect, first call per (sf_dir, session) only: building this
-    plan runs `ensure_bucketed_facts` — a CTAS DDL that writes (or
-    cross-session attaches) the bucketed orderkey layout the join
-    rides.  bench.py and scale_curve.py pay it in warmup and report it
-    as `layout_build_sec`; an unwarmed first call pays it inline.
+    Plan-building is side-effect-free: the builder ATTACHES the
+    bucketed orderkey layout `prepare`/`ensure_bucketed_facts` built
+    (bench.py and scale_curve.py pay that one-time CTAS in warmup and
+    report it as `layout_build_sec`); an unprepared session falls back
+    to the plain parquet facts — same rows, one orderkey shuffle.
     """
     # The lineitem×orders orderkey join is FACT×FACT — the one join in
     # the registry that cannot broadcast.  Done naively it shuffles the
@@ -105,11 +105,18 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps each scan at exactly the columns used here.  DECIMAL
     # accumulation keeps the sum order-independent, so physical layout
     # cannot move the oracle hash.
-    from .functions_suite import ensure_bucketed_facts
+    from .functions_suite import attach_bucketed_facts
 
-    li_name, o_name = ensure_bucketed_facts(spark, sf_dir)
-    lineitem = spark.table(li_name)
-    orders = spark.table(o_name)
+    names = attach_bucketed_facts(spark, sf_dir)
+    if names is not None:
+        lineitem, orders = (spark.table(n) for n in names)
+    else:
+        lineitem = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
     customer = load_table(spark, sf_dir, "customer")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")

@@ -382,16 +382,10 @@ def fact_bucket_count(
     return max(floor, min(cap, math.ceil(total / target_bytes)))
 
 
-def ensure_bucketed_facts(
-    spark: SparkSession, sf_dir: str
-) -> tuple[str, str]:
-    """Create-or-attach the bucketed lineitem/orders layout for
-    `sf_dir` and return the two table names.  Shared by the query,
-    bench.py's warmup (the one-time CTAS is DDL, not the benched
-    join), and scale_curve.py."""
+def _bucketed_fact_specs(spark: SparkSession, sf_dir: str):
+    """(n_buckets, {table_name: (df, bucket_key)}) for the shared
+    bucketed lineitem/orders layout of `sf_dir`."""
     import hashlib
-
-    from ..sources.lakehouse import attach_or_save_bucketed
 
     n_buckets = fact_bucket_count(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -423,13 +417,54 @@ def ensure_bucketed_facts(
             "o_orderkey",
         ),
     }
+    return n_buckets, tables
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Create-or-attach the bucketed lineitem/orders layout for
+    `sf_dir` and return the two table names.  This is the EXPLICIT
+    prepare step (`prepare` below aliases it): the one-time CTAS
+    shuffle is DDL paid here — bench.py's warmup, scale_curve.py, and
+    the plan tests call it; the query builders themselves never write
+    (they attach-or-fall-back via `attach_bucketed_facts`)."""
+    from ..sources.lakehouse import attach_or_save_bucketed
+
+    n_buckets, tables = _bucketed_fact_specs(spark, sf_dir)
     for name, (df, key) in tables.items():
         # re-registers surviving bucket files from a previous session
         # instead of re-shuffling — write once, ever
         attach_or_save_bucketed(
             spark, df, name, key, n_buckets, sort_col=key
         )
-    return f"bf2_lineitem_{tag}", f"bf2_orders_{tag}"
+    return tuple(tables)
+
+
+def attach_bucketed_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str] | None:
+    """Attach-only twin of `ensure_bucketed_facts`: the two table names
+    if the layout is already usable (session catalog, or surviving
+    files re-registered — metadata-only DDL, no data written), else
+    None.  Query builders call THIS, so building a plan never triggers
+    the CTAS write as a side effect; an unprepared session falls back
+    to the plain parquet scans (correct, one extra shuffle)."""
+    from ..sources.lakehouse import attach_bucketed
+
+    n_buckets, tables = _bucketed_fact_specs(spark, sf_dir)
+    ok = all(
+        attach_bucketed(spark, df, name, key, n_buckets, sort_col=key)
+        for name, (df, key) in tables.items()
+    )
+    return tuple(tables) if ok else None
+
+
+def prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Build every prepared layout the registry's queries can ride
+    (currently: the bucketed lineitem/orders facts).  Call once per
+    warehouse before benchmarking — queries stay side-effect-free."""
+    ensure_bucketed_facts(spark, sf_dir)
 
 
 @register(
@@ -453,10 +488,22 @@ def bucketed_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     happened once at write time, not on every query
     (tests/test_plans.py proves the zero-exchange property).  The
     oracle is the plain unbucketed join: bucketing must be
-    result-invariant."""
-    li_name, o_name = ensure_bucketed_facts(spark, sf_dir)
-    li = spark.table(li_name)
-    o = spark.table(o_name)
+    result-invariant.
+
+    Plan-building is side-effect-free: the builder ATTACHES the layout
+    `prepare`/`ensure_bucketed_facts` built (bench warmup and the plan
+    tests call it); an unprepared session falls back to the plain
+    parquet scans — same rows, one orderkey shuffle."""
+    names = attach_bucketed_facts(spark, sf_dir)
+    if names is not None:
+        li, o = (spark.table(n) for n in names)
+    else:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
     return (
         li.hint("MERGE")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))

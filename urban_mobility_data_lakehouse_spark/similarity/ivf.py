@@ -112,7 +112,6 @@ def train_centroids(
 import functools
 
 
-@functools.lru_cache(maxsize=32)
 def train_centroids_from_parquet(
     sf_dir: str,
     n_cells: int = 16,
@@ -126,11 +125,33 @@ def train_centroids_from_parquet(
     widening is exact, so both paths see identical inputs and produce
     bit-identical centroids.
 
-    Memoized per argument tuple (training is pure of `sf_dir`'s
-    bytes): every consumer — the knn_ivf/semdedup builders, their
-    oracle generators, bench reps — retrains the identical quantizer
-    otherwise.  Callers must not mutate the returned lists (none do).
+    Memoized per argument tuple PLUS the file's (mtime_ns, size) —
+    every consumer (the knn_ivf/semdedup builders, their oracle
+    generators, bench reps) retrains the identical quantizer
+    otherwise, and regenerating the parquet in-session busts the
+    cache instead of serving stale centroids.  Returns a fresh copy
+    per call so caller mutation cannot poison later consumers.
     """
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    got = _train_centroids_cached(
+        sf_dir, n_cells, seed, sample_size, n_iter,
+        st.st_mtime_ns, st.st_size,
+    )
+    return [list(c) for c in got]
+
+
+@functools.lru_cache(maxsize=32)
+def _train_centroids_cached(
+    sf_dir: str,
+    n_cells: int,
+    seed: int,
+    sample_size: int,
+    n_iter: int,
+    _mtime_ns: int,
+    _size: int,
+) -> list[list[float]]:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -86,7 +86,6 @@ def train_pq(
 import functools
 
 
-@functools.lru_cache(maxsize=32)
 def train_pq_from_parquet(
     sf_dir: str,
     m: int = M,
@@ -97,8 +96,31 @@ def train_pq_from_parquet(
 ) -> list[list[list[float]]]:
     """Spark-free twin of `train_pq` (pyarrow read, stable lowest-vec_id
     sample, identical `lloyd`) — bit-identical codebooks, for oracles.
-    Memoized per argument tuple (pure of the file bytes, same contract
-    as `ivf.train_centroids_from_parquet`); callers must not mutate."""
+    Memoized per argument tuple plus the file's (mtime_ns, size), same
+    contract as `ivf.train_centroids_from_parquet`: a regenerated
+    parquet busts the cache, and each call gets a fresh copy so caller
+    mutation cannot poison later consumers."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    got = _train_pq_cached(
+        sf_dir, m, ksub, seed, sample_size, n_iter,
+        st.st_mtime_ns, st.st_size,
+    )
+    return [[list(cw) for cw in book] for book in got]
+
+
+@functools.lru_cache(maxsize=32)
+def _train_pq_cached(
+    sf_dir: str,
+    m: int,
+    ksub: int,
+    seed: int,
+    sample_size: int,
+    n_iter: int,
+    _mtime_ns: int,
+    _size: int,
+) -> list[list[list[float]]]:
     import numpy as np
     import pyarrow.parquet as pq_
 

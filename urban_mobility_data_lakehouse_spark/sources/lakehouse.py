@@ -3594,9 +3594,35 @@ def attach_or_save_bucketed(
     bytes (`fact_bucket_count`) and the sources changed since the
     layout was written.
     """
-    if spark.catalog.tableExists(table_name):
+    if attach_bucketed(spark, df, table_name, bucket_col, n_buckets, sort_col):
         return
     import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, table_name)
+    if os.path.exists(loc):
+        shutil.rmtree(loc)  # stale partial write blocks saveAsTable
+    save_bucketed(df, table_name, bucket_col, n_buckets, sort_col)
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> bool:
+    """The attach-only (metadata-only, never writes data) half of
+    `attach_or_save_bucketed`: True if the table is usable after the
+    call — already in the session catalog, or surviving bucket files
+    re-registered by external-table DDL — else False (missing,
+    incomplete, or bucket-count-mismatched layout; see the safety
+    discussion above).  Lets query builders ride an existing layout
+    without ever triggering the CTAS write themselves."""
+    if spark.catalog.tableExists(table_name):
+        return True
     from urllib.parse import urlparse
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -3612,20 +3638,18 @@ def attach_or_save_bucketed(
         except (OSError, ValueError):
             written_with = -1  # legacy/unknown layout: never trust it
         complete = written_with == n_buckets
-    if complete:
-        cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        sort = f" SORTED BY ({sort_col})" if sort_col else ""
-        spark.sql(
-            f"CREATE TABLE {table_name} ({cols}) USING PARQUET "
-            f"CLUSTERED BY ({bucket_col}){sort} INTO {n_buckets} BUCKETS "
-            f"LOCATION '{loc}'"
-        )
-    else:
-        if os.path.exists(loc):
-            shutil.rmtree(loc)  # stale partial write blocks saveAsTable
-        save_bucketed(df, table_name, bucket_col, n_buckets, sort_col)
+    if not complete:
+        return False
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    sort = f" SORTED BY ({sort_col})" if sort_col else ""
+    spark.sql(
+        f"CREATE TABLE {table_name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({bucket_col}){sort} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    return True
 
 
 def _count_data_files(path: str) -> int:

@@ -45,12 +45,24 @@ def parse_url(url: Column) -> Column:
     unparseable rows get NULL fields (scheme stays empty), callers
     filter on `parse_url(u).scheme != ''`."""
     authority = F.regexp_extract(url, _URL_RE, 2)
-    # strip userinfo, then split host:port
+    # strip userinfo, then split host:port — an IPv6 literal host is
+    # bracketed ([::1]:8080) and contains ':' itself, so it takes the
+    # bracket-aware lane (a naive ':' split would map EVERY v6 host to
+    # '[' and URL-level dedup would merge distinct hosts)
     hostport = F.element_at(F.split(authority, "@"), -1)
-    host = F.lower(F.element_at(F.split(hostport, ":"), 1))
+    is_v6 = hostport.startswith("[")
+    v6_host = F.lower(F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1))
+    v6_port = F.regexp_extract(hostport, r"^\[[^\]]*\]:(\d+)$", 1)
+    host = F.when(is_v6, v6_host).otherwise(
+        F.lower(F.element_at(F.split(hostport, ":"), 1))
+    )
     port = F.when(
-        F.size(F.split(hostport, ":")) > 1,
-        F.element_at(F.split(hostport, ":"), 2).cast("int"),
+        is_v6, F.when(v6_port != "", v6_port.cast("int"))
+    ).otherwise(
+        F.when(
+            F.size(F.split(hostport, ":")) > 1,
+            F.element_at(F.split(hostport, ":"), 2).cast("int"),
+        )
     )
     return F.struct(
         F.lower(F.regexp_extract(url, _URL_RE, 1)).alias("scheme"),
@@ -159,7 +171,11 @@ def filter_blocklist(
     host = parse_url(F.col(url_col))["host"]
     rd = registrable_domain(host)
     blocked = F.array(*[F.lit(d.lower()) for d in blocked_domains])
-    return docs.filter(~F.array_contains(blocked, rd))
+    # NULL url → NULL rd → array_contains is NULL; coalesce keeps the
+    # row (no-URL docs pass through to later content-based filters)
+    return docs.filter(
+        F.coalesce(~F.array_contains(blocked, rd), F.lit(True))
+    )
 
 
 def doc_urls(documents: DataFrame) -> DataFrame:
