@@ -131,7 +131,16 @@ LADDER_QUERIES = (
     "text_pairs_suite",
     "jsonl_corrupt_lane",
     "url_curation",
+    "doc_profile",
 )
+
+# suites whose ladder wall is ALSO decomposed per `part` value — a
+# `part = X` filter over the union constant-folds every other branch
+# away (verified: the cms-only plan scans 2 parquet files vs the full
+# suite's 16), so each part's wall is the cost of that part's branch
+# alone.  This attributes the suite's growth slope to the operator
+# that owns it instead of one aggregate number.
+LADDER_PART_SUITES = ("text_pairs_suite",)
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's
 # EXPECTED_ROWS: a scale lane that silently times a wrong-rowcount
@@ -140,6 +149,7 @@ LADDER_QUERIES = (
 # the oracle gate owns correctness.
 EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
     "sf0.001": {
+        "doc_profile": 500,
         "jsonl_corrupt_lane": 10,
         "url_curation": 505,
         "near_dup_pairs": 573,
@@ -149,6 +159,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "text_pairs_suite": 14518,
     },
     "sf0.01": {
+        "doc_profile": 500,
         "jsonl_corrupt_lane": 10,
         "url_curation": 505,
         "near_dup_pairs": 572,
@@ -158,6 +169,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "text_pairs_suite": 14182,
     },
     "sf0.1": {
+        "doc_profile": 5000,
         "jsonl_corrupt_lane": 10,
         "url_curation": 5005,
         "near_dup_pairs": 5733,
@@ -241,6 +253,7 @@ def main() -> None:
             )
 
     ladder: dict[str, dict[str, float]] = {}
+    ladder_parts: dict[str, dict[str, dict[str, float]]] = {}
     row_mismatches: dict[str, str] = {}
     for name in LADDER_QUERIES:
         ladder[name] = {}
@@ -271,6 +284,37 @@ def main() -> None:
                 ),
                 file=sys.stderr,
             )
+        if name in LADDER_PART_SUITES:
+            from pyspark.sql import functions as F
+
+            parts = sorted(
+                r["part"]
+                for r in qs[name](spark, SF_LADDER[0])
+                .select("part").distinct().collect()
+            )
+            ladder_parts[name] = {p: {} for p in parts}
+            for d in SF_LADDER:
+                sf_tag = d.rstrip("/").rsplit("/", 1)[-1]
+                for part in parts:
+                    best = None
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        run(
+                            qs[name](spark, d).filter(
+                                F.col("part") == part
+                            ),
+                            "collect",
+                        )
+                        dt = round(time.perf_counter() - t0, 3)
+                        best = dt if best is None else min(best, dt)
+                    ladder_parts[name][part][sf_tag] = best
+                    print(
+                        json.dumps(
+                            {"query": name, "part": part,
+                             "sf": sf_tag, "sec": best, "reps": reps}
+                        ),
+                        file=sys.stderr,
+                    )
 
     summary = {}
     for name, times in results.items():
@@ -286,6 +330,15 @@ def main() -> None:
         for a, b in zip(tags, tags[1:]):
             row[f"ratio_{b}/{a}"] = round(times[b] / times[a], 2)
         ladder_summary[name] = row
+    parts_summary = {}
+    for name, per_part in ladder_parts.items():
+        parts_summary[name] = {}
+        for part, times in per_part.items():
+            row = dict(times)
+            tags = list(times)
+            for a, b in zip(tags, tags[1:]):
+                row[f"ratio_{b}/{a}"] = round(times[b] / times[a], 2)
+            parts_summary[name][part] = row
     # environment provenance: this sandbox shows transient host
     # contention (the same x100 query measured 10s..304s across a
     # morning) — a fixed-work CPU calibration separates "the plan
@@ -296,6 +349,7 @@ def main() -> None:
     print(json.dumps({"metric": "scale_curve", "sf_base": SRC,
                       "queries": summary,
                       "sf_ladder": ladder_summary,
+                      "sf_ladder_parts": parts_summary,
                       "row_mismatches": row_mismatches,
                       # one-time bucketed-layout DDL cost, reported
                       # separately so the benched join numbers are

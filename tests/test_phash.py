@@ -117,3 +117,60 @@ def test_phash_dataframe_surface(spark):
 def test_radius_guard():
     with pytest.raises(ValueError):
         phash_near_dups(None, max_hamming=4, n_bands=4)
+
+
+def test_phash_numpy_folds_match_pure_python_left_folds():
+    """The DCT accumulation order is part of the hash's DEFINITION
+    (phash.py docstring): _phash_one's np.cumsum stages must equal a
+    strict pure-Python left fold bit-for-bit — this is the contract
+    that lets the multimodal_suite DuckDB oracle replay the hash with
+    list_reduce.  If numpy ever reassociates cumsum, this catches it."""
+    import numpy as np
+
+    from urban_mobility_data_lakehouse_spark.multimodal.phash import (
+        BLOCK,
+        RESAMPLE,
+        _dct_matrix,
+        _phash_one,
+    )
+
+    rng = np.random.RandomState(11)
+    mk = _dct_matrix(RESAMPLE)[:BLOCK]
+
+    def py_phash(pixels):
+        h, w = pixels.shape[:2]
+        px = pixels.astype(np.int64)
+        luma = (
+            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+        ) // 1000
+        rows = (np.arange(RESAMPLE) * h) // RESAMPLE
+        cols = (np.arange(RESAMPLE) * w) // RESAMPLE
+        small = luma[rows][:, cols].astype(np.float64)
+        t = [
+            [
+                _fold(float(mk[k, i]) * float(small[i, j]) for i in range(RESAMPLE))
+                for j in range(RESAMPLE)
+            ]
+            for k in range(BLOCK)
+        ]
+        coeffs = [
+            _fold(t[k][j] * float(mk[l, j]) for j in range(RESAMPLE))
+            for k in range(BLOCK)
+            for l in range(BLOCK)
+        ]
+        block = coeffs[1:]
+        med = sorted(block)[31]  # 32nd order statistic of 63
+        val = 0
+        for c in block:
+            val = (val << 1) | (1 if c > med else 0)
+        return format(val, "016x")
+
+    def _fold(terms):
+        acc = None
+        for x in terms:
+            acc = x if acc is None else acc + x
+        return acc
+
+    for shape in [(8, 8, 3), (48, 48, 3), (17, 31, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        assert _phash_one(img) == py_phash(img), shape

@@ -89,7 +89,7 @@ def test_no_python_udfs_in_registry_plans(spark, sf_dir):
     properties per build keeps the default lane lean): the driver
     sorts collected results with pandas over ALL columns, which raises
     `TypeError: unhashable type` on array/map/struct cells (round-4
-    `media_byte_profile` ERR) — no registry row may expose a complex
+    `multimodal_suite` ERR) — no registry row may expose a complex
     type."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 

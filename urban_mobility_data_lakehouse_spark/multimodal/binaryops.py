@@ -119,13 +119,26 @@ def encode_ppm(arr) -> bytes:
 
 
 def documents_as_ppm(
-    documents: DataFrame, width: int = 8, height: int = 8
+    documents: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    pixel_shift: int = 0,
+    pixel_stride: int = 1,
 ) -> DataFrame:
     """Deterministic image payload per document: a real binary P6 PPM
     whose width*height*3 pixel bytes are the doc's UTF-8 text bytes
     cycled — an encode an SQL oracle can replay byte-for-byte from
     `hex(encode(text))`.  This is the encode half of the roundtrip the
-    driver row hashes (decode half: `image_channel_sums`)."""
+    driver row hashes (decode half: `image_channel_sums`).
+
+    `pixel_shift` brightens channel bytes by a clipped constant
+    (`least(v + shift, 255)`), applied only at flat pixel-byte indices
+    divisible by `pixel_stride` — the same expression an SQL twin
+    replays.  A UNIFORM shift is exactly what pHash is invariant to
+    (the DC term absorbs it, measured Hamming 0); the strided form is
+    a sparse perturbation that lands planted twins at small NONZERO
+    Hamming, which is what the multimodal_suite driver row needs to
+    exercise the radius-3 verify on both sides of the boundary."""
 
     def _encode(batches: Iterator) -> Iterator:
         import numpy as np
@@ -143,6 +156,11 @@ def documents_as_ppm(
                     px = np.zeros(n_px, np.uint8)
                 else:
                     px = b[np.arange(n_px) % len(b)]
+                if pixel_shift:
+                    idx = np.arange(n_px) % pixel_stride == 0
+                    px = px.astype(np.int32)
+                    px[idx] = np.minimum(px[idx] + pixel_shift, 255)
+                    px = px.astype(np.uint8)
                 out.append(
                     (
                         int(did),

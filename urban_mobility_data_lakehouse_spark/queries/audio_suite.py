@@ -10,7 +10,7 @@ materialize the identical bytes.
 
 What the oracle can honestly replay is the INTEGER face of the lane —
 DuckDB parses the WAV BLOB positionally from its hex dump (the
-`media_byte_profile` trick): header = 44 fixed bytes, sample i = the
+`multimodal_suite` bytes-part trick): header = 44 fixed bytes, sample i = the
 little-endian int16 at byte 44+2i.  That pins, bit-exactly:
 
   - `clip` part — decode audit (n_samples, exact int64 sum/min/max of
@@ -110,7 +110,7 @@ def ensure_audio_corpus(sf_dir: str) -> str:
 
 # sample i (0-based) of clip m = little-endian int16 at bytes
 # 44+2i / 45+2i (fixed 44-byte header), decoded from the hex dump at
-# 1-based positions 2*j+1 (high nibble of byte j) — media_byte_profile's
+# 1-based positions 2*j+1 (high nibble of byte j) — multimodal_suite's
 # positional-hex idiom
 _BYTE = (
     "((strpos('0123456789ABCDEF', substr(m.hx, 2 * ({j}) + 1, 1)) - 1)"

@@ -1,17 +1,22 @@
-"""Driver row composing the lakehouse's column-mapping + DML read
-surface: overwrite → RENAME COLUMN → UPDATE (merge-on-read) → DELETE
-(merge-on-read, deletion vectors) → ADD COLUMN (NULL default) → read.
+"""Driver row composing the lakehouse's column-mapping + DML + type-
+widening read surface: overwrite → RENAME COLUMN → UPDATE
+(merge-on-read) → DELETE (merge-on-read, deletion vectors) →
+ADD COLUMN (NULL default) → WIDEN COLUMN TYPE (int → bigint) →
+APPEND a post-widen generation with values beyond int32 → read.
 
 This is exactly the composition the randomized manifest tape
 (`tests/test_manifest_properties.py`) walks — pinned here as a driver
 hash row so the logical→physical column translation under RENAME, the
-MoR update/delete application at read time, and the projected NULL
-default are all value-checked against an INDEPENDENT recomputation:
-the oracle never sees the warehouse files, it derives the expected
-table straight from the `events` source with the same arithmetic
-(UPDATE as a CASE, DELETE as a WHERE, the renamed column as an alias).
-A wrong physical rename, an unapplied deletion vector, or an update
-leaking into the wrong rows each move the hash.
+MoR update/delete application at read time, the projected NULL
+default, and the mixed narrow/wide generation upcast are all
+value-checked against an INDEPENDENT recomputation: the oracle never
+sees the warehouse files, it derives the expected table straight from
+the `events` source with the same arithmetic (UPDATE as a CASE,
+DELETE as a WHERE, the renamed column as an alias, generation 2 as a
+UNION ALL).  A wrong physical rename, an unapplied deletion vector,
+an update leaking into the wrong rows, or a widened read that fails
+to surface the old int32 files and the new int64 files as ONE bigint
+column each move the hash.
 
 The builder materializes a THROWAWAY warehouse per call (per-PID tmp
 dir, rebuilt from scratch) — the ops are cheap at driver scale and a
@@ -34,33 +39,55 @@ from . import register
 
 _FIXTURE_ROOT = "/tmp/umdl_fixtures"
 
+# generation-2 constants, shared by the builder and the oracle: ids
+# shift clear of generation 1, and the widened column carries values
+# ABOVE int32 range — only a correctly-widened read can hold them
+_G2_ID_OFFSET = 10_000_000
+_G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
+
 
 @register(
     "lakehouse_roundtrip",
-    oracle="""
+    oracle=f"""
     SELECT event_id AS id,
            event_type AS p,
            CASE WHEN event_id % 7 = 3 THEN value * 2 + 1
                 ELSE value END AS v2,
-           CAST(NULL AS VARCHAR) AS flag
+           CAST(NULL AS VARCHAR) AS flag,
+           CAST(event_id AS BIGINT) AS n
     FROM events
     WHERE event_id % 11 != 0
+    UNION ALL
+    SELECT event_id + {_G2_ID_OFFSET},
+           event_type,
+           value * 3,
+           'g2',
+           event_id + {_G2_N_OFFSET}
+    FROM events
+    WHERE event_id % 13 = 0
     ORDER BY id
     """,
-    tags=("lakehouse", "column-mapping", "update", "mor", "dv"),
+    tags=("lakehouse", "column-mapping", "update", "mor", "dv", "widen"),
 )
 def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events as a partitioned lakehouse table, then walk the
-    column-mapping + DML surface and return the final read:
+    column-mapping + DML + widening surface and return the final read:
 
-      1. overwrite_partitions: (id, p=event_type, v=value), hive on p
+      1. overwrite_partitions: (id, p=event_type, v=value,
+         n=CAST(id AS INT)), hive on p — n is PHYSICALLY int32
       2. rename_column v → v2 (logical rename; physical bytes keep v)
       3. update_where id%7==3: SET v2 = v2*2+1, merge_on_read
          (writers must speak the NEW logical name — the translation
          the fixed manifest tape now exercises)
       4. delete_where id%11==0, merge_on_read (deletion vectors)
       5. add_column flag string DEFAULT NULL (projected, no rewrite)
-      6. read → (id, p, v2, flag) ordered by id
+      6. widen_column_type n: int → bigint (metadata-only; the old
+         int32 files are never rewritten)
+      7. append generation 2 (id%13==0 rows, ids shifted, flag='g2',
+         n beyond int32) — physically int64, untouched by the earlier
+         UPDATE/DELETE commits
+      8. read → (id, p, v2, flag, n) ordered by id: one bigint `n`
+         column spanning both physical generations
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
@@ -73,6 +100,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("id"),
         F.col("event_type").alias("p"),
         F.col("value").alias("v"),
+        F.col("event_id").cast("int").alias("n"),
     )
     lake.overwrite_partitions(events, "silver", "t", partition_col="p")
     lake.rename_column(spark, "silver", "t", "v", "v2")
@@ -88,8 +116,19 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_col="p", mode="merge_on_read",
     )
     lake.add_column(spark, "silver", "t", "flag", "string", default=None)
+    lake.widen_column_type(spark, "silver", "t", "n", "bigint")
+    gen2 = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 13 == 0
+    ).select(
+        (F.col("event_id") + F.lit(_G2_ID_OFFSET)).alias("id"),
+        F.col("event_type").alias("p"),
+        (F.col("value") * 3).alias("v2"),
+        F.lit("g2").alias("flag"),
+        (F.col("event_id") + F.lit(_G2_N_OFFSET)).alias("n"),
+    )
+    lake.append(gen2, "silver", "t")
     return (
         lake.read(spark, "silver", "t")
-        .select("id", "p", "v2", "flag")
+        .select("id", "p", "v2", "flag", "n")
         .orderBy("id")
     )
