@@ -108,17 +108,32 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
         lakehouse_roundtrip,
     )
 
+    from urban_mobility_data_lakehouse_spark.queries.lakehouse_suite import (
+        _G2_ID_OFFSET,
+        _G2_N_OFFSET,
+    )
+
     r1 = lakehouse_roundtrip(spark, SF_DIR).collect()
     r2 = lakehouse_roundtrip(spark, SF_DIR).collect()
     assert r1 == r2 and len(r1) > 0
-    # the UPDATE hit exactly the id%7==3 stratum and nothing else
+    # the UPDATE hit exactly the id%7==3 stratum and nothing else;
+    # the post-widen generation 2 (flag='g2', shifted ids) is exempt
+    # from the earlier DML and carries beyond-int32 n values
     src = {
         r["id"]: r["v"]
         for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
         .select(F.col("event_id").alias("id"), F.col("value").alias("v"))
         .collect()
     }
+    saw_g2 = False
     for row in r1:
+        if row["flag"] == "g2":
+            saw_g2 = True
+            base = row["id"] - _G2_ID_OFFSET
+            assert base % 13 == 0
+            assert row["v2"] == src[base] * 3
+            assert row["n"] == base + _G2_N_OFFSET > 2**31
+            continue
         assert row["id"] % 11 != 0  # deleted stratum is gone
         want = (
             src[row["id"]] * 2 + 1
@@ -126,3 +141,5 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
             else src[row["id"]]
         )
         assert row["v2"] == want and row["flag"] is None
+        assert row["n"] == row["id"]  # widened read of the int32 files
+    assert saw_g2

@@ -362,3 +362,72 @@ def test_sf01_bm25_index_parity_and_bucket_pruning(spark, tmp_path):
         spark, "gold", idx.postings, [("term", "in", list(terms))]
     )
     assert 0 < len(pruned.inputFiles()) <= 4
+
+
+def test_sf01_curation_pipeline_with_url_semdedup_spans(spark, tmp_path):
+    """End-to-end `curate_corpus` at sf0.1 with the URL, ExactSubstr
+    (spans), and SemDeDup stages all enabled — the full RefinedWeb-
+    shaped funnel on the real 5k-doc corpus, with stage row counts
+    recorded and the funnel invariants asserted (every filter stage
+    monotonically narrows; nothing silently vanishes between stages)."""
+    from urban_mobility_data_lakehouse_spark.text.pipeline import (
+        curate_corpus,
+    )
+    from urban_mobility_data_lakehouse_spark.text.urls import doc_urls
+
+    docs = doc_urls(load_table(spark, SF01_DIR, "documents"))
+    eval_docs = (
+        load_table(spark, SF01_DIR, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("eval_id"), "text")
+    )
+    emb = load_table(spark, SF01_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        eval_docs=eval_docs,
+        url_col="url",
+        blocked_domains=("example.co.uk",),
+        max_per_domain=2000,
+        exact_substr_min_tokens=12,
+        embeddings=emb,
+        semdedup_threshold=0.92,
+        min_quality=0.2,
+    )
+    n0 = docs.count()
+    expected_order = [
+        "url_filtered",
+        "exact_substr_deduped",
+        "exact_dedup",
+        "near_dedup",
+        "semantic_deduped",
+        "decontaminated",
+        "quality_filtered",
+    ]
+    assert [k for k in stats if k in expected_order] == expected_order
+    # funnel: every whole-document filter stage narrows monotonically
+    # (exact_substr edits text, it does not add docs)
+    funnel = [n0] + [stats[k] for k in expected_order]
+    for a, b in zip(funnel, funnel[1:]):
+        assert b <= a, (funnel, stats)
+    # the URL stage must actually bite: the blocklist drops the co.uk
+    # family (doc_id % 5 == 0 per the doc_urls fixture) and the
+    # per-domain quota caps the one surviving mega-domain at 2000
+    assert stats["url_filtered"] == 2000, stats
+    # ExactSubstr must bite (the corpus's planted overlap structure is
+    # exactly the cross-document verbatim runs it cuts) ...
+    assert stats["exact_substr_deduped"] < stats["url_filtered"], stats
+    # ... and exact dedup still bites AFTER span cutting (full copies
+    # stay bit-identical when the same spans are cut from both).
+    # near-dedup dropping nothing here is the Lee et al. ORDERING
+    # working as designed: span removal already took the shared text
+    # that made those docs near-duplicates.
+    assert stats["exact_dedup"] < stats["exact_substr_deduped"], stats
+    assert stats["decontaminated"] < stats["semantic_deduped"], stats
+    n_train = train.count()
+    assert 0 < n_train <= stats["quality_filtered"]
+    # train split survives with text intact
+    assert train.filter(F.length("text") > 0).count() == n_train
+    print(f"# sf0.1 curation funnel: {funnel} -> train {n_train}")

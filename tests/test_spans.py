@@ -96,3 +96,25 @@ def test_plan_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan2
+
+
+def test_short_docs_yield_no_grams_instead_of_crashing(spark):
+    """A doc shorter than L tokens has no L-grams: repeated_spans must
+    emit nothing for it (Spark's sequence(1, 0) is a DESCENDING
+    [1, 0] — the unguarded form indexed past the token array)."""
+    rows = [
+        (1, "only four tokens here"),
+        (2, "only four tokens here"),
+        (3, "a much longer document that repeats a much longer "
+            "document that repeats"),
+    ]
+    from urban_mobility_data_lakehouse_spark.text.spans import (
+        repeated_spans,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_spans(docs, l_tokens=12).collect()
+    assert all(r["doc_id"] not in (1, 2) for r in got)
+    # and the guarded form still finds real repeats at smaller L
+    got4 = repeated_spans(docs, l_tokens=4).collect()
+    assert {r["doc_id"] for r in got4} >= {1, 2}

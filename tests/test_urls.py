@@ -202,3 +202,61 @@ def test_blocklist_keeps_null_urls(spark):
     df = spark.createDataFrame(rows, "doc_id long, url string")
     kept = filter_blocklist(df, "url", ["bad.com"])
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+
+
+def test_registrable_domain_psl_matrix(spark):
+    """PSL-data-file-backed registrable domains: second-level ccTLD
+    registries (co.uk / com.au), private hosting platforms
+    (github.io — per-user sites the heuristic can't know about), the
+    longest-match rule, the heuristic fallback for unlisted hosts,
+    and the `extra` hook."""
+    from urban_mobility_data_lakehouse_spark.text.urls import (
+        load_public_suffixes,
+        registrable_domain_psl,
+    )
+
+    cases = [
+        ("www.foo.co.uk", "foo.co.uk"),
+        ("deep.sub.shop.example.com.au", "example.com.au"),
+        ("alice.github.io", "alice.github.io"),      # suffix + 1 label
+        ("docs.alice.github.io", "alice.github.io"),
+        ("mybucket.s3.amazonaws.com", "mybucket.s3.amazonaws.com"),
+        ("a.pvt.k12.ma.us", "a.pvt.k12.ma.us"),      # 4-label suffix
+        ("b.a.pvt.k12.ma.us", "a.pvt.k12.ma.us"),    # longest match wins
+        ("www.example.com", "example.com"),          # fallback: take 2
+        ("sub.example.org", "example.org"),
+        ("example.co.uk", "example.co.uk"),
+        ("foo.unknownplatform.dev", "unknownplatform.dev"),  # fallback
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select(
+            "host", registrable_domain_psl(F.col("host")).alias("rd")
+        ).collect()
+    }
+    for host, want in cases:
+        assert got[host] == want, (host, got[host], want)
+    # the data file loaded and is multi-label only
+    psl = load_public_suffixes()
+    assert "co.uk" in psl and "github.io" in psl
+    assert all("." in s for s in psl)
+    # extra deployment suffixes refine further
+    extra = load_public_suffixes(extra=("internal.corp",))
+    df2 = spark.createDataFrame(
+        [("team.internal.corp",), ("x.team.internal.corp",)],
+        "host string",
+    )
+    got2 = [
+        r["rd"]
+        for r in df2.select(
+            registrable_domain_psl(F.col("host"), extra).alias("rd")
+        ).collect()
+    ]
+    assert got2 == ["team.internal.corp", "team.internal.corp"]
+    # plan stays Python-free
+    plan = (
+        df.select(registrable_domain_psl(F.col("host")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan

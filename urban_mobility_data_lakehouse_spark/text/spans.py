@@ -56,16 +56,25 @@ def _gram_hashes(toks: DataFrame, l_tokens: int):
 
     wh = F.transform(F.col("toks"), word_hash)
     n = F.size("toks")
+    # docs shorter than L have no L-grams: emit NOTHING for them.  The
+    # guard must be a `when`, not greatest(.., 0): Spark's sequence(1, 0)
+    # is a DESCENDING [1, 0], so the unguarded form emitted two bogus
+    # positions per short doc and gram() then indexed past the token
+    # array (ANSI ArrayIndexOutOfBounds — hit by the sf0.1 curation
+    # lane with exact_substr_min_tokens above the shortest doc).
     return toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(n - (l_tokens - 1), F.lit(0))
+            F.when(
+                n >= F.lit(l_tokens),
+                F.transform(
+                    F.sequence(F.lit(1), n - (l_tokens - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"), gram(wh, i).alias("gh")
+                    ),
                 ),
-                lambda i: F.struct(
-                    i.alias("pos"), gram(wh, i).alias("gh")
-                ),
+            ).otherwise(
+                F.array().cast("array<struct<pos:int,gh:bigint>>")
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))

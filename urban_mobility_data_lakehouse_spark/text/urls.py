@@ -15,7 +15,10 @@ dedup has shrunk the corpus:
   - `registrable_domain` — the per-site key for quotas/blocklists:
     last-two-labels heuristic widened to three for second-level public
     suffixes (co.uk shape).  A full public-suffix list is a data file,
-    not an algorithm; the hook takes extra suffixes as a parameter.
+    not an algorithm: `registrable_domain_psl` loads the shipped
+    offline PSL snapshot (`public_suffixes.dat`) into per-length
+    literal arrays — longest suffix match + 1 label, heuristic
+    fallback for unlisted hosts, `extra` hook for deployment domains.
   - `domain_quota` — C4-style per-domain cap: deterministic
     keep-lowest-md5 ranking inside each domain, so the sample is
     reproducible under repartition/retry and never favors crawl order.
@@ -215,3 +218,57 @@ def doc_urls(documents: DataFrame) -> DataFrame:
             frag,
         ),
     )
+
+
+# -- public-suffix-list-backed registrable domain ------------------------
+
+_PSL_PATH = __file__.rsplit("/", 1)[0] + "/public_suffixes.dat"
+
+
+def load_public_suffixes(
+    path: str = _PSL_PATH, extra: tuple[str, ...] = ()
+) -> frozenset[str]:
+    """Multi-label public suffixes from the offline PSL snapshot that
+    ships as a DATA FILE (`public_suffixes.dat`, a documented subset
+    of publicsuffix.org) — a suffix list is data, not an algorithm.
+    `extra` adds deployment-specific entries (e.g. an internal
+    hosting platform's domain)."""
+    out = {s.lower() for s in extra}
+    with open(path) as f:
+        for line in f:
+            line = line.strip().lower()
+            if line and not line.startswith(("//", "#")):
+                out.add(line)
+    return frozenset(out)
+
+
+def registrable_domain_psl(
+    host: Column, suffixes: frozenset[str] | None = None
+) -> Column:
+    """PSL-backed registrable domain: the LONGEST data-file suffix that
+    matches the host's tail, plus one label — so a.b.github.io
+    registers as b.github.io (github.io is a per-user platform) and
+    shop.example.com.au as example.com.au.  Hosts no entry matches
+    fall back to the `registrable_domain` heuristic, so this is a
+    strict refinement.  The suffix set folds into per-length literal
+    arrays probed row-locally (broadcast semantics, pure Column
+    expressions — the list is a few hundred entries; corpus side
+    stays shuffle-free and Python-free)."""
+    if suffixes is None:
+        suffixes = load_public_suffixes()
+    by_len: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_len.setdefault(s.count(".") + 1, []).append(s)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    expr = registrable_domain(host)  # heuristic fallback
+    # ascending build → longest suffix length ends up OUTERMOST in the
+    # when-chain, i.e. checked first: longest match wins, per the PSL
+    # algorithm
+    for k in sorted(by_len):
+        tail = F.array_join(F.slice(labels, -k, k), ".")
+        expr = F.when(
+            (n >= k + 1) & tail.isin(*sorted(by_len[k])),
+            F.array_join(F.slice(labels, -(k + 1), k + 1), "."),
+        ).otherwise(expr)
+    return expr
