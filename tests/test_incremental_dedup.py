@@ -157,3 +157,49 @@ def test_streaming_ingest_dedups_stream_against_history(
     q2.awaitTermination(180)
     assert idx.signatures(spark).count() == n_index
     assert idx.pairs(spark).count() == len(got)
+
+
+def test_random_batch_splits_equal_full_recompute(spark, sf_dir):
+    """Property tape over the BandedDupIndex engine: ANY partition of
+    the corpus into ordered batches must union to exactly the
+    full-corpus recompute (the engine's exactness contract, probed
+    beyond the three fixed splits above)."""
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    full = _pairs(near_duplicates(docs, threshold=THRESHOLD))
+    assert full, "slice must contain near-dup pairs"
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        cuts=st.lists(
+            st.integers(min_value=1, max_value=149),
+            min_size=0, max_size=3, unique=True,
+        )
+    )
+    def tape(cuts):
+        bounds = [0] + sorted(cuts) + [150]
+        with tempfile.TemporaryDirectory() as root:
+            lake = Lakehouse(root)
+            lake.create_schemas("gold")
+            idx = NearDupIndex(lake, threshold=THRESHOLD)
+            got: list[tuple] = []
+            for k, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                batch = docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                emitted = _pairs(idx.ingest(spark, batch, f"b{k}"))
+                assert not set(
+                    (a, b) for a, b, _ in emitted
+                ) & set((a, b) for a, b, _ in got), "pair emitted twice"
+                got.extend(emitted)
+            assert sorted(got) == full
+
+    tape()

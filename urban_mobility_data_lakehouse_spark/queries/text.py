@@ -560,8 +560,12 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("n"),
         )
     )
+    # fan_out: rolling-hash fingerprinting is CPU-bound row-local map
+    # work over every document; the single-row-group local layout runs
+    # it as ONE task otherwise (no-op on production layouts, and the
+    # fingerprint SET is row-order-free)
     fps = winnow.winnow_fingerprints(
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"))
     ).select(
         F.lit("winnow").alias("part"),
         F.col("doc_id").cast("long").alias("k1"),
@@ -584,7 +588,13 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..text.contamination import mark_contaminated
 
-    docs_all = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan_out: gram hashing (8 element_at + md5 per position) is the
+    # suite's heaviest row-local map work — measured 12.4 s as ONE
+    # task at sf0.1; every consumer below (contam/vocab/hotline/chunk/
+    # cms/hist) is order-independent (integer counts / row-local exprs)
+    docs_all = fan_out(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     contam = mark_contaminated(
         docs_all, docs_all.filter(F.col("doc_id") % 97 == 0), n=_CONTAM_N
     ).select(

@@ -61,15 +61,51 @@ def eval_gram_set(eval_docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
     )
 
 
+#: above this many distinct eval grams, `mark_contaminated` switches
+#: from the in-row array plan to the broadcast-hash-join plan —
+#: array_intersect walks the WHOLE dictionary per corpus row
+#: (O(|eval|) per row: the scale-curve part decomposition measured the
+#: array plan at 7.0×/decade when eval and corpus grow together, vs
+#: ≤1.8× for the join plan), while a broadcast hash join builds the
+#: probe set once per task and costs O(1) per doc gram
+ARRAY_PLAN_MAX_GRAMS = 4096
+
+
 def mark_contaminated(
-    docs: DataFrame, eval_docs: DataFrame, n: int = DEFAULT_N
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DEFAULT_N,
+    id_col: str = "doc_id",
+    max_array_grams: int = ARRAY_PLAN_MAX_GRAMS,
 ) -> DataFrame:
     """Corpus docs + (contam_hits, contaminated).
 
     `contam_hits` = number of DISTINCT eval grams the document
-    contains; `contaminated` = contam_hits > 0.  Broadcast-array plan:
-    the corpus side never shuffles.
+    contains; `contaminated` = contam_hits > 0.  Adaptive plan choice,
+    decided by ONE tiny job over the eval side (small by definition):
+
+    * ≤ `max_array_grams` distinct eval grams → broadcast-ARRAY plan:
+      the dictionary folds into one in-row array and each corpus doc
+      tests row-locally via array_intersect — zero shuffle, no
+      explode, the whole pass pipelines into the corpus scan.
+    * larger dictionaries → broadcast-hash-JOIN plan
+      (`mark_contaminated_via_join`): array_intersect's per-row
+      dictionary walk turns O(corpus × eval) exactly when both sides
+      grow together, while the join probes a per-task hash set at
+      O(1) per gram and shuffles only the HITS (post-join, tiny).
+
+    Both plans produce identical values (locked by test); pass
+    `max_array_grams=0` / a huge value to force a side.
     """
+    n_eval = (
+        eval_docs.select(
+            F.explode(gram_hashes(F.col("text"), n)).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    if n_eval > max_array_grams:
+        return mark_contaminated_via_join(docs, eval_docs, n, id_col)
     dict_row = F.broadcast(eval_gram_set(eval_docs, n))
     hits = F.size(
         F.array_intersect(gram_hashes(F.col("text"), n), F.col("eval_grams"))
