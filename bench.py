@@ -25,6 +25,25 @@ from urban_mobility_data_lakehouse_spark.session import get_spark
 # throughput number.  Mismatches are reported in the JSON (and stderr),
 # not fatal — the oracle gate owns correctness; this is a tripwire.
 EXPECTED_ROWS: dict[float, dict[str, int]] = {
+    0.01: {  # the fast-smoke dir (SPARK_GRAFT_SF_DIR=.../sf0.01)
+        "ann_suite": 81,
+        "asof_join_clicks": 2006,
+        "bucketed_fact_join": 5,
+        "doc_profile": 500,
+        "gravity_gaps": 625,
+        "hourly_demand": 720,
+        "knn_ivf": 30,
+        "near_dup_pairs": 572,
+        "pricing_summary": 6,
+        "roleplay_nations": 625,
+        "running_totals": 10000,
+        "sales_by_nation": 25,
+        "salted_agg": 5,
+        "sessionize_events": 9549,
+        "silver_batch_audit": 1,
+        "simhash_candidates": 186,
+        "typical_day_clusters": 72,
+    },
     0.1: {
         "ann_suite": 90,
         "asof_join_clicks": 19863,
