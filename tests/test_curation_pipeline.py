@@ -236,3 +236,36 @@ def test_optional_semdedup_stage(spark, docs, sf_dir):
     assert not dropped & out_ids
     # unembedded docs (doc_id beyond the embedded range) survive
     assert any(i >= 400 for i in out_ids)
+
+
+def test_url_stage_with_public_suffixes(spark):
+    """curate_corpus(url_col=..., public_suffixes=...) keys the URL
+    stage's blocklist and quota on PSL registrable domains."""
+    from urban_mobility_data_lakehouse_spark.text.pipeline import (
+        curate_corpus,
+    )
+    from urban_mobility_data_lakehouse_spark.text.urls import (
+        load_public_suffixes,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, f"https://user{i % 2}.github.io/d/{i}",
+         f"document number {i} with some repeated shared text body "
+         f"unique tail {i}")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    train, stats = curate_corpus(
+        spark,
+        docs,
+        url_col="url",
+        blocked_domains=("user1.github.io",),
+        public_suffixes=load_public_suffixes(),
+        min_quality=0.0,
+    )
+    # PSL blocklist drops exactly the user1 site (odd doc_ids)
+    assert stats["url_filtered"] == 4
+    assert train.filter(F.col("doc_id") % 2 == 1).count() == 0

@@ -260,3 +260,32 @@ def test_registrable_domain_psl_matrix(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_quota_and_blocklist_accept_psl_suffixes(spark):
+    """With `suffixes`, quota buckets and blocklist granularity follow
+    PSL registrable domains: each *.github.io user site is its own
+    quota bucket / blocklist key instead of all sharing 'github.io'."""
+    from urban_mobility_data_lakehouse_spark.text.urls import (
+        load_public_suffixes,
+    )
+
+    rows = [
+        (i, f"https://user{i % 3}.github.io/p/{i}") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    psl = load_public_suffixes()
+
+    # heuristic: ONE bucket (github.io) → cap 2 keeps 2 rows total
+    assert domain_quota(df, "url", 2).count() == 2
+    # PSL: three buckets (user0/1/2.github.io) → cap 2 keeps 6
+    assert domain_quota(df, "url", 2, suffixes=psl).count() == 6
+
+    # heuristic blocklist on 'github.io' nukes everything…
+    assert filter_blocklist(df, "url", ["github.io"]).count() == 0
+    # …PSL granularity blocks exactly one user site
+    kept = filter_blocklist(
+        df, "url", ["user1.github.io"], suffixes=psl
+    )
+    assert kept.count() == 8
+    assert kept.filter(F.col("url").contains("user1")).count() == 0

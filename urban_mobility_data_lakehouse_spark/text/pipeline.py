@@ -44,6 +44,7 @@ def curate_corpus(
     url_col: str | None = None,
     blocked_domains: tuple[str, ...] = (),
     max_per_domain: int | None = None,
+    public_suffixes: frozenset[str] | None = None,
     boilerplate_min_docs: int | None = None,
     exact_substr_min_tokens: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
@@ -108,7 +109,10 @@ def curate_corpus(
 
         docs = documents
         if blocked_domains:
-            docs = filter_blocklist(docs, url_col, list(blocked_domains))
+            docs = filter_blocklist(
+                docs, url_col, list(blocked_domains),
+                suffixes=public_suffixes,
+            )
         canon = F.coalesce(
             normalize_url(F.col(url_col)), F.col(url_col)
         )
@@ -119,7 +123,9 @@ def curate_corpus(
             .drop("_ur")
         )
         if max_per_domain is not None:
-            docs = domain_quota(docs, url_col, max_per_domain)
+            docs = domain_quota(
+                docs, url_col, max_per_domain, suffixes=public_suffixes
+            )
         documents = _checkpoint(docs, "url_filtered")
 
     if boilerplate_min_docs is not None:

@@ -144,20 +144,30 @@ def domain_quota(
     url_col: str,
     max_per_domain: int,
     id_col: str = "doc_id",
+    suffixes: frozenset[str] | None = None,
 ) -> DataFrame:
     """Keep at most `max_per_domain` docs per registrable domain —
     the C4-style balance cap that stops one mega-site from dominating
     a shard.  Selection is keep-lowest-md5(id): deterministic under
     repartition/retry and independent of crawl order (a head-N cap
     samples whatever the crawler saw first, which skews freshness).
-    One shuffle on the domain key — the semantics require it."""
+    One shuffle on the domain key — the semantics require it.
+
+    Pass `suffixes` (e.g. `load_public_suffixes()`) to key the quota
+    on PSL-accurate registrable domains — without it, every
+    *.github.io user site shares one quota bucket."""
     host = parse_url(F.col(url_col))["host"]
+    rd = (
+        registrable_domain_psl(host, suffixes)
+        if suffixes is not None
+        else registrable_domain(host)
+    )
     w = Window.partitionBy("_rd").orderBy(
         F.md5(F.col(id_col).cast("string")).asc(),
         F.col(id_col).asc(),
     )
     return (
-        docs.withColumn("_rd", registrable_domain(host))
+        docs.withColumn("_rd", rd)
         .withColumn("_rq", F.row_number().over(w))
         .filter(F.col("_rq") <= max_per_domain)
         .drop("_rd", "_rq")
@@ -165,14 +175,23 @@ def domain_quota(
 
 
 def filter_blocklist(
-    docs: DataFrame, url_col: str, blocked_domains: list[str]
+    docs: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    suffixes: frozenset[str] | None = None,
 ) -> DataFrame:
     """Drop docs whose registrable domain is blocklisted.  The list is
     folded to ONE broadcast array literal probed row-locally — the
     corpus side stays shuffle-free (blocklists are small; a million-
-    entry list would switch to a broadcast anti-join instead)."""
+    entry list would switch to a broadcast anti-join instead).  Pass
+    `suffixes` to block at PSL-accurate granularity (e.g. blocking
+    one github.io user site instead of all of github.io)."""
     host = parse_url(F.col(url_col))["host"]
-    rd = registrable_domain(host)
+    rd = (
+        registrable_domain_psl(host, suffixes)
+        if suffixes is not None
+        else registrable_domain(host)
+    )
     blocked = F.array(*[F.lit(d.lower()) for d in blocked_domains])
     # NULL url → NULL rd → array_contains is NULL; coalesce keeps the
     # row (no-URL docs pass through to later content-based filters)
