@@ -149,3 +149,47 @@ def test_streaming_ingest_persists_pairs(spark, tmp_path):
     q2.awaitTermination(180)
     assert idx.state(spark).count() == n_index
     assert _pairs(idx.pairs(spark)) == full
+
+
+def test_random_batch_splits_equal_full_recompute(spark, tmp_path):
+    """Property tape over the image adapter of BandedDupIndex: ANY
+    ordered partition of the corpus into batches unions to exactly the
+    full-corpus recompute (same contract the text tape locks on the
+    engine; this pins the adapter hooks under arbitrary splits)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    media = _corpus(spark).localCheckpoint(eager=False)
+    ids = sorted(r["media_id"] for r in media.select("media_id").collect())
+    full = _pairs(phash_near_dups(media, max_hamming=3))
+    assert full
+
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        cuts=st.lists(
+            st.sampled_from(ids[1:]), min_size=0, max_size=3, unique=True
+        )
+    )
+    def tape(cuts):
+        bounds = [min(ids)] + sorted(cuts) + [max(ids) + 1]
+        counter[0] += 1
+        lake = Lakehouse(str(tmp_path / f"lake{counter[0]}"))
+        lake.create_schemas("gold")
+        idx = ImageDupIndex(lake, max_hamming=3)
+        got: dict = {}
+        for k, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+            batch = media.filter(
+                (media.media_id >= lo) & (media.media_id < hi)
+            )
+            emitted = _pairs(idx.ingest(spark, batch, f"b{k}"))
+            assert not set(emitted) & set(got), "pair emitted twice"
+            got.update(emitted)
+        assert got == full
+
+    tape()
