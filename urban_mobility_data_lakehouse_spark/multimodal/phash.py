@@ -152,7 +152,10 @@ def hash_bands(hashed: DataFrame, id_col: str, n_bands: int) -> DataFrame:
 
 
 def phash_near_dups(
-    media: DataFrame, max_hamming: int = 3, n_bands: int = N_BANDS
+    media: DataFrame | None = None,
+    max_hamming: int = 3,
+    n_bands: int = N_BANDS,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """(media_a, media_b, hamming) for every image pair whose pHashes
     differ in ≤ `max_hamming` bits — the image near-dup map.
@@ -162,13 +165,23 @@ def phash_near_dups(
     (band, key) has guaranteed recall for the default radius; verify
     is one row-local xor+popcount.  Output is bounded by the true
     near-dup population; the all-pairs product never exists (the
-    simhash plan shape, plan-locked there)."""
+    simhash plan shape, plan-locked there).
+
+    Pass EITHER raw media OR a pre-checkpointed `image_phash` frame as
+    `hashed` when the caller also consumes the hashes (hashing decodes
+    every image — the corpus pass worth sharing); never both — the
+    hashed frame alone defines the corpus (the `near_duplicates`
+    input convention)."""
     if max_hamming >= n_bands:
         raise ValueError(
             f"banding guarantees recall only for max_hamming < n_bands "
             f"({max_hamming} >= {n_bands}): raise n_bands"
         )
-    hashed = image_phash(media).select(
+    if (media is None) == (hashed is None):
+        raise ValueError("pass exactly one of media / hashed")
+    if hashed is None:
+        hashed = image_phash(media)
+    hashed = hashed.select(
         "media_id", F.conv("phash", 16, 10).cast("long").alias("h")
     )
     bands = hash_bands(hashed, "media_id", n_bands)

@@ -278,12 +278,19 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    hash_part = image_phash(corpus).select(
+    # ONE decode+hash pass serves both the hash part and the pair part
+    # (hashing decodes every image — the corpus pass worth sharing);
+    # localCheckpoint blocks are ContextCleaner-freed, unlike a
+    # CacheManager entry
+    hashed = image_phash(corpus).localCheckpoint(eager=False)
+    hash_part = hashed.select(
         F.lit("hash").alias("part"),
         F.col("media_id").cast("long"),
         F.col("phash"),
     )
-    pair_part = phash_near_dups(corpus, max_hamming=MAX_HAMMING).select(
+    pair_part = phash_near_dups(
+        hashed=hashed, max_hamming=MAX_HAMMING
+    ).select(
         F.lit("pair").alias("part"),
         F.col("media_a").cast("long"),
         F.col("media_b").cast("long"),
