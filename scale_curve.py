@@ -316,29 +316,28 @@ def main() -> None:
                         file=sys.stderr,
                     )
 
-    summary = {}
-    for name, times in results.items():
-        row = {f"x{k}": v for k, v in times.items()}
-        ks = sorted(times)
-        for a, b in zip(ks, ks[1:]):
-            row[f"ratio_x{b}/x{a}"] = round(times[b] / times[a], 2)
-        summary[name] = row
-    ladder_summary = {}
-    for name, times in ladder.items():
-        row = dict(times)
+    def with_ratios(times: dict, prefix: str = "") -> dict:
+        """times + ratio_{b}/{a} for each adjacent key pair — the one
+        estimator every summary table below shares."""
+        row = {f"{prefix}{k}": v for k, v in times.items()}
         tags = list(times)
         for a, b in zip(tags, tags[1:]):
-            row[f"ratio_{b}/{a}"] = round(times[b] / times[a], 2)
-        ladder_summary[name] = row
-    parts_summary = {}
-    for name, per_part in ladder_parts.items():
-        parts_summary[name] = {}
-        for part, times in per_part.items():
-            row = dict(times)
-            tags = list(times)
-            for a, b in zip(tags, tags[1:]):
-                row[f"ratio_{b}/{a}"] = round(times[b] / times[a], 2)
-            parts_summary[name][part] = row
+            row[f"ratio_{prefix}{b}/{prefix}{a}"] = round(
+                times[b] / times[a], 2
+            )
+        return row
+
+    summary = {
+        name: with_ratios(times, prefix="x")
+        for name, times in results.items()
+    }
+    ladder_summary = {
+        name: with_ratios(times) for name, times in ladder.items()
+    }
+    parts_summary = {
+        name: {part: with_ratios(times) for part, times in per_part.items()}
+        for name, per_part in ladder_parts.items()
+    }
     # environment provenance: this sandbox shows transient host
     # contention (the same x100 query measured 10s..304s across a
     # morning) — a fixed-work CPU calibration separates "the plan

@@ -176,6 +176,28 @@ def _phash_oracle_ctes() -> str:
     )"""
 
 
+def _guard_twin_offsets(sf_dir: str) -> None:
+    """The planted-twin media_ids are doc_id + a fixed offset; a real
+    doc_id at-or-above the offset would collide a twin with a stranger
+    and make the near-dup map ambiguous.  Footer-stats check (no Spark
+    job): fail loudly instead of silently merging ids — at sf10+
+    (doc_id ≥ 100 000) the offsets must be raised in lockstep with the
+    oracle's."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    max_id = max(
+        meta.row_group(g).column(0).statistics.max
+        for g in range(meta.num_row_groups)
+    )
+    if max_id >= EXACT_OFFSET:
+        raise ValueError(
+            f"planted-twin offsets collide with real doc_ids "
+            f"(max doc_id {max_id} >= {EXACT_OFFSET}); raise "
+            f"EXACT_OFFSET/BRIGHT_OFFSET and the oracle together"
+        )
+
+
 @register(
     "multimodal_suite",
     oracle=f"""
@@ -235,6 +257,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-≤3 near-dup map over that corpus (`phash_near_dups`) —
     oracle-checked against a brute-force SQL twin."""
     docs = load_table(spark, sf_dir, "documents")
+    _guard_twin_offsets(sf_dir)
     feats = extract_byte_features(documents_as_media(docs)).select(
         "media_id",
         "n_bytes",

@@ -96,17 +96,23 @@ def mark_contaminated(
 
     Both plans produce identical values (locked by test); pass
     `max_array_grams=0` / a huge value to force a side.
+
+    Plan-choice cost: adaptivity needs the dictionary size, so this
+    runs ONE eager job over the EVAL side at build time (small by
+    definition; the collected row is then reused as the broadcast
+    dictionary, never recomputed).  Callers that must stay fully lazy
+    force a side instead.
     """
-    n_eval = (
-        eval_docs.select(
-            F.explode(gram_hashes(F.col("text"), n)).alias("h")
-        )
-        .distinct()
-        .count()
-    )
-    if n_eval > max_array_grams:
+    collected = eval_gram_set(eval_docs, n).collect()
+    eval_grams = collected[0]["eval_grams"] if collected else []
+    if len(eval_grams) > max_array_grams:
         return mark_contaminated_via_join(docs, eval_docs, n, id_col)
-    dict_row = F.broadcast(eval_gram_set(eval_docs, n))
+    spark = docs.sparkSession
+    dict_row = F.broadcast(
+        spark.createDataFrame(
+            [([int(h) for h in eval_grams],)], "eval_grams array<bigint>"
+        )
+    )
     hits = F.size(
         F.array_intersect(gram_hashes(F.col("text"), n), F.col("eval_grams"))
     )
@@ -127,7 +133,9 @@ def mark_contaminated_via_join(
     """Join-shaped variant for eval sets too large to fold into one
     in-row array: explode corpus grams, broadcast-join the distinct
     eval grams, re-aggregate per document.  Same output contract as
-    `mark_contaminated` (checked equal in tests)."""
+    `mark_contaminated` (checked equal in tests).  Requires `id_col`
+    to be unique per document (the re-aggregate groups by it; the
+    array plan scores each ROW independently instead)."""
     eval_grams = (
         eval_docs.select(F.explode(gram_hashes(F.col("text"), n)).alias("h"))
         .distinct()
@@ -136,7 +144,12 @@ def mark_contaminated_via_join(
         docs.select(id_col, F.explode(gram_hashes(F.col("text"), n)).alias("h"))
         .join(F.broadcast(eval_grams), "h")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("contam_hits"))
+        # countDistinct, not count(1): gram_hashes dedups per row, so
+        # the two only differ when two DISTINCT grams of one doc
+        # collide to the same 31-bit hash — countDistinct keeps this
+        # plan's answer equal to the array plan's
+        # size(array_intersect(...)) under that collision too
+        .agg(F.countDistinct("h").alias("contam_hits"))
     )
     return (
         docs.join(hits, id_col, "left")

@@ -244,6 +244,10 @@ def doc_urls(documents: DataFrame) -> DataFrame:
 _PSL_PATH = __file__.rsplit("/", 1)[0] + "/public_suffixes.dat"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
 def load_public_suffixes(
     path: str = _PSL_PATH, extra: tuple[str, ...] = ()
 ) -> frozenset[str]:
@@ -251,7 +255,11 @@ def load_public_suffixes(
     ships as a DATA FILE (`public_suffixes.dat`, a documented subset
     of publicsuffix.org) — a suffix list is data, not an algorithm.
     `extra` adds deployment-specific entries (e.g. an internal
-    hosting platform's domain)."""
+    hosting platform's domain).  Memoized per (path, extra): the
+    shipped file never changes within a process, the returned
+    frozenset is immutable, and `registrable_domain_psl(host)` with
+    the default argument would otherwise re-read and re-parse the
+    file on every plan build."""
     out = {s.lower() for s in extra}
     with open(path) as f:
         for line in f:
