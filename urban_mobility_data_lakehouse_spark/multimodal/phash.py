@@ -43,9 +43,16 @@ RESAMPLE = 32
 BLOCK = 8
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _dct_matrix(n: int):
     """Orthonormal DCT-II basis matrix (n×n float64): row k, column i =
-    s_k · cos(π(2i+1)k / 2n), s_0 = sqrt(1/n), s_k = sqrt(2/n)."""
+    s_k · cos(π(2i+1)k / 2n), s_0 = sqrt(1/n), s_k = sqrt(2/n).
+    Memoized — `_phash_one` consults it per IMAGE, and the matrix is a
+    pure function of n.  Callers must not mutate (the two consumers
+    only read; the oracle generator copies values into literals)."""
     import numpy as np
 
     i = np.arange(n, dtype=np.float64)
