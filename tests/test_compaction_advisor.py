@@ -33,14 +33,22 @@ def _day_df(spark, day: str, lo: int, n: int = 5, parts: int = 1):
 def test_advisor_flags_small_file_partition_and_compact_clears(
     spark, lake
 ):
-    # day A: one file; day B: written 6-ways -> 6 tiny live files
+    # day A: one file; day B: split into 6 tiny live files (commit
+    # writes are one-file-per-partition by construction, so the
+    # fragmented layout is manufactured with a scoped
+    # target_files_per_partition compaction — the layout knob that
+    # legitimately produces multi-file partitions)
     lake.overwrite_partitions(
         _day_df(spark, "2024-03-01", 0, 50, parts=1), "silver", "t",
         partition_col="partition_date",
     )
     lake.overwrite_partitions(
-        _day_df(spark, "2024-03-02", 1000, 60, parts=6), "silver", "t",
+        _day_df(spark, "2024-03-02", 1000, 60), "silver", "t",
         partition_col="partition_date",
+    )
+    lake.compact(
+        spark, "silver", "t", partition_col="partition_date",
+        partitions=["2024-03-02"], target_files_per_partition=6,
     )
     rec = lake.recommend_compaction(
         "silver", "t", small_file_bytes=1 << 20, min_small_files=4
@@ -95,7 +103,7 @@ def test_advisor_attributes_subdirs_and_still_counts_flat_files(
     import shutil
 
     lake.overwrite_partitions(
-        _day_df(spark, "2024-03-01", 0, 50, parts=4), "silver", "t",
+        _day_df(spark, "2024-03-01", 0, 50), "silver", "t",
         partition_col="partition_date",
     )
     lake.append(_day_df(spark, "2024-03-01", 5000, 3, parts=1),
@@ -116,8 +124,8 @@ def test_advisor_attributes_subdirs_and_still_counts_flat_files(
     rec = lake.recommend_compaction(
         "silver", "t", small_file_bytes=1 << 20, min_small_files=4
     )
-    # attributed subdir file counts toward its partition (4 + 1)…
-    assert rec["detail"]["2024-03-01"]["files"] == 5
+    # attributed subdir file counts toward its partition (1 + 1)…
+    assert rec["detail"]["2024-03-01"]["files"] == 2
     # …the flat files are STILL scanned into <unpartitioned> (the
     # pre-fix code skipped them once any subdir attributed)…
     assert rec["detail"]["<unpartitioned>"]["files"] == len(flat)
@@ -133,7 +141,7 @@ def test_advisor_attributes_subdirs_and_still_counts_flat_files(
     )
     assert rec2["unpartitioned_dirs"] == 0
     assert "<unpartitioned>" not in rec2["detail"]
-    assert rec2["detail"]["2024-03-01"]["files"] == 5
+    assert rec2["detail"]["2024-03-01"]["files"] == 2
 
 
 def test_advisor_is_a_pure_metadata_read(spark, lake, monkeypatch):

@@ -427,13 +427,20 @@ def test_partition_scoped_compact_where(spark, events, tmp_path):
     lake = Lakehouse(str(tmp_path / "lake"))
     lake.create_schemas("silver")
     lake.set_partition_spec("silver", "events", "days(ts)")
-    # two interleaved writes → 2 files in most day partitions
     lake.overwrite_partitions(
         events.filter(F.col("event_id") % 2 == 0), "silver", "events"
     )
     lake.merge_into(
         spark, "silver", "events",
         events.filter(F.col("event_id") % 2 == 1), key="event_id",
+    )
+    # fragment every day partition EXPLICITLY (commit writes are
+    # one-file-per-partition by construction now, so fragmentation
+    # must be manufactured — the 2-files/partition layout a
+    # target_files_per_partition compaction legitimately produces)
+    lake.compact(
+        spark, "silver", "events", target_files_per_partition=2,
+        vacuum_grace_seconds=0,
     )
     full_before = lake.read(spark, "silver", "events")
     ids_before = _ids(full_before)

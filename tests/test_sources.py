@@ -105,10 +105,15 @@ def test_lakehouse_compact(spark, tmp_path):
     events = load_table(spark, "/root/testdata/sf0.001", "events").select(
         "event_id", "value", F.to_date("ts").alias("partition_date")
     )
-    # deliberately fragment: ~8 files per daily partition
+    # deliberately fragment ACROSS COMMITS (per-commit writes are
+    # one-file-per-partition by construction): base overwrite plus two
+    # appends — the streaming-accretion shape compaction exists for
     lake.overwrite_partitions(
-        events.repartition(8), "silver", "frag", partition_col="partition_date"
+        events.filter(F.col("event_id") % 3 == 0),
+        "silver", "frag", partition_col="partition_date",
     )
+    lake.append(events.filter(F.col("event_id") % 3 == 1), "silver", "frag")
+    lake.append(events.filter(F.col("event_id") % 3 == 2), "silver", "frag")
     path = str(tmp_path / "lake" / "silver" / "frag")
     before_rows = sorted(
         (r["event_id"], r["value"]) for r in lake.read(spark, "silver", "frag").collect()

@@ -893,8 +893,19 @@ class Lakehouse:
         path = self._table_dir(schema, name)
         self._enforce_constraints(df, schema, name)
         df = self._to_physical(df, schema, name)
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(
-            data_dir
+        # hash-repartition on the partition column before the write
+        # (compact's rule): every value's rows land in ONE task →
+        # exactly one file per partition directory per commit.  The
+        # unpartitioned write multiplies files by the upstream task
+        # count (T tasks × P partitions small files — the 100 TB
+        # small-files explosion) and makes per-commit file counts
+        # vary with AQE/parallelism.  Partitions too big for one
+        # writer are compact's job (target_files_per_partition).
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(data_dir)
         )
         parts = (
             [str(p) for p in partitions]
@@ -925,9 +936,12 @@ class Lakehouse:
         if spec is not None and spec.source in df.columns:
             # hidden-spec tables lay out even full writes / appends by
             # the derived value, so `read_where` can DIRECTORY-prune
-            # additive commit dirs too (the streaming-append shape)
+            # additive commit dirs too (the streaming-append shape).
+            # One writer per derived value (see
+            # _stage_overwrite_partitions for the small-files rule).
             (
                 df.withColumn(spec.hidden_col, spec.derive(df))
+                .repartition(F.col(spec.hidden_col))
                 .write.mode("overwrite")
                 .partitionBy(spec.hidden_col)
                 .parquet(data_dir)
