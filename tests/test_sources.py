@@ -902,3 +902,68 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     assert real["bytes"] == preview["bytes"]
     assert not any(os.path.isdir(d) for d in real["dirs"])
     assert lake.read(spark, "silver", "v").count() == 50
+
+
+def test_overwrite_partitions_layout_knobs(spark, tmp_path):
+    """The one-writer-per-partition default writes exactly one file per
+    partition dir; files_per_partition splits big partitions across
+    multiple writers (deterministic bucket, best-effort bound); and
+    sort_within keeps per-file min/max stats prunable instead of
+    letting the hash shuffle randomize the caller's clustering."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.range(20_000).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("half"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+    lake.overwrite_partitions(df, "silver", "one", partition_col="half")
+    by_dir: dict[str, int] = {}
+    for f in lake.read(spark, "silver", "one").inputFiles():
+        by_dir[f.rsplit("/", 2)[-2]] = by_dir.get(f.rsplit("/", 2)[-2], 0) + 1
+    assert set(by_dir.values()) == {1}, by_dir  # one file per partition
+
+    lake.overwrite_partitions(
+        df, "silver", "many", partition_col="half", files_per_partition=4
+    )
+    by_dir2: dict[str, int] = {}
+    for f in lake.read(spark, "silver", "many").inputFiles():
+        d = f.rsplit("/", 2)[-2]
+        by_dir2[d] = by_dir2.get(d, 0) + 1
+    assert all(1 <= n <= 4 for n in by_dir2.values()), by_dir2
+    assert any(n > 1 for n in by_dir2.values()), by_dir2
+    # same rows either way
+    assert (
+        lake.read(spark, "silver", "many").exceptAll(
+            lake.read(spark, "silver", "one")
+        ).count()
+        == 0
+    )
+
+    # sort_within: each partition's single file is id-clustered —
+    # min/max stats stay tight (file min == partition min, a sorted
+    # write's signature; the unsorted hash shuffle gives no such bound)
+    lake.overwrite_partitions(
+        df, "silver", "sorted", partition_col="half",
+        sort_within=("id",),
+    )
+    import pyarrow.parquet as pq
+
+    for f in lake.read(spark, "silver", "sorted").inputFiles():
+        path = f.removeprefix("file:")
+        md = pq.ParquetFile(path).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        i_id = names.index("id")
+        st = md.row_group(0).column(i_id).statistics
+        first_page_min = st.min
+        want = 0 if "half=0" in path else 1
+        assert first_page_min == want, (path, first_page_min)

@@ -885,36 +885,93 @@ class Lakehouse:
                             f["bloom"] = b
         return entry
 
+    @staticmethod
+    def _cluster_for_partitioned_write(
+        df: DataFrame,
+        partition_col: str,
+        files_per_partition: int = 1,
+        sort_within: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """The one-writer-per-partition rule, in ONE place (the write
+        paths and compact all follow it): hash-repartition on the
+        partition column so every value's rows land in one task →
+        exactly one file per partition directory per commit.  The
+        unpartitioned form multiplies files by the upstream task count
+        (T tasks × P partitions small files — the 100 TB small-files
+        explosion) and makes per-commit file counts vary with
+        AQE/parallelism.
+
+        `files_per_partition > 1` is the large-partition escape hatch
+        (a 400 GB city partition must not funnel through one writer):
+        a deterministic intra-partition bucket (xxhash64 of the row,
+        never rand()) splits each value across up to that many tasks —
+        best-effort upper bound, since AQE may coalesce small buckets
+        back together.  `sort_within` sorts rows inside each writer so
+        per-file min/max stats and Bloom indexes keep their pruning
+        power (a bare hash shuffle would randomize any caller-provided
+        clustering)."""
+        if files_per_partition > 1:
+            hashable = [
+                c for c, t in df.dtypes if not t.startswith("map<")
+            ]  # xxhash64 rejects maps
+            if hashable:
+                bucket = F.pmod(
+                    F.xxhash64(*[F.col(c) for c in hashable]),
+                    F.lit(files_per_partition),
+                )
+                # explicit task count (compact's rule): AQE would
+                # otherwise coalesce the small (value, bucket) shuffle
+                # groups back to one task per value, silently undoing
+                # the split
+                n_tasks = files_per_partition * max(
+                    1, df.sparkSession.sparkContext.defaultParallelism
+                )
+                out = df.repartition(
+                    n_tasks, F.col(partition_col), bucket
+                )
+            else:
+                out = df.repartition(F.col(partition_col))
+        else:
+            out = df.repartition(F.col(partition_col))
+        if sort_within:
+            out = out.sortWithinPartitions(partition_col, *sort_within)
+        return out
+
     def _stage_overwrite_partitions(
         self, df: DataFrame, schema: str, name: str,
         partition_col: str, data_dir: str,
         partitions: list[str] | None = None,
+        files_per_partition: int = 1,
+        sort_within: tuple[str, ...] = (),
     ) -> dict:
         path = self._table_dir(schema, name)
         self._enforce_constraints(df, schema, name)
         df = self._to_physical(df, schema, name)
-        # hash-repartition on the partition column before the write
-        # (compact's rule): every value's rows land in ONE task →
-        # exactly one file per partition directory per commit.  The
-        # unpartitioned write multiplies files by the upstream task
-        # count (T tasks × P partitions small files — the 100 TB
-        # small-files explosion) and makes per-commit file counts
-        # vary with AQE/parallelism.  Partitions too big for one
-        # writer are compact's job (target_files_per_partition).
         (
-            df.repartition(F.col(partition_col))
+            self._cluster_for_partitioned_write(
+                df, partition_col, files_per_partition, sort_within
+            )
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(data_dir)
         )
-        parts = (
-            [str(p) for p in partitions]
-            if partitions is not None
-            else [
-                str(r[0])
-                for r in df.select(partition_col).distinct().collect()
+        if partitions is not None:
+            parts = [str(p) for p in partitions]
+        else:
+            # read the partition set off the directory names the write
+            # just produced — the old distinct().collect() recomputed
+            # the df's ENTIRE lineage a second time per commit (hive
+            # escaping unquoted, a no-op for the plain scalar values
+            # this catalog supports)
+            from urllib.parse import unquote
+
+            prefix = f"{partition_col}="
+            parts = [
+                unquote(d[len(prefix):])
+                for d in os.listdir(data_dir)
+                if d.startswith(prefix)
+                and os.path.isdir(os.path.join(data_dir, d))
             ]
-        )
         return self._attach_stats(
             dict(
                 op="overwrite_partitions",
@@ -937,11 +994,13 @@ class Lakehouse:
             # hidden-spec tables lay out even full writes / appends by
             # the derived value, so `read_where` can DIRECTORY-prune
             # additive commit dirs too (the streaming-append shape).
-            # One writer per derived value (see
-            # _stage_overwrite_partitions for the small-files rule).
+            # One writer per derived value
+            # (_cluster_for_partitioned_write owns the rule).
             (
-                df.withColumn(spec.hidden_col, spec.derive(df))
-                .repartition(F.col(spec.hidden_col))
+                self._cluster_for_partitioned_write(
+                    df.withColumn(spec.hidden_col, spec.derive(df)),
+                    spec.hidden_col,
+                )
                 .write.mode("overwrite")
                 .partitionBy(spec.hidden_col)
                 .parquet(data_dir)
@@ -964,6 +1023,8 @@ class Lakehouse:
         partitions: list[str] | None = None,
         extra_meta: dict | None = None,
         _base: int | None = None,
+        files_per_partition: int = 1,
+        sort_within: tuple[str, ...] = (),
     ) -> None:
         """Idempotent partition upsert: only partitions present in `df`
         are replaced; everything else is untouched.  Copy-on-write: the
@@ -986,6 +1047,12 @@ class Lakehouse:
         spec's source column — the caller partitions by `days(ts)`
         without ever materializing a day column.
 
+        `files_per_partition` / `sort_within`: layout knobs forwarded
+        to the one-writer-per-partition rule
+        (`_cluster_for_partitioned_write`) — the escape hatch for
+        partitions too big for one writer, and the way to keep
+        caller-side clustering alive for file-stat/Bloom pruning.
+
         `_base`: internal — read-modify-write callers (merge_into,
         delete_where) pass the version count they captured BEFORE
         reading the table, so a commit that lands between their read
@@ -1001,7 +1068,8 @@ class Lakehouse:
         if _base is not None:
             base = _base
         entry = self._stage_overwrite_partitions(
-            df, schema, name, partition_col, data_dir, partitions
+            df, schema, name, partition_col, data_dir, partitions,
+            files_per_partition, sort_within,
         )
         self._commit(schema, name, _with_meta(entry, extra_meta), base)
 
