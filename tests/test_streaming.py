@@ -371,3 +371,162 @@ def test_sessionize_agrees_with_builtin_session_window(spark, sf_dir):
         .collect()
     }
     assert ours == builtin
+
+
+def test_daily_ingest_same_day_split_across_batches(spark, tmp_path):
+    """A day whose files span micro-batches must keep EVERY file's rows
+    (the bare partition overwrite replaced the earlier batch's same-day
+    rows — silent data loss)."""
+    import csv
+    import os
+
+    src = tmp_path / "split_src"
+    os.makedirs(src)
+    cols = [
+        "fecha", "periodo", "origen", "destino", "distancia",
+        "actividad_origen", "actividad_destino", "residencia", "renta",
+        "edad", "sexo", "viajes", "viajes_km",
+    ]
+    for fname, rows in (
+        ("a.csv", [("20240101", "01", "A"), ("20240101", "02", "B")]),
+        ("b.csv", [("20240101", "03", "C"), ("20240102", "01", "D")]),
+        ("c.csv", [("20240101", "04", "E")]),
+    ):
+        with open(src / fname, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(cols)
+            for fecha, periodo, origen in rows:
+                w.writerow(
+                    [fecha, periodo, origen, "X", "0.5-2", "casa",
+                     "casa", "r", "10", "25-45", "M", "1", "2"]
+                )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("bronze")
+    # one file per trigger → 2024-01-01 spans THREE micro-batches
+    q = daily_file_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    table = lake.read(spark, "bronze", "mobility_data_stream")
+    day1 = table.filter(F.col("fecha") == "20240101")
+    assert sorted(r["origen"] for r in day1.collect()) == [
+        "A", "B", "C", "E"
+    ]
+    assert table.filter(F.col("fecha") == "20240102").count() == 1
+
+    # replay from a fresh checkpoint over the same source: idempotent
+    # (each batch id rewrites its own tagged slice, never duplicates)
+    n = table.count()
+    q2 = daily_file_ingest(
+        spark, str(src), lake, str(tmp_path / "ckpt2"),
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(120)
+    assert lake.read(spark, "bronze", "mobility_data_stream").count() == n
+
+
+def test_sessionize_stream_cross_batch_late_event(spark, tmp_path):
+    """A late event delivered in a LATER micro-batch (within the gap,
+    ts older than the open session's end) must extend the one session,
+    not regress its bounds and split phantom sessions; gap_minutes is
+    honored; a NaN value doesn't poison the session total."""
+    import datetime as dt
+
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    slice1 = [
+        (1, 1, base, 10.0),
+        (2, 1, base + dt.timedelta(minutes=5), float("nan")),
+    ]
+    slice2 = [
+        (3, 1, base + dt.timedelta(minutes=3), 7.0),   # LATE, in-gap
+        (4, 1, base + dt.timedelta(minutes=9), 1.0),
+    ]
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    for k, rows in enumerate((slice1, slice2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stream_dir / f"s{k}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/s*")
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=6)
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["user_id"], r["session_no"]): r
+        for r in spark.sql("select * from late_sessions").collect()
+    }
+    # ONE session: the late 12:03 event extends it (the old bare
+    # assignment regressed last to 12:03 and split at 12:09)
+    assert set(rows) == {(1, 1)}, rows
+    r = rows[(1, 1)]
+    assert r["session_start"] == base
+    assert r["session_end"] == base + dt.timedelta(minutes=9)
+    assert r["n_events"] == 4
+    assert r["total_value"] == 18.0  # NaN contributed 0, not NaN
+
+
+def test_append_unique_meta_is_atomic_idempotence(spark, tmp_path):
+    """lake.append(unique_meta=...): the duplicate check runs INSIDE
+    the commit lock — the second append of the same (source, batch) is
+    skipped (returns False) and the table keeps one copy."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.range(10).selectExpr("id", "id * 2 as v")
+    meta = {"stream_source": "s", "stream_batch_id": 7}
+    assert lake.append(
+        df, "silver", "t", extra_meta=meta,
+        unique_meta=("stream_source", "stream_batch_id"),
+    ) is True
+    assert lake.append(
+        df, "silver", "t", extra_meta=meta,
+        unique_meta=("stream_source", "stream_batch_id"),
+    ) is False
+    assert lake.read(spark, "silver", "t").count() == 10
+    # a different batch id still lands
+    assert lake.append(
+        df, "silver", "t",
+        extra_meta={"stream_source": "s", "stream_batch_id": 8},
+        unique_meta=("stream_source", "stream_batch_id"),
+    ) is True
+    assert lake.read(spark, "silver", "t").count() == 20
+
+
+def test_interval_join_tolerates_shared_column_names(spark):
+    """Carry-along columns sharing a name on both sides must not raise
+    AMBIGUOUS_REFERENCE — every carried column is side-qualified."""
+    import datetime as dt
+
+    from urban_mobility_data_lakehouse_spark.streaming.joins import (
+        interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base, "l")],
+        "user_id long, click_ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5), "r")],
+        "user_id long, purchase_ts timestamp, tag string",
+    )
+    got = interval_join(left, right).collect()
+    assert len(got) == 1
+    assert got[0]["user_id"] == 1

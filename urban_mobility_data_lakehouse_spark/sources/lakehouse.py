@@ -260,8 +260,9 @@ class Lakehouse:
         )
 
     def _commit(
-        self, schema: str, name: str, entry: dict, base_version: int
-    ) -> None:
+        self, schema: str, name: str, entry: dict, base_version: int,
+        unique_meta: tuple[str, ...] | None = None,
+    ) -> bool:
         """Optimistic commit: under the table lock, every line that
         landed after `base_version` is checked against this write's
         footprint; disjoint writers (different partitions, appends)
@@ -269,9 +270,26 @@ class Lakehouse:
         writers raise `ConcurrentWriteError` for the caller to re-read
         and retry.  No lost updates, linear history, and the lock is
         held only for log-line arithmetic — data files were already
-        written outside it."""
+        written outside it.
+
+        `unique_meta` names metadata keys that must be UNIQUE across
+        the whole log: if any existing line carries the same values,
+        the commit is SKIPPED (returns False) instead of appended —
+        the table-level idempotence primitive streaming sinks need
+        (a zombie writer and a restarted query racing the same
+        micro-batch both pass an outside-the-lock seen-check; only a
+        check inside the commit lock closes that window).  The
+        skipped write's staged data dir stays an unreferenced orphan,
+        exactly like a crashed write — vacuum reclaims it."""
         path = self._table_dir(schema, name)
         with self._table_lock(path):
+            if unique_meta:
+                mine = {k: entry.get(k) for k in unique_meta}
+                for other in self._raw_snapshots(schema, name):
+                    if all(
+                        other.get(k) == v for k, v in mine.items()
+                    ):
+                        return False  # duplicate: already committed
             for other in self._raw_snapshots(schema, name)[base_version:]:
                 if _commits_conflict(entry, other):
                     raise ConcurrentWriteError(
@@ -281,6 +299,7 @@ class Lakehouse:
                         f"({other['operation']!r}); re-read and retry"
                     )
             self._append_log_line(path, **entry)
+        return True
 
     # -- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog) -------
 
@@ -1537,10 +1556,18 @@ class Lakehouse:
         schema: str,
         name: str,
         extra_meta: dict | None = None,
-    ) -> None:
+        unique_meta: tuple[str, ...] | None = None,
+    ) -> bool:
+        """Blind additive commit.  `unique_meta` (keys of `extra_meta`)
+        makes the append idempotent at the TABLE level — a duplicate
+        is skipped under the commit lock (see `_commit`); returns
+        False for a skipped duplicate, True when committed."""
         base, data_dir = self._next_data_dir(schema, name)  # fresh dir per commit
         entry = self._stage_full_write(df, schema, name, "append", data_dir)
-        self._commit(schema, name, _with_meta(entry, extra_meta), base)
+        return self._commit(
+            schema, name, _with_meta(entry, extra_meta), base,
+            unique_meta=unique_meta,
+        )
 
     # -- multi-table transactions (S11) ------------------------------------
 

@@ -60,8 +60,31 @@ def daily_file_ingest(
         batch = batch_df.filter(F.col("fecha").isNotNull())
         if batch.isEmpty():
             return
+        # a day's files can SPAN micro-batches (backlog > maxFiles, or
+        # one day split across files) — a bare partition overwrite
+        # would replace the earlier batch's same-day rows.  Tag rows
+        # with the batch id and carry PRIOR batches' rows of the
+        # touched days through the overwrite; on a crash-replay of
+        # this batch id, its own earlier rows are excluded first, so
+        # the rewrite converges instead of duplicating (idempotence
+        # keyed the same way the dedup indexes key their partitions).
+        tagged = batch.withColumn("_ingest_batch", F.lit(int(batch_id)))
+        try:
+            live = lake.read(
+                batch_df.sparkSession, "bronze", "mobility_data_stream"
+            )
+            days = [
+                r[0] for r in batch.select("fecha").distinct().collect()
+            ]
+            prior = live.filter(
+                F.col("fecha").isin(days)
+                & (F.col("_ingest_batch") != int(batch_id))
+            )
+            tagged = tagged.unionByName(prior)
+        except FileNotFoundError:
+            pass  # first batch bootstraps the table
         lake.overwrite_partitions(
-            batch, "bronze", "mobility_data_stream", partition_col="fecha"
+            tagged, "bronze", "mobility_data_stream", partition_col="fecha"
         )
 
     return (
@@ -128,12 +151,24 @@ def stream_to_table(
 
     Idempotence is enforced at the TABLE, not just the checkpoint:
     every append commit records (stream_source, stream_batch_id) on its
-    log line, and a replayed micro-batch — crashed sink, deleted
-    checkpoint, re-run pipeline — is skipped when its batch id is
-    already committed.  That is the transactional-sink half of
-    exactly-once that a bare parquet `foreachBatch` append lacks: the
-    streaming checkpoint alone cannot protect against the sink dying
-    AFTER the write but BEFORE the checkpoint commit.
+    log line, and a replayed micro-batch is skipped when its batch id
+    is already committed — checked INSIDE the commit lock
+    (`append(unique_meta=...)`), so a zombie writer and a restarted
+    query racing the same batch id cannot both land (a bare
+    outside-the-lock seen-check has exactly that TOCTOU window).  That
+    is the transactional-sink half of exactly-once that a bare parquet
+    `foreachBatch` append lacks: the streaming checkpoint alone cannot
+    protect against the sink dying AFTER the write but BEFORE the
+    checkpoint commit.
+
+    Scope of the batch-id key (the standard foreachBatch txn-version
+    contract, same as Delta's txnAppId/txnVersion): it protects
+    replays of THE SAME batch partitioning — sink crash, checkpoint
+    loss with an unchanged source, re-run pipeline.  If the checkpoint
+    is lost AND the source has since changed, batch ids restart at 0
+    over DIFFERENT contents; re-keying the run (a fresh `stream_id`)
+    is then the caller's responsibility, or rows under re-used ids are
+    skipped.
 
     `transform` (optional) maps each micro-batch frame before the
     append; it must be deterministic for replays to be true no-ops.
@@ -147,11 +182,12 @@ def stream_to_table(
             if e.get("stream_source") == sid
         }
         if batch_id in seen:
-            return  # replayed batch: already committed
+            return  # cheap pre-check: skip staging data files entirely
         out = transform(batch_df) if transform else batch_df
         lake.append(
             out, schema, name,
             extra_meta={"stream_source": sid, "stream_batch_id": batch_id},
+            unique_meta=("stream_source", "stream_batch_id"),
         )
 
     return (

@@ -49,12 +49,15 @@ def interval_join(
             <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")
         )
     )
+    # every carried column is QUALIFIED to its side (lw[c]/rw[c]):
+    # bare names raise AMBIGUOUS_REFERENCE the moment both inputs
+    # share any column beyond the key/ts pair
     return lw.join(rw, cond, "inner").select(
         lw[key].alias(key),
-        F.col(left_ts),
-        F.col(right_ts),
-        *[c for c in left.columns if c not in (key, left_ts)],
-        *[c for c in right.columns if c not in (key, right_ts)],
+        lw[left_ts],
+        rw[right_ts],
+        *[lw[c] for c in left.columns if c not in (key, left_ts)],
+        *[rw[c] for c in right.columns if c not in (key, right_ts)],
     )
 
 
@@ -70,11 +73,15 @@ def enrich_with_dim(
 
     The workhorse production streaming shape: the static side is
     broadcast to every task, so the stream never shuffles and no join
-    state accumulates — each micro-batch is a map-side hash join.  The
-    dim is re-read per micro-batch by Spark (picking up slowly-changing
-    dims for free); at 100 TB/day stream rates the only requirement is
-    that the dim stays broadcast-sized.  Left join so unknown keys
-    survive with NULL attributes (audit them downstream, never drop).
+    state accumulates — each micro-batch is a map-side hash join.  At
+    100 TB/day stream rates the only requirement is that the dim stays
+    broadcast-sized.  Left join so unknown keys survive with NULL
+    attributes (audit them downstream, never drop).
+
+    Slowly-changing dims: a FILE-backed static frame pins its file
+    listing at DataFrame creation, so dim updates are NOT picked up by
+    later micro-batches of a running query — re-resolve the dim inside
+    `foreachBatch` (or restart the query) when the dimension changes.
 
     Works identically on batch frames, which is the differential
     oracle (tests/test_streaming.py).

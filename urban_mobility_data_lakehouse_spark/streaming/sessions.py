@@ -8,26 +8,39 @@ session while the gap between them is ≤ `gap_minutes`.
 
 Batch form: two window passes (lag → running sum of break flags) then a
 grouped aggregate — pure Catalyst, one shuffle on user_id that both
-windows and the final groupBy reuse (same partitioning, no extra
-exchange).  Oracle-checkable in ANSI SQL.
+windows and the final groupBy reuse (same partitioning); the trailing
+presentation `orderBy` is one extra range exchange at the edge, over
+the |sessions|-bounded OUTPUT, not the event volume.  Oracle-checkable
+in ANSI SQL.
 
 Streaming form: `groupBy(user_id).applyInPandasWithState` with one
-state row per user (open-session accumulator).  State is bounded by
-|active users|, not event volume; Arrow moves batches, pandas closes
+state row per user (open-session accumulator).  Pass `close_after` to
+bound state by the ACTIVE user population: idle users' open sessions
+are closed, emitted, and EVICTED on a processing-time timeout — the
+default (None) keeps state for every user ever seen, which is only
+acceptable for bounded key spaces.  Arrow moves batches, pandas closes
 sessions per group.  Its single-batch output equals the batch operator
 on the same data, which is exactly what the test asserts.
+
+Cross-batch ordering: events are sorted within each micro-batch, and
+the open session's `last`/`start` bounds are maintained as MAX/MIN so
+a late event delivered in a later batch can never move the session
+boundary backwards (a bare assignment regressed `last_us` and split
+in-gap events into phantom sessions).  A late event older than the
+open session's start that ALSO exceeds the gap still opens a new
+session — cross-batch reordering beyond the gap needs the watermarked
+upstream dedup/sort the pipeline composes before this operator.
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterator
+from typing import Any, Callable, Iterator
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -113,63 +126,117 @@ ORDER BY user_id, session_no
 """
 
 
-def _sessionize_group(
-    key: tuple[Any, ...], pdfs: Iterator, state
-) -> Iterator:
-    """Per-user stateful session builder (runs inside Arrow workers).
+def _session_fn(
+    gap_minutes: int, close_after_ms: int | None
+) -> Callable:
+    """Per-user stateful session builder factory (the returned function
+    runs inside Arrow workers).
 
     Carries the open session across micro-batches in GroupState; emits
     every session closed by this batch plus the still-open one (update
-    semantics — later batches may extend and re-emit it).
+    semantics — later batches may extend and re-emit it).  With a
+    timeout configured, an idle user's open session is closed, emitted
+    one final time, and the state row REMOVED — state stays bounded by
+    the active population instead of every key ever seen.
     """
-    import pandas as pd
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    (user_id,) = key
-    gap_us, out = 30 * 60 * 1_000_000, []
-    if state.exists:
-        sess_no, start_us, last_us, n_ev, total = state.get
-    else:
-        sess_no, start_us, last_us, n_ev, total = 0, None, None, 0, 0.0
+    def fn(key: tuple[Any, ...], pdfs: Iterator, state) -> Iterator:
+        import pandas as pd
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1000)
-            if start_us is None:
-                sess_no, start_us, last_us, n_ev, total = 1, t_us, t_us, 1, float(value)
-            elif t_us - last_us > gap_us:
-                out.append((sess_no, start_us, last_us, n_ev, total))
-                sess_no, start_us, last_us, n_ev, total = (
-                    sess_no + 1, t_us, t_us, 1, float(value),
-                )
-            else:
-                last_us, n_ev, total = t_us, n_ev + 1, total + float(value)
+        (user_id,) = key
 
-    if start_us is not None:
-        out.append((sess_no, start_us, last_us, n_ev, total))  # open session
-        state.update((sess_no, start_us, last_us, n_ev, total))
+        def frame(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_no": [o[0] for o in rows],
+                    "session_start": [
+                        pd.Timestamp(o[1], unit="us") for o in rows
+                    ],
+                    "session_end": [
+                        pd.Timestamp(o[2], unit="us") for o in rows
+                    ],
+                    "n_events": [o[3] for o in rows],
+                    "total_value": [round(o[4], 4) for o in rows],
+                }
+            )
 
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id] * len(out),
-            "session_no": [o[0] for o in out],
-            "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
-            "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
-            "n_events": [o[3] for o in out],
-            "total_value": [round(o[4], 4) for o in out],
-        }
-    )
+        if close_after_ms is not None and state.hasTimedOut:
+            # idle user: final emit of the open session, then eviction
+            closed = state.get
+            state.remove()
+            yield frame([closed])
+            return
+
+        out = []
+        if state.exists:
+            sess_no, start_us, last_us, n_ev, total = state.get
+        else:
+            sess_no, start_us, last_us, n_ev, total = 0, None, None, 0, 0.0
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                # dsum parity: NULL/NaN values contribute 0 to the
+                # session total (one NaN must not poison the session)
+                v = float(value) if value == value else 0.0
+                if start_us is None:
+                    sess_no, start_us, last_us, n_ev, total = (
+                        1, t_us, t_us, 1, v,
+                    )
+                elif t_us - last_us > gap_us:
+                    out.append((sess_no, start_us, last_us, n_ev, total))
+                    sess_no, start_us, last_us, n_ev, total = (
+                        sess_no + 1, t_us, t_us, 1, v,
+                    )
+                else:
+                    # MAX/MIN bounds: a cross-batch late event must
+                    # never move the open session's edges backwards
+                    last_us = max(last_us, t_us)
+                    start_us = min(start_us, t_us)
+                    n_ev, total = n_ev + 1, total + v
+
+        if start_us is not None:
+            out.append((sess_no, start_us, last_us, n_ev, total))  # open
+            state.update((sess_no, start_us, last_us, n_ev, total))
+            if close_after_ms is not None:
+                state.setTimeoutDuration(close_after_ms)
+
+        yield frame(out)
+
+    return fn
 
 
-def sessionize_stream(events_stream: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    close_after_minutes: int | None = None,
+) -> DataFrame:
     """Stateful streaming sessionization (custom operator the built-in
-    windowed aggs can't express: gap-defined, per-key dynamic windows)."""
+    windowed aggs can't express: gap-defined, per-key dynamic windows).
+
+    `gap_minutes` matches the batch twin's knob (the two operators stay
+    differential oracles of each other at ANY gap, not one magic
+    value).  `close_after_minutes` arms a processing-time timeout that
+    closes + evicts idle users' open sessions — the state-boundedness
+    switch for unbounded key spaces."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    close_ms = (
+        None
+        if close_after_minutes is None
+        else close_after_minutes * 60 * 1000
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        _session_fn(gap_minutes, close_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if close_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
