@@ -142,3 +142,18 @@ def test_rrf_hybrid_bm25_plus_knn(spark, sf_dir):
     # deterministic across runs
     again = bm25.rrf_fuse([keyword, vector], topn=10).collect()
     assert fused == again
+
+
+def test_terms_with_quotes_score_instead_of_crashing(spark):
+    """The space tokenizer keeps apostrophes, so "don't" is a legal
+    corpus token — term literals must be SQL-escaped, not interpolated
+    raw (ParseException before the fix)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "i don't like rainy days"),
+            (2, "sunny days are fine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25.bm25_topk(docs, ("don't",), k=5).collect()
+    assert [r["doc_id"] for r in got] == [1]

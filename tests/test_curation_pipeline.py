@@ -269,3 +269,58 @@ def test_url_stage_with_public_suffixes(spark):
     # PSL blocklist drops exactly the user1 site (odd doc_ids)
     assert stats["url_filtered"] == 4
     assert train.filter(F.col("doc_id") % 2 == 1).count() == 0
+
+
+def test_url_stage_keeps_all_null_url_docs(spark):
+    """NULL-url docs have no URL identity: the URL-dedup window must
+    not collapse them into one kept row."""
+    from urban_mobility_data_lakehouse_spark.text.pipeline import (
+        curate_corpus,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, f"https://s.com/{i}", f"doc body number {i} unique text {i}")
+        for i in range(4)
+    ] + [
+        (
+            10 + i,
+            None,
+            " ".join(f"w{i}x{j}" for j in range(12)),  # fully distinct
+        )
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    train, stats = curate_corpus(
+        spark, docs, url_col="url", min_quality=0.0
+    )
+    assert stats["url_filtered"] == 9  # nothing silently merged
+    # every null-url doc survives to the end of the FILTER funnel
+    # (the train/val/test split then divides them, so count the last
+    # pre-split stage, not the returned train slice)
+    assert stats["quality_filtered"] == 9
+    assert train.filter(F.col("url").isNull()).count() >= 1
+
+
+def test_mixing_overflow_guard(spark):
+    """A mixture whose rate would overflow the doc_id*1000+copy_no
+    remap is refused loudly instead of silently colliding doc ids."""
+    from urban_mobility_data_lakehouse_spark.text.pipeline import (
+        curate_corpus,
+    )
+
+    rows = [
+        (i, "big", " ".join(f"tok{j}" for j in range(50)))
+        for i in range(20)
+    ] + [(100, "tiny", "just three tokens")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        curate_corpus(
+            spark, docs, min_quality=0.0,
+            mix_weights={"big": 0.01, "tiny": 0.99},
+            mix_budget_tokens=100_000,
+        )

@@ -289,3 +289,19 @@ def test_quota_and_blocklist_accept_psl_suffixes(spark):
     )
     assert kept.count() == 8
     assert kept.filter(F.col("url").contains("user1")).count() == 0
+
+
+def test_domain_quota_exempts_docs_without_domain_identity(spark):
+    """NULL urls and scheme-less/malformed urls (empty parsed host)
+    have no domain identity: the quota must pass them through, not
+    herd them into one bucket and drop all but max_per_domain."""
+    rows = (
+        [(i, f"https://site{i % 2}.com/p") for i in range(8)]
+        + [(100 + i, "example.com/no-scheme") for i in range(6)]
+        + [(200 + i, None) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = domain_quota(df, "url", 2)
+    # 2 per real domain (site0.com, site1.com) + ALL 11 identity-less
+    assert kept.count() == 4 + 6 + 5
+    assert kept.filter(F.col("url").isNull()).count() == 5

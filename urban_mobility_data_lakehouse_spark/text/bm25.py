@@ -89,6 +89,14 @@ def idf_weights(stats: dict, terms: tuple[str, ...]) -> dict[str, float]:
     }
 
 
+def _q(term: str) -> str:
+    """SQL-literal-escape a query term (single quotes doubled, the one
+    metacharacter in a '...'-quoted literal in both engines).  The
+    space tokenizer keeps apostrophes, so "don't" is a legal corpus
+    token and MUST NOT crash (or rewrite) the generated expression."""
+    return term.replace("'", "''")
+
+
 def _score_sql(
     terms: tuple[str, ...],
     idf: dict[str, float],
@@ -102,7 +110,7 @@ def _score_sql(
     order; every constant is a repr() round-trip double literal."""
     parts = []
     for t in terms:
-        tf = f"CAST({tf_template.format(t=t)} AS DOUBLE)"
+        tf = f"CAST({tf_template.format(t=_q(t))} AS DOUBLE)"
         denom = (
             f"({tf} + {K1!r} * (1 - {B!r} + {B!r} * dl / {avgdl!r}))"
         )
@@ -128,7 +136,7 @@ def bm25_topk(
     score = _score_sql(
         terms, idf, avgdl, "size(filter(toks, x -> x = '{t}'))"
     )
-    terms_arr = ", ".join(f"'{t}'" for t in terms)
+    terms_arr = ", ".join(f"'{_q(t)}'" for t in terms)
     return (
         docs.select(
             "doc_id",
@@ -159,7 +167,8 @@ def bm25_oracle_sql(
 
     con = duckdb.connect()
     cols = ", ".join(
-        f"sum(CAST(list_contains(string_split(text, ' '), '{t}') AS BIGINT))"
+        f"sum(CAST(list_contains(string_split(text, ' '), "
+        f"'{_q(t)}') AS BIGINT))"
         for t in terms
     )
     n, sum_dl, *dfs = con.execute(
@@ -177,7 +186,7 @@ def bm25_oracle_sql(
     score = _score_sql(
         terms, idf, avgdl, "len(list_filter(toks, x -> x = '{t}'))"
     )
-    terms_arr = ", ".join(f"'{t}'" for t in terms)
+    terms_arr = ", ".join(f"'{_q(t)}'" for t in terms)
     return f"""
     SELECT doc_id, CAST(dl AS BIGINT) AS dl, round({score}, 4) AS score
     FROM (

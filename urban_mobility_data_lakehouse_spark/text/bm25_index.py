@@ -207,10 +207,17 @@ class PersistentBM25:
             [("term", "in", list(terms))],
             version=version,
         )
-        # exact collection stats: one tiny row + per-term df
+        # exact collection stats: one tiny row + per-term df.  An
+        # index built over ZERO documents has n_docs=0 and a NULL
+        # sum_dl (SUM over empty input) — return an empty result with
+        # the query schema instead of dividing by the empty corpus
         srow = lake.read(
             spark, self.schema, self.stats, version=version
         ).collect()[0]
+        if not srow["n_docs"]:
+            return spark.createDataFrame(
+                [], "doc_id long, dl bigint, score double"
+            )
         dfrow = (
             pruned.groupBy()
             .pivot("term", list(terms))

@@ -105,6 +105,14 @@ def self_train_quality_model(
     )
     ranked = sorted(sample, key=lambda r: (r["quality_score"], r["doc_id"]))
     third = len(ranked) // 3
+    if third < 1:
+        # ranked[-0:] would be the WHOLE sample: a <3-doc corpus has
+        # no separable good/bad thirds and would train a degenerate
+        # one-class model that waves everything through
+        raise ValueError(
+            f"self-training needs >= 3 sampled docs to form good/bad "
+            f"thirds; got {len(ranked)}"
+        )
     bad, good = ranked[:third], ranked[-third:]
     texts = [r["text"] for r in bad + good]
     y = np.array([0.0] * len(bad) + [1.0] * len(good))

@@ -45,9 +45,34 @@ def gram_hashes(text: Column, n: int = DEFAULT_N) -> Column:
     Documents shorter than `n` words hash their whole text as a single
     gram (the `shingles` short-doc convention), so tiny eval examples
     still decontaminate exact copies of themselves.
+
+    Column-level form for SMALL frames (the eval side): the inline
+    split violates `shingles`' bound-column contract — each element_at
+    re-tokenizes the row — so the CORPUS side must go through
+    `with_gram_hashes` instead, which binds the token array first.
     """
     toks = F.split(text, " ")
     return F.transform(shingles(toks, text, n), shingle_hash)
+
+
+def with_gram_hashes(
+    docs: DataFrame, n: int = DEFAULT_N, out_col: str = "_ghs"
+) -> DataFrame:
+    """docs + `out_col` (array<long> of distinct gram hashes) with the
+    token array BOUND as a real column first — the corpus-side form
+    (Catalyst does no CSE inside HOF lambdas; an inline split would
+    re-tokenize the document for every element_at, the measured 4×
+    `shingles` slowdown, paid over EVERY corpus row here)."""
+    return (
+        docs.withColumn("_toks", F.split(F.col("text"), " "))
+        .withColumn(
+            out_col,
+            F.transform(
+                shingles(F.col("_toks"), F.col("text"), n), shingle_hash
+            ),
+        )
+        .drop("_toks")
+    )
 
 
 def eval_gram_set(eval_docs: DataFrame, n: int = DEFAULT_N) -> DataFrame:
@@ -113,14 +138,13 @@ def mark_contaminated(
             [([int(h) for h in eval_grams],)], "eval_grams array<bigint>"
         )
     )
-    hits = F.size(
-        F.array_intersect(gram_hashes(F.col("text"), n), F.col("eval_grams"))
-    )
+    hits = F.size(F.array_intersect(F.col("_ghs"), F.col("eval_grams")))
     return (
-        docs.join(dict_row)
+        with_gram_hashes(docs, n)
+        .join(dict_row)
         .withColumn("contam_hits", hits.cast("long"))
         .withColumn("contaminated", F.col("contam_hits") > 0)
-        .drop("eval_grams")
+        .drop("eval_grams", "_ghs")
     )
 
 
@@ -141,7 +165,8 @@ def mark_contaminated_via_join(
         .distinct()
     )
     hits = (
-        docs.select(id_col, F.explode(gram_hashes(F.col("text"), n)).alias("h"))
+        with_gram_hashes(docs, n)
+        .select(id_col, F.explode(F.col("_ghs")).alias("h"))
         .join(F.broadcast(eval_grams), "h")
         .groupBy(id_col)
         # countDistinct, not count(1): gram_hashes dedups per row, so

@@ -31,7 +31,7 @@ from ..sources.lakehouse import Lakehouse
 from .analysis import quality_features
 from .contamination import mark_contaminated
 from .curation import leakage_safe_split
-from .mixing import mix_to_budget
+from .mixing import group_token_totals, mixing_rates, sample_mixture
 from .shards import export_shards
 
 
@@ -117,9 +117,12 @@ def curate_corpus(
             normalize_url(F.col(url_col)), F.col(url_col)
         )
         w = Window.partitionBy(canon).orderBy(F.col("doc_id").asc())
+        # NULL-url docs are EXEMPT from URL dedup (they have no URL
+        # identity — the window would otherwise herd every no-URL doc
+        # into one NULL partition and keep exactly one of them)
         docs = (
             docs.withColumn("_ur", F.row_number().over(w))
-            .filter(F.col("_ur") == 1)
+            .filter((F.col("_ur") == 1) | F.col(url_col).isNull())
             .drop("_ur")
         )
         if max_per_domain is not None:
@@ -242,8 +245,21 @@ def curate_corpus(
         }
 
     if mix_weights is not None and mix_budget_tokens is not None:
-        train = mix_to_budget(train, mix_weights, mix_budget_tokens)
-        # packing keys on doc_id: keep upsampled copies distinct
+        rates = mixing_rates(
+            group_token_totals(train), mix_weights, mix_budget_tokens
+        )
+        # packing keys on doc_id: upsampled copies stay distinct via
+        # doc_id*1000 + copy_no — which silently COLLIDES once any
+        # rate reaches 1000 (doc 5 copy 1000 == doc 6 copy 0), so an
+        # overflowing mixture is refused loudly instead
+        top = max(rates.values(), default=0.0)
+        if top >= 999:
+            raise ValueError(
+                f"mixing rate {top:.1f} >= 999 would overflow the "
+                "doc_id*1000+copy_no remap — lower the weight/budget "
+                "for the tiny source or widen the multiplier"
+            )
+        train = sample_mixture(train, rates)
         train = train.withColumn(
             "doc_id",
             F.col("doc_id") * 1000 + F.col("copy_no"),

@@ -41,7 +41,14 @@ def export_shards(
     """Pack `documents` (doc_id, text) and commit the shard table and
     its manifest atomically (one multi-table transaction).  Returns
     the manifest as a dict list for the caller's logs."""
-    packed = pack_sequences(documents, budget=budget, n_shards=n_shards)
+    # localCheckpoint: the pack plan (a full-corpus groupBy +
+    # applyInPandas pass) is consumed by the rows write, the manifest
+    # build, AND the manifest collect below — without it each
+    # consumer re-executes the whole pack (ContextCleaner frees the
+    # blocks once the frames are GC'd, unlike a CacheManager entry)
+    packed = pack_sequences(
+        documents, budget=budget, n_shards=n_shards
+    ).localCheckpoint(eager=False)
     pos = Window.partitionBy("shard", "bin").orderBy("doc_id")
     rows = (
         packed.join(documents.select("doc_id", "text"), "doc_id")

@@ -54,7 +54,16 @@ def _gram_hashes(toks: DataFrame, l_tokens: int):
             h = (h * F.lit(B) % F.lit(P) + F.element_at(wh, i + j)) % F.lit(P)
         return h
 
-    wh = F.transform(F.col("toks"), word_hash)
+    # BIND wh as a real column before the HOF references it: Catalyst
+    # does no common-subexpression elimination inside higher-order-
+    # function lambdas, so an inline transform would recompute the
+    # full per-doc md5 array for EVERY element_at — O(n·L) full-array
+    # evaluations per document on the corpus-wide ExactSubstr hot path
+    # (the minhash.shingles contract)
+    toks = toks.withColumn(
+        "wh", F.transform(F.col("toks"), word_hash)
+    )
+    wh = F.col("wh")
     n = F.size("toks")
     # docs shorter than L have no L-grams: emit NOTHING for them.  The
     # guard must be a `when`, not greatest(.., 0): Spark's sequence(1, 0)
@@ -132,7 +141,10 @@ def remove_spans(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("start_pos", "end_pos")).alias("cuts")
     )
-    toks = F.split("text", " ")
+    # bound column, not an inline split: element_at inside the HOF
+    # would re-tokenize the document per position otherwise (the same
+    # no-CSE-in-lambdas rule _gram_hashes follows)
+    toks = F.col("_toks")
     keep = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.size(toks)),
@@ -151,11 +163,12 @@ def remove_spans(
     )
     return (
         documents.join(per_doc, "doc_id", "left")
+        .withColumn("_toks", F.split("text", " "))
         .withColumn(
             "text",
             F.when(F.col("cuts").isNull(), F.col("text")).otherwise(
                 cleaned
             ),
         )
-        .drop("cuts")
+        .drop("cuts", "_toks")
     )

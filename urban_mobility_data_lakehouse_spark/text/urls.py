@@ -162,15 +162,23 @@ def domain_quota(
         if suffixes is not None
         else registrable_domain(host)
     )
+    # docs with NO domain identity (NULL url, or a scheme-less/
+    # malformed one that parses to an empty host) are EXEMPT from the
+    # quota: they would otherwise all share one window partition and
+    # max_per_domain unrelated documents would survive out of millions
+    no_domain = F.col(url_col).isNull() | (
+        F.coalesce(rd, F.lit("")) == ""
+    )
     w = Window.partitionBy("_rd").orderBy(
         F.md5(F.col(id_col).cast("string")).asc(),
         F.col(id_col).asc(),
     )
     return (
-        docs.withColumn("_rd", rd)
+        docs.withColumn("_nd", no_domain)
+        .withColumn("_rd", rd)
         .withColumn("_rq", F.row_number().over(w))
-        .filter(F.col("_rq") <= max_per_domain)
-        .drop("_rd", "_rq")
+        .filter(F.col("_nd") | (F.col("_rq") <= max_per_domain))
+        .drop("_nd", "_rd", "_rq")
     )
 
 
