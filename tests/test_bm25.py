@@ -157,3 +157,29 @@ def test_terms_with_quotes_score_instead_of_crashing(spark):
     )
     got = bm25.bm25_topk(docs, ("don't",), k=5).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_terms_with_backslashes_score_instead_of_crashing(spark):
+    """Spark's default parser processes backslash escapes inside
+    '...'-quoted literals (DuckDB does not) — a term containing or
+    ENDING IN a backslash must be escaped for the Spark templates
+    (`_q_spark`), or the trailing '\\' eats the closing quote
+    (ParseException) and interior ones silently decode."""
+    docs = spark.createDataFrame(
+        [
+            (1, r"path c:\tmp\x here"),
+            (2, r"trailing slash\ token"),
+            (3, "no match at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bm25.bm25_topk(docs, (r"c:\tmp\x", "slash\\"), k=5).collect()
+    assert sorted(r["doc_id"] for r in got) == [1, 2]
+
+
+def test_q_spark_escapes_backslashes_then_quotes():
+    assert bm25._q_spark(r"a\b") == r"a\\b"
+    assert bm25._q_spark("don't") == "don''t"
+    assert bm25._q_spark("a\\'") == "a\\\\''"
+    # DuckDB-side escaper must NOT double backslashes
+    assert bm25._q(r"a\b") == r"a\b"

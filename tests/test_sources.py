@@ -967,3 +967,74 @@ def test_overwrite_partitions_layout_knobs(spark, tmp_path):
         first_page_min = st.min
         want = 0 if "half=0" in path else 1
         assert first_page_min == want, (path, first_page_min)
+
+
+def test_null_partition_value_records_canonical_token(spark, tmp_path):
+    """A NULL partition value lands in the __HIVE_DEFAULT_PARTITION__
+    directory; the commit log must record the catalog's canonical
+    null token 'None' (what the explicit-`partitions` path and the
+    old distinct().collect() path record), so overwrite/conflict
+    bookkeeping for null-keyed partitions stays stable across both
+    code paths and across commits of the same table."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a")], "id long, k string"
+    )
+    lake.overwrite_partitions(df, "silver", "t", partition_col="k")
+    recorded = lake.snapshots("silver", "t")[-1]["partitions"]
+    assert sorted(recorded) == ["None", "a"]
+    assert "__HIVE_DEFAULT_PARTITION__" not in recorded
+
+    # second commit touching only the null partition: derived token
+    # matches the first commit's, so supersede actually replaces it
+    df2 = spark.createDataFrame([(9, None)], "id long, k string")
+    lake.overwrite_partitions(df2, "silver", "t", partition_col="k")
+    assert lake.snapshots("silver", "t")[-1]["partitions"] == ["None"]
+    got = {
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert got == {(1, "a"), (3, "a"), (9, None)}
+
+
+def test_null_partition_supersede_and_probe(spark, tmp_path):
+    """NULL-keyed rows must (a) be superseded out of older additive
+    dirs when the null partition is overwritten — the exclusion filter
+    was NULL-blind and resurrected them — and (b) be reachable through
+    a `partition_values=['None']` directory probe."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.append(
+        spark.createDataFrame(
+            [(1, None), (2, "a")], "id long, k string"
+        ),
+        "silver", "t",
+    )
+    # overwrite ONLY the null partition: the appended (1, NULL) row is
+    # superseded; (2, 'a') survives in the additive dir
+    lake.overwrite_partitions(
+        spark.createDataFrame([(7, None)], "id long, k string"),
+        "silver", "t", partition_col="k",
+    )
+    got = {
+        (r["id"], r["k"]) for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert got == {(2, "a"), (7, None)}
+
+    # directory probe by the canonical null token
+    probed = {
+        (r["id"], r["k"])
+        for r in lake.read(
+            spark, "silver", "t", partition_values=["None"]
+        ).collect()
+    }
+    assert probed == {(7, None)}

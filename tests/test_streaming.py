@@ -527,6 +527,117 @@ def test_interval_join_tolerates_shared_column_names(spark):
         [(1, base + dt.timedelta(minutes=5), "r")],
         "user_id long, purchase_ts timestamp, tag string",
     )
-    got = interval_join(left, right).collect()
+    joined = interval_join(left, right)
+    # shared non-key columns are suffixed per side — selecting both
+    # under one name would defer AMBIGUOUS_REFERENCE to the first
+    # downstream select-by-name
+    assert joined.columns == [
+        "user_id", "click_ts", "purchase_ts", "tag_left", "tag_right",
+    ]
+    got = joined.collect()
     assert len(got) == 1
     assert got[0]["user_id"] == 1
+    assert got[0]["tag_left"] == "l" and got[0]["tag_right"] == "r"
+    # downstream select-by-name now works (was the deferred failure)
+    assert joined.select("tag_left").collect()[0][0] == "l"
+    # disjoint carry-alongs keep their bare names
+    left2 = left.withColumnRenamed("tag", "ltag")
+    assert interval_join(left2, right).columns == [
+        "user_id", "click_ts", "purchase_ts", "ltag", "tag",
+    ]
+
+
+class _FakeGroupState:
+    """Deterministic stand-in for GroupState — processing-time timeouts
+    can't be fired on cue in a unit test, so the state-function contract
+    is pinned directly."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_eviction_keeps_session_numbering(spark):
+    """A returning user after timeout eviction must CONTINUE session
+    numbering (tombstone state), not restart at session_no 1 — a
+    restart re-emits (user, 1) and silently overwrites the previously
+    closed session 1 in update-mode sinks keyed by (user_id, session_no)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        _session_fn,
+    )
+
+    fn = _session_fn(gap_minutes=6, close_after_ms=60_000)
+    state = _FakeGroupState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def batch(*ts_vals):
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_id": range(len(ts_vals)),
+                        "ts": [t for t, _ in ts_vals],
+                        "value": [v for _, v in ts_vals],
+                    }
+                )
+            ]
+        )
+
+    # batch 1: user's first session (open)
+    out1 = pd.concat(list(fn((1,), batch((base, 1.0)), state)))
+    assert list(out1["session_no"]) == [1]
+    assert state.get[0] == 1 and state.timeout_set == 60_000
+
+    # timeout fires: final emit of session 1, state collapses to a
+    # tombstone carrying only the session counter
+    state.hasTimedOut = True
+    out2 = pd.concat(list(fn((1,), iter([]), state)))
+    assert list(out2["session_no"]) == [1]
+    assert state.exists, "tombstone must persist, not remove()"
+    assert state.get == (1, None, None, 0, 0.0)
+
+    # the user returns: numbering continues at 2, never collides with 1
+    state.hasTimedOut = False
+    later = base + dt.timedelta(hours=3)
+    out3 = pd.concat(list(fn((1,), batch((later, 2.0)), state)))
+    assert list(out3["session_no"]) == [2]
+    assert state.get[0] == 2
+
+    # a second timeout → tombstone at 2; third visit → session 3
+    state.hasTimedOut = True
+    out4 = pd.concat(list(fn((1,), iter([]), state)))
+    assert list(out4["session_no"]) == [2]
+    assert state.get == (2, None, None, 0, 0.0)
+    state.hasTimedOut = False
+    out5 = pd.concat(
+        list(fn((1,), batch((later + dt.timedelta(hours=3), 1.0)), state))
+    )
+    assert list(out5["session_no"]) == [3]
+
+    # pathological: a timeout firing ON a tombstone must not re-emit
+    state.hasTimedOut = True
+    assert list(fn((1,), iter([]), state)) in ([],) or all(
+        len(f) == 0 for f in fn((1,), iter([]), state)
+    )

@@ -991,6 +991,17 @@ class Lakehouse:
                 if d.startswith(prefix)
                 and os.path.isdir(os.path.join(data_dir, d))
             ]
+            # a NULL partition value writes the sentinel directory
+            # __HIVE_DEFAULT_PARTITION__; the catalog's canonical
+            # null-partition token is 'None' (str(None), what the old
+            # distinct().collect() path recorded), so map it back —
+            # otherwise overwrite/conflict bookkeeping for null-keyed
+            # partitions diverges between old and new commits of the
+            # same table
+            parts = [
+                "None" if p == "__HIVE_DEFAULT_PARTITION__" else p
+                for p in parts
+            ]
         return self._attach_stats(
             dict(
                 op="overwrite_partitions",
@@ -2309,18 +2320,36 @@ class Lakehouse:
             )
         return out if keep_positions else out.drop(*self._POS_COLS)
 
+    @staticmethod
+    def _pvalue_match(c, values) -> "F.Column":
+        """Membership test of a partition COLUMN against the catalog's
+        canonical string tokens.  The null partition's token is 'None'
+        (str(None), shared by the explicit-`partitions` path and the
+        directory-derived path, which maps __HIVE_DEFAULT_PARTITION__
+        back); plain isin() is NULL-blind (NULL isin → NULL, silently
+        dropped/kept depending on polarity), so the 'None' token must
+        match NULL rows explicitly.  Documented identity collision: a
+        LITERAL string value 'None' shares partition identity with
+        NULL under this token scheme (same as str(None) did in the old
+        collect() path)."""
+        vals = list(values)
+        cond = c.cast("string").isin(vals)
+        if "None" in vals:
+            cond = cond | c.isNull()
+        return F.coalesce(cond, F.lit(False))
+
     def _exclusion_filter(
         self, f: DataFrame, excl: dict[str, list[str]],
         schema: str, name: str,
     ) -> DataFrame:
         """Drop rows of superseded partitions from an additive-dir
         frame (see `_replay`: a partition overwrite after an append
-        supersedes the append's same-partition rows).  NULL-safe: a
-        row whose partition value is NULL was never overwritten (only
-        concrete values are) and survives; a frame missing the column
-        entirely (pre-evolution append) likewise passes through —
-        unless it's a hidden-spec column, which is re-derived from its
-        source."""
+        supersedes the append's same-partition rows).  NULL-safe both
+        ways: a NULL-keyed row is excluded iff the null token 'None'
+        was overwritten (otherwise it survives — `_pvalue_match` owns
+        that rule); a frame missing the column entirely
+        (pre-evolution append) passes through — unless it's a
+        hidden-spec column, which is re-derived from its source."""
         spec = self.partition_spec(schema, name)
         for pcol, vals in excl.items():
             if not vals:
@@ -2335,11 +2364,7 @@ class Lakehouse:
                 c = spec.derive(f)
             else:
                 continue
-            f = f.filter(
-                ~F.coalesce(
-                    c.cast("string").isin(vals), F.lit(False)
-                )
-            )
+            f = f.filter(~self._pvalue_match(c, vals))
         return f
 
     def read(
@@ -2389,6 +2414,19 @@ class Lakehouse:
                 continue
             by_dir.setdefault(d, (pcol, []))[1].append(value)
 
+        def _subdirs(d: str, pcol: str, v: str) -> list[str]:
+            # the null token 'None' may live under the hive sentinel
+            # directory (derived-write path) or under 'pcol=None'
+            # (a literal str cast) — probe both
+            names = [f"{pcol}={v}"]
+            if v == "None":
+                names.append(f"{pcol}=__HIVE_DEFAULT_PARTITION__")
+            return [
+                p
+                for n in names
+                if os.path.isdir(p := os.path.join(d, n))
+            ]
+
         def _partitioned(d: str, pcol: str, values: list[str]) -> DataFrame:
             paths = [d]
             if wanted is not None:
@@ -2398,14 +2436,14 @@ class Lakehouse:
                 paths = [
                     p
                     for v in sorted(values)
-                    if os.path.isdir(p := os.path.join(d, f"{pcol}={v}"))
+                    for p in _subdirs(d, pcol, v)
                 ]
                 if not paths:
                     return None
             return (
                 spark.read.option("basePath", d)
                 .parquet(*paths)
-                .filter(F.col(pcol).cast("string").isin(values))
+                .filter(self._pvalue_match(F.col(pcol), values))
             )
 
         frames = [
@@ -2424,7 +2462,7 @@ class Lakehouse:
             )
             if wanted is not None and pcol_any is not None:
                 f = f.filter(
-                    F.col(pcol_any).cast("string").isin(sorted(wanted))
+                    self._pvalue_match(F.col(pcol_any), sorted(wanted))
                 )
             frames.append(f)
         if not frames and wanted is not None:

@@ -51,13 +51,23 @@ def interval_join(
     )
     # every carried column is QUALIFIED to its side (lw[c]/rw[c]):
     # bare names raise AMBIGUOUS_REFERENCE the moment both inputs
-    # share any column beyond the key/ts pair
+    # share any column beyond the key/ts pair.  Columns present on
+    # BOTH sides are suffixed _left/_right — selecting both under one
+    # name would defer the ambiguity to the first downstream
+    # select-by-name instead of fixing it.
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    shared = {c for c in lcols if c in rcols} | {left_ts} & set(rcols) | {
+        right_ts
+    } & set(lcols)
+    lname = lambda c: f"{c}_left" if c in shared else c  # noqa: E731
+    rname = lambda c: f"{c}_right" if c in shared else c  # noqa: E731
     return lw.join(rw, cond, "inner").select(
         lw[key].alias(key),
         lw[left_ts],
         rw[right_ts],
-        *[lw[c] for c in left.columns if c not in (key, left_ts)],
-        *[rw[c] for c in right.columns if c not in (key, right_ts)],
+        *[lw[c].alias(lname(c)) for c in lcols],
+        *[rw[c].alias(rname(c)) for c in rcols],
     )
 
 

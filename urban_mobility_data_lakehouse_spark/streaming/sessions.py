@@ -27,9 +27,18 @@ the open session's `last`/`start` bounds are maintained as MAX/MIN so
 a late event delivered in a later batch can never move the session
 boundary backwards (a bare assignment regressed `last_us` and split
 in-gap events into phantom sessions).  A late event older than the
-open session's start that ALSO exceeds the gap still opens a new
-session — cross-batch reordering beyond the gap needs the watermarked
-upstream dedup/sort the pipeline composes before this operator.
+open session's start — even one beyond the gap — is ABSORBED into the
+open session (its start extended backwards via min()): t - last is
+negative, so the gap branch never fires.  The batch twin, seeing the
+full ordered history, would emit two sessions there; cross-batch
+reordering beyond the gap therefore needs the watermarked upstream
+dedup/sort the pipeline composes before this operator for the two
+forms to stay differential oracles of each other.
+
+Timeout eviction keeps a TOMBSTONE (session_no only, no bounds) per
+evicted key so a returning user continues numbering monotonically
+instead of colliding with its own closed session 1 in update-mode
+sinks keyed by (user_id, session_no).
 """
 
 from __future__ import annotations
@@ -163,10 +172,20 @@ def _session_fn(
             )
 
         if close_after_ms is not None and state.hasTimedOut:
-            # idle user: final emit of the open session, then eviction
+            # idle user: final emit of the open session, then the state
+            # row is collapsed to a TOMBSTONE carrying only session_no —
+            # a returning user must CONTINUE numbering, not restart at 1
+            # (a full remove() made the stream re-emit (user, 1) with
+            # new bounds, silently overwriting the closed session 1 in
+            # update-mode sinks keyed by (user_id, session_no)).  The
+            # tombstone arms no timeout, so it never re-fires; cost is
+            # one 5-field row per key ever seen — the boundedness knob
+            # now trades O(active) open-session state for O(seen-keys)
+            # tombstones, the price of monotonic numbering.
             closed = state.get
-            state.remove()
-            yield frame([closed])
+            state.update((closed[0], None, None, 0, 0.0))
+            if closed[1] is not None:  # defensive: never re-emit a tombstone
+                yield frame([closed])
             return
 
         out = []
@@ -183,8 +202,11 @@ def _session_fn(
                 # session total (one NaN must not poison the session)
                 v = float(value) if value == value else 0.0
                 if start_us is None:
+                    # fresh key (sess_no=0) OR a timeout tombstone
+                    # (sess_no=N): numbering continues from wherever
+                    # the evicted open session left off
                     sess_no, start_us, last_us, n_ev, total = (
-                        1, t_us, t_us, 1, v,
+                        sess_no + 1, t_us, t_us, 1, v,
                     )
                 elif t_us - last_us > gap_us:
                     out.append((sess_no, start_us, last_us, n_ev, total))

@@ -90,11 +90,21 @@ def idf_weights(stats: dict, terms: tuple[str, ...]) -> dict[str, float]:
 
 
 def _q(term: str) -> str:
-    """SQL-literal-escape a query term (single quotes doubled, the one
-    metacharacter in a '...'-quoted literal in both engines).  The
-    space tokenizer keeps apostrophes, so "don't" is a legal corpus
-    token and MUST NOT crash (or rewrite) the generated expression."""
+    """DuckDB-side literal escape: single quotes doubled, the ONLY
+    metacharacter in DuckDB's '...'-quoted literals (no backslash
+    escapes there).  The space tokenizer keeps apostrophes, so "don't"
+    is a legal corpus token and MUST NOT crash (or rewrite) the
+    generated expression."""
     return term.replace("'", "''")
+
+
+def _q_spark(term: str) -> str:
+    """Spark-side literal escape: Spark's default parser ALSO processes
+    backslash escapes inside '...'-quoted literals (unlike DuckDB), so
+    backslashes must be doubled FIRST — a term with a trailing '\\'
+    would otherwise escape the closing quote, and an interior one
+    would silently decode (diverging from the DuckDB oracle)."""
+    return term.replace("\\", "\\\\").replace("'", "''")
 
 
 def _score_sql(
@@ -102,15 +112,18 @@ def _score_sql(
     idf: dict[str, float],
     avgdl: float,
     tf_template: str,
+    esc=_q,
 ) -> str:
     """The shared scoring expression, textually identical in both
     engines modulo the tf primitive (`size(filter(toks, ...))` in
     Spark, `len(list_filter(toks, ...))` in DuckDB; `tf_template` has
-    one `{t}` hole for the term).  Left-associated sum in fixed term
-    order; every constant is a repr() round-trip double literal."""
+    one `{t}` hole for the term) and the engine's literal escaper
+    `esc` (`_q_spark` for Spark, `_q` for DuckDB).  Left-associated
+    sum in fixed term order; every constant is a repr() round-trip
+    double literal."""
     parts = []
     for t in terms:
-        tf = f"CAST({tf_template.format(t=_q(t))} AS DOUBLE)"
+        tf = f"CAST({tf_template.format(t=esc(t))} AS DOUBLE)"
         denom = (
             f"({tf} + {K1!r} * (1 - {B!r} + {B!r} * dl / {avgdl!r}))"
         )
@@ -134,9 +147,10 @@ def bm25_topk(
     idf = idf_weights(stats, terms)
     avgdl = stats["sum_dl"] / stats["n_docs"]
     score = _score_sql(
-        terms, idf, avgdl, "size(filter(toks, x -> x = '{t}'))"
+        terms, idf, avgdl, "size(filter(toks, x -> x = '{t}'))",
+        esc=_q_spark,
     )
-    terms_arr = ", ".join(f"'{_q(t)}'" for t in terms)
+    terms_arr = ", ".join(f"'{_q_spark(t)}'" for t in terms)
     return (
         docs.select(
             "doc_id",
