@@ -69,7 +69,32 @@ EXPECTED_ROWS: dict[float, dict[str, int]] = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Ambient-load guard: a bench started while residual JVMs/test
+    # shards still burn CPU produces a noise-contaminated artifact
+    # (round 8: start load_avg 3.97 inflated the total ~10% with zero
+    # plan changes).  Wait (bounded) for the box to go quiet; if it
+    # never does, run anyway but FLAG the artifact so a contaminated
+    # number can't silently become the round's canonical record.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5"))
+    quiet_budget = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_SECS", "90"))
+    waited = 0.0
+    while os.getloadavg()[0] > max_load and waited < quiet_budget:
+        print(
+            f"# waiting for quiet box: load_avg {os.getloadavg()[0]:.2f} "
+            f"> {max_load} ({waited:.0f}/{quiet_budget:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(5.0)
+        waited += 5.0
     load_avg_start = os.getloadavg()
+    contaminated = load_avg_start[0] > max_load
+    if contaminated:
+        print(
+            f"# WARNING contaminated run: start load_avg "
+            f"{load_avg_start[0]:.2f} > {max_load} after {waited:.0f}s wait "
+            f"— timings include ambient load, do not compare across rounds",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="umdl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -196,9 +221,11 @@ def main() -> None:
     # compare like-for-like under any estimator.  Set
     # SPARK_GRAFT_BENCH_REPS=1 for single-shot; values < 1 are clamped.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    queries_load: dict[str, float] = {}
     for name, spec in specs_items:
         walls: list[float] = []
         rows = []
+        queries_load[name] = round(os.getloadavg()[0], 2)
         for _ in range(reps):
             t0 = time.perf_counter()
             rows = spec.builder(spark, sf_dir).collect()
@@ -234,9 +261,17 @@ def main() -> None:
                 "total_mean": round(total_mean, 3),
                 "sf": sf,
                 # environment pinning: separates sandbox load from plan
-                # regressions when triaging round-over-round deltas
+                # regressions when triaging round-over-round deltas.
+                # `contaminated` trips when the box never went quiet
+                # (start load_avg > threshold after the bounded wait);
+                # `queries_load` is the 1-min load_avg at each query's
+                # start so per-query drift can be attributed.
                 "load_avg": [round(x, 2) for x in load_avg_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "contaminated": contaminated,
+                "load_threshold": max_load,
+                "quiet_wait_sec": round(waited, 1),
+                "queries_load": queries_load,
                 "row_mismatches": row_mismatches,
                 # one-time bucketed-layout DDL, paid in warmup (0.0x if
                 # attached from a previous session's surviving files)
