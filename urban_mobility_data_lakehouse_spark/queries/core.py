@@ -77,16 +77,40 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
-           TRUE AS approx_users_ok
+           TRUE AS approx_users_ok,
+           (SELECT count(DISTINCT c_nationkey) FROM customer)
+               AS nations_with_customers,
+           (SELECT count(*) FROM nation) AS n_nations,
+           CAST(round((SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
+                 / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
+               AS coverage_pct
     FROM events
     """,
-    tags=("A2", "A3", "scale"),
+    tags=("A2", "A3", "A9", "scale"),
 )
 def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 global agg + A3 exact and approximate COUNT(DISTINCT).  The
-    HLL++ sketch column is oracle-checked as a bounded-error assertion
-    (|approx − exact| ≤ 5%·exact must hold → TRUE on both sides)."""
-    return R.global_stats(_t(spark, sf_dir, "events"))
+    """A2 global agg + A3 exact and approximate COUNT(DISTINCT) + A9
+    scalar subqueries.  The HLL++ sketch column is oracle-checked as a
+    bounded-error assertion (|approx − exact| ≤ 5%·exact must hold →
+    TRUE on both sides).  The A9 columns (formerly the standalone
+    scalar_subquery_coverage row, folded here to free a driver slot
+    for near_dup_incremental) run as REAL scalar subqueries through
+    spark.sql — the operator under test is subquery-in-SELECT, not the
+    arithmetic — then cross-join the one-row profile (1×1 cross, no
+    data motion)."""
+    base = R.global_stats(_t(spark, sf_dir, "events"))
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    scalars = spark.sql("""
+        SELECT (SELECT count(DISTINCT c_nationkey) FROM customer)
+                   AS nations_with_customers,
+               (SELECT count(*) FROM nation) AS n_nations,
+               CAST(round(
+                   (SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
+                     / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
+                   AS coverage_pct
+    """)
+    return base.crossJoin(scalars)
 
 
 @register(
@@ -249,31 +273,6 @@ def summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_totalprice"],
     )
-
-
-@register(
-    "scalar_subquery_coverage",
-    oracle="""
-    SELECT (SELECT count(DISTINCT c_nationkey) FROM customer) AS nations_with_customers,
-           (SELECT count(*) FROM nation) AS n_nations,
-           CAST(round((SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
-                 / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
-               AS coverage_pct
-    """,
-    tags=("A9",),
-)
-def scalar_subquery_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql("""
-        SELECT (SELECT count(DISTINCT c_nationkey) FROM customer)
-                   AS nations_with_customers,
-               (SELECT count(*) FROM nation) AS n_nations,
-               CAST(round(
-                   (SELECT count(DISTINCT c_nationkey) FROM customer) * 100.0
-                     / nullif((SELECT count(*) FROM nation), 0), 4) AS DOUBLE)
-                   AS coverage_pct
-    """)
 
 
 # --- Joins ----------------------------------------------------------------

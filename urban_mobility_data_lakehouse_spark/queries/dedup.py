@@ -95,10 +95,12 @@ _SIG_DIGEST = (
 )
 
 
-@register(
-    "near_dup_pairs",
-    oracle=f"""
-    WITH RECURSIVE sh AS ({_SHINGLES}),
+# the full LSH pipeline as reusable CTE text: shingles → signatures →
+# band keys → candidate pairs → exact-Jaccard-verified pairs.  Shared
+# by the batch row (near_dup_pairs) and the incremental row
+# (near_dup_incremental), whose exactness contract is precisely "union
+# of per-batch emissions ≡ this full-corpus recompute".
+_PAIR_CTES = f"""sh AS ({_SHINGLES}),
     sig AS ({_SIG}),
     bands AS ({_BANDS}),
     cand AS (
@@ -124,7 +126,13 @@ _SIG_DIGEST = (
         JOIN sizes za ON za.doc_id = doc_a
         JOIN sizes zb ON zb.doc_id = doc_b
         WHERE n_common * 1.0 / (za.n + zb.n - n_common) >= 0.5
-    ),
+    )"""
+
+
+@register(
+    "near_dup_pairs",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL
@@ -213,6 +221,68 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_part.unionByName(cluster_part).unionByName(
         sig_part
     ).orderBy("part", "doc_a", "doc_b")
+
+
+@register(
+    "near_dup_incremental",
+    oracle=f"""
+    WITH {_PAIR_CTES}
+    SELECT doc_a, doc_b, CAST(jaccard AS DOUBLE) AS jaccard,
+           'b' || CAST(greatest(doc_a % 3, doc_b % 3) AS VARCHAR)
+               AS ingest_batch
+    FROM pairs
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "incremental", "lsh", "exactly-once"),
+)
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `BandedDupIndex` incremental exactness contract, driver-
+    checked: ingest the corpus as THREE deterministic batches
+    (doc_id % 3) through the persistent MinHash index
+    (`dedup/incremental.NearDupIndex` over a throwaway lakehouse),
+    then read back the unioned per-batch pair log.  The oracle is the
+    full-corpus recompute (the SAME pair CTEs the batch row replays),
+    so hash equality PROVES union-of-batches ≡ batch path — every
+    qualifying pair emitted exactly once.  The `ingest_batch` column
+    additionally pins WHICH batch emitted each pair: the engine
+    attributes a pair to the batch where its LATER item arrived, which
+    for the %3 split is greatest(doc_a % 3, doc_b % 3) — replayed
+    verbatim in the oracle, so attribution (not just the union) is
+    hash-checked."""
+    import shutil
+    import tempfile
+
+    from ..dedup.incremental import BATCH_COL, NearDupIndex
+    from ..sources.lakehouse import Lakehouse
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="umdl_neardup_incr_")
+    try:
+        lake = Lakehouse(root)
+        lake.create_schemas("gold")
+        idx = NearDupIndex(lake)
+        for k in (0, 1, 2):
+            idx.ingest_and_log(
+                spark,
+                docs.filter(F.col("doc_id") % 3 == k),
+                batch_id=f"b{k}",
+            )
+        # eager checkpoint pins the (tiny, |pairs|-bounded) result into
+        # executor blocks so the throwaway lakehouse can be deleted
+        # before the frame is consumed — the builder leaves no files
+        out = (
+            idx.pairs(spark)
+            .select(
+                "doc_a",
+                "doc_b",
+                "jaccard",
+                F.col(BATCH_COL).cast("string").alias("ingest_batch"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("doc_a", "doc_b")
 
 
 @register(
