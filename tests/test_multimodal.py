@@ -553,3 +553,79 @@ def test_gif_decode_via_decode_image_op(spark):
     want = palette[idx]
     # the op rounds channel means to 3 decimals
     assert abs(row["mean_r"] - want[..., 0].mean()) < 5e-4
+
+
+def test_twin_offsets_footer_derivation(tmp_path):
+    """The planted-twin offsets must scale with the corpus: next power
+    of 10 above the footer's max doc_id (floored at 100_000 to keep
+    current-SF outputs stable), doubled for the brightness twins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from urban_mobility_data_lakehouse_spark.queries.multimodal_suite import (
+        _twin_offsets,
+    )
+
+    def footer_for(max_id: int) -> str:
+        d = tmp_path / f"sf_{max_id}"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": [0, max_id], "text": ["a", "b"]}),
+            d / "documents.parquet",
+        )
+        return str(d)
+
+    assert _twin_offsets(footer_for(499)) == (100_000, 200_000)
+    assert _twin_offsets(footer_for(99_999)) == (100_000, 200_000)
+    # sf10+ shape: doc_id at/above the old fixed literals no longer
+    # collides — offsets scale in lockstep on builder AND oracle
+    assert _twin_offsets(footer_for(100_000)) == (1_000_000, 2_000_000)
+    assert _twin_offsets(footer_for(3_456_789)) == (10_000_000, 20_000_000)
+
+
+def test_multimodal_suite_sf_proof_at_large_doc_ids(spark, tmp_path):
+    """End-to-end sf10+ shape: with real doc_ids ABOVE the old fixed
+    offsets (100_000/200_000) the row still hash-greens — builder and
+    oracle derive the scaled offsets from the same footer instead of
+    colliding twins with strangers."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from urban_mobility_data_lakehouse_spark.queries import (
+        REGISTRY,
+        _load_all,
+    )
+
+    from .oracle_utils import assert_frames_match
+
+    _load_all()
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sf_big_ids"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    docs = pq.read_table(f"{src}/documents.parquet")
+    docs = docs.set_column(
+        docs.column_names.index("doc_id"),
+        "doc_id",
+        pc.add(docs.column("doc_id"), 200_000),
+    )
+    pq.write_table(docs, d / "documents.parquet")
+
+    from urban_mobility_data_lakehouse_spark.queries.multimodal_suite import (
+        _twin_offsets,
+    )
+
+    assert _twin_offsets(str(d)) == (1_000_000, 2_000_000)
+    spec = REGISTRY["multimodal_suite"]
+    assert_frames_match(
+        spec.builder(spark, str(d)),
+        spec.oracle_for(str(d)),
+        str(d),
+        "multimodal_suite@big_ids",
+    )

@@ -66,11 +66,35 @@ from . import register
 # planted-twin knobs, shared by the Spark query and the SQL oracle
 EXACT_MOD = 23      # doc_id % 23 == 0 → exact-copy twin
 BRIGHT_MOD = 29     # doc_id % 29 == 0 → +8-brightness twin
-EXACT_OFFSET = 100_000
-BRIGHT_OFFSET = 200_000
 PIXEL_SHIFT = 8
 PIXEL_STRIDE = 7  # sparse: uniform brightness is pHash-invariant
 MAX_HAMMING = 3
+
+# floor for the derived twin offsets: keeps sf0.001/0.01/0.1 outputs
+# bit-identical to the fixed 100_000/200_000 scheme of earlier rounds
+_OFFSET_FLOOR = 100_000
+
+
+def _twin_offsets(sf_dir: str) -> tuple[int, int]:
+    """(EXACT_OFFSET, BRIGHT_OFFSET) derived from the parquet FOOTER's
+    max doc_id (no Spark job): the next power of 10 strictly above it
+    (floored at 100_000), doubled for the brightness twins.  Both the
+    Spark builder and the generated oracle call this, so the row is
+    sf-proof by construction — at sf10+ (doc_id ≥ 100 000) the offsets
+    scale up in lockstep on both sides instead of colliding a twin
+    with a stranger (the failure the old fixed-literal guard could
+    only turn into a loud error)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    max_id = max(
+        meta.row_group(g).column(0).statistics.max
+        for g in range(meta.num_row_groups)
+    )
+    base = _OFFSET_FLOOR
+    while base <= max_id:
+        base *= 10
+    return base, 2 * base
 
 _HEX_DIGITS = "0123456789ABCDEF"
 
@@ -113,10 +137,12 @@ def _px_chan(c: int) -> str:
     )
 
 
-def _phash_oracle_ctes() -> str:
+def _phash_oracle_ctes(exact_offset: int, bright_offset: int) -> str:
     """The CTE chain replaying `_phash_one` over the planted corpus:
     corpus → luma (8×8 integer lists) → t1 (stage-1 left folds) →
-    ph (stage-2 folds, strict-median bits, packed BIGINT + hex)."""
+    ph (stage-2 folds, strict-median bits, packed BIGINT + hex).
+    Twin offsets are injected by the caller (footer-derived, the
+    knn_ivf inject-the-constants pattern)."""
     mk = _dct_matrix(RESAMPLE)[:BLOCK]
     m_lit = "[" + ",".join(
         "[" + ",".join(f"{v:.17e}" for v in row) + "]" for row in mk
@@ -128,11 +154,11 @@ def _phash_oracle_ctes() -> str:
                octet_length(encode(text)) AS n_bytes, 0 AS shift
         FROM documents
         UNION ALL
-        SELECT doc_id + {EXACT_OFFSET}, hex(encode(text)),
+        SELECT doc_id + {exact_offset}, hex(encode(text)),
                octet_length(encode(text)), 0
         FROM documents WHERE doc_id % {EXACT_MOD} = 0
         UNION ALL
-        SELECT doc_id + {BRIGHT_OFFSET}, hex(encode(text)),
+        SELECT doc_id + {bright_offset}, hex(encode(text)),
                octet_length(encode(text)), {PIXEL_SHIFT}
         FROM documents WHERE doc_id % {BRIGHT_MOD} = 0
     ),
@@ -176,31 +202,12 @@ def _phash_oracle_ctes() -> str:
     )"""
 
 
-def _guard_twin_offsets(sf_dir: str) -> None:
-    """The planted-twin media_ids are doc_id + a fixed offset; a real
-    doc_id at-or-above the offset would collide a twin with a stranger
-    and make the near-dup map ambiguous.  Footer-stats check (no Spark
-    job): fail loudly instead of silently merging ids — at sf10+
-    (doc_id ≥ 100 000) the offsets must be raised in lockstep with the
-    oracle's."""
-    import pyarrow.parquet as pq
-
-    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
-    max_id = max(
-        meta.row_group(g).column(0).statistics.max
-        for g in range(meta.num_row_groups)
-    )
-    if max_id >= EXACT_OFFSET:
-        raise ValueError(
-            f"planted-twin offsets collide with real doc_ids "
-            f"(max doc_id {max_id} >= {EXACT_OFFSET}); raise "
-            f"EXACT_OFFSET/BRIGHT_OFFSET and the oracle together"
-        )
-
-
-@register(
-    "multimodal_suite",
-    oracle=f"""
+def _oracle(sf_dir: str) -> str:
+    """Generated (sf-dependent) oracle: the twin offsets are derived
+    from the SAME parquet footer the builder reads, then inlined as
+    integer literals."""
+    exact_offset, bright_offset = _twin_offsets(sf_dir)
+    return f"""
     WITH m AS (
         SELECT doc_id AS media_id,
                hex(encode(text)) AS hx,
@@ -224,7 +231,7 @@ def _guard_twin_offsets(sf_dir: str) -> None:
                CAST(SUM(v) FILTER (WHERE i % 3 = 1) AS BIGINT) AS g_sum,
                CAST(SUM(v) FILTER (WHERE i % 3 = 2) AS BIGINT) AS b_sum
         FROM px GROUP BY media_id
-    ),{_phash_oracle_ctes()}
+    ),{_phash_oracle_ctes(exact_offset, bright_offset)}
     SELECT 'bytes' AS part, h.media_id, h.n_bytes, {_HIST_COLS},
            s.width, s.height, s.r_sum, s.g_sum, s.b_sum,
            CAST(NULL AS VARCHAR) AS phash,
@@ -246,7 +253,12 @@ def _guard_twin_offsets(sf_dir: str) -> None:
       ON a.media_id < b.media_id
      AND bit_count(xor(a.hval, b.hval)) <= {MAX_HAMMING}
     ORDER BY part, media_id, media_a, media_b
-    """,
+    """
+
+
+@register(
+    "multimodal_suite",
+    oracle=_oracle,
     tags=("multimodal", "binary", "mapInPandas", "codec", "neardup"),
 )
 def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,7 +269,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-≤3 near-dup map over that corpus (`phash_near_dups`) —
     oracle-checked against a brute-force SQL twin."""
     docs = load_table(spark, sf_dir, "documents")
-    _guard_twin_offsets(sf_dir)
+    exact_offset, bright_offset = _twin_offsets(sf_dir)
     feats = extract_byte_features(documents_as_media(docs)).select(
         "media_id",
         "n_bytes",
@@ -288,7 +300,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             documents_as_ppm(
                 docs.filter(F.col("doc_id") % EXACT_MOD == 0)
             ).withColumn(
-                "media_id", F.col("media_id") + F.lit(EXACT_OFFSET)
+                "media_id", F.col("media_id") + F.lit(exact_offset)
             )
         )
         .unionByName(
@@ -297,7 +309,7 @@ def multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pixel_shift=PIXEL_SHIFT,
                 pixel_stride=PIXEL_STRIDE,
             ).withColumn(
-                "media_id", F.col("media_id") + F.lit(BRIGHT_OFFSET)
+                "media_id", F.col("media_id") + F.lit(bright_offset)
             )
         )
     )
