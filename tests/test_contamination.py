@@ -87,3 +87,45 @@ def test_corpus_side_has_no_shuffle(spark, docs):
     # no Exchange between its scan and the join
     corpus_scan = plan.split("BroadcastNestedLoopJoin")[-1]
     assert "Exchange" not in corpus_scan.split("FileScan")[0]
+
+
+def test_forced_plans_run_zero_jobs_at_build_time(spark, docs):
+    """plan='array' / plan='join' must compose fully lazily — zero
+    Spark jobs until an action (the adaptive default pays ONE eval-side
+    sizing job, disclosed in the docstring)."""
+    eval_set = docs.filter(F.col("doc_id") % 97 == 0)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    sc.setJobGroup(None, None)
+    before = n_jobs()
+    lazy_a = mark_contaminated(docs, eval_set, plan="array")
+    lazy_j = mark_contaminated(docs, eval_set, plan="join")
+    assert n_jobs() == before, "forced plans must not run build-time jobs"
+
+    # and the three plans agree value-for-value
+    auto = {
+        tuple(r)
+        for r in mark_contaminated(docs, eval_set)
+        .select("doc_id", "contam_hits", "contaminated")
+        .collect()
+    }
+    for lazy in (lazy_a, lazy_j):
+        got = {
+            tuple(r)
+            for r in lazy.select(
+                "doc_id", "contam_hits", "contaminated"
+            ).collect()
+        }
+        assert got == auto
+
+
+def test_plan_rejects_unknown_value(spark, docs):
+    import pytest
+
+    eval_set = docs.limit(1)
+    with pytest.raises(ValueError):
+        mark_contaminated(docs, eval_set, plan="magic")

@@ -262,33 +262,56 @@ def test_registrable_domain_psl_matrix(spark):
     assert "EvalPython" not in plan
 
 
-def test_quota_and_blocklist_accept_psl_suffixes(spark):
-    """With `suffixes`, quota buckets and blocklist granularity follow
-    PSL registrable domains: each *.github.io user site is its own
-    quota bucket / blocklist key instead of all sharing 'github.io'."""
-    from urban_mobility_data_lakehouse_spark.text.urls import (
-        load_public_suffixes,
-    )
-
+def test_quota_and_blocklist_default_to_psl_suffixes(spark):
+    """PSL keys are the DEFAULT (r9): quota buckets and blocklist
+    granularity follow PSL registrable domains out of the box — each
+    *.github.io user site is its own quota bucket / blocklist key, and
+    co.uk hosts keep their three-label keys.  suffixes=None opts back
+    into the bare heuristic."""
     rows = [
         (i, f"https://user{i % 3}.github.io/p/{i}") for i in range(12)
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
-    psl = load_public_suffixes()
 
-    # heuristic: ONE bucket (github.io) → cap 2 keeps 2 rows total
-    assert domain_quota(df, "url", 2).count() == 2
-    # PSL: three buckets (user0/1/2.github.io) → cap 2 keeps 6
-    assert domain_quota(df, "url", 2, suffixes=psl).count() == 6
+    # DEFAULT: three buckets (user0/1/2.github.io) → cap 2 keeps 6
+    assert domain_quota(df, "url", 2).count() == 6
+    # heuristic opt-out: ONE bucket (github.io) → cap 2 keeps 2
+    assert domain_quota(df, "url", 2, suffixes=None).count() == 2
 
-    # heuristic blocklist on 'github.io' nukes everything…
-    assert filter_blocklist(df, "url", ["github.io"]).count() == 0
-    # …PSL granularity blocks exactly one user site
-    kept = filter_blocklist(
-        df, "url", ["user1.github.io"], suffixes=psl
-    )
+    # DEFAULT blocklist granularity: blocks exactly one user site
+    kept = filter_blocklist(df, "url", ["user1.github.io"])
     assert kept.count() == 8
     assert kept.filter(F.col("url").contains("user1")).count() == 0
+    # blocking the platform suffix itself matches no PSL key…
+    assert filter_blocklist(df, "url", ["github.io"]).count() == 12
+    # …while the heuristic opt-out nukes everything under it
+    assert (
+        filter_blocklist(df, "url", ["github.io"], suffixes=None).count()
+        == 0
+    )
+
+    # co.uk under the default: three-label quota keys (PSL and the
+    # heuristic agree here — the snapshot refines, never regresses)
+    uk = spark.createDataFrame(
+        [(i, f"https://shop{i % 2}.example.co.uk/{i}") for i in range(6)],
+        "doc_id long, url string",
+    )
+    from urban_mobility_data_lakehouse_spark.text.urls import (
+        load_public_suffixes,
+        parse_url,
+        registrable_domain_psl,
+    )
+
+    host = parse_url(F.col("url"))["host"]
+
+    keys = {
+        r[0]
+        for r in uk.select(
+            registrable_domain_psl(host, load_public_suffixes())
+        ).collect()
+    }
+    assert keys == {"example.co.uk"}
+    assert domain_quota(uk, "url", 1).count() == 1
 
 
 def test_domain_quota_exempts_docs_without_domain_identity(spark):

@@ -102,32 +102,43 @@ def mark_contaminated(
     n: int = DEFAULT_N,
     id_col: str = "doc_id",
     max_array_grams: int = ARRAY_PLAN_MAX_GRAMS,
+    plan: str = "auto",
 ) -> DataFrame:
     """Corpus docs + (contam_hits, contaminated).
 
     `contam_hits` = number of DISTINCT eval grams the document
-    contains; `contaminated` = contam_hits > 0.  Adaptive plan choice,
-    decided by ONE tiny job over the eval side (small by definition):
+    contains; `contaminated` = contam_hits > 0.  `plan`:
 
-    * ≤ `max_array_grams` distinct eval grams → broadcast-ARRAY plan:
-      the dictionary folds into one in-row array and each corpus doc
-      tests row-locally via array_intersect — zero shuffle, no
-      explode, the whole pass pipelines into the corpus scan.
-    * larger dictionaries → broadcast-hash-JOIN plan
-      (`mark_contaminated_via_join`): array_intersect's per-row
-      dictionary walk turns O(corpus × eval) exactly when both sides
-      grow together, while the join probes a per-task hash set at
-      O(1) per gram and shuffles only the HITS (post-join, tiny).
+    * "array" — broadcast-ARRAY plan: the dictionary folds into one
+      in-row array (a 1-row broadcast built INSIDE the plan — fully
+      lazy, no build-time job) and each corpus doc tests row-locally
+      via array_intersect: zero corpus shuffle, no explode, the whole
+      pass pipelines into the corpus scan.
+    * "join" — broadcast-hash-JOIN plan
+      (`mark_contaminated_via_join`, also fully lazy):
+      array_intersect's per-row dictionary walk turns
+      O(corpus × eval) exactly when both sides grow together, while
+      the join probes a per-task hash set at O(1) per gram and
+      shuffles only the HITS (post-join, tiny).
+    * "auto" (default) — pick by dictionary size: ≤ `max_array_grams`
+      distinct eval grams → array, else join.  Adaptivity needs the
+      size, so auto runs ONE eager job over the EVAL side at build
+      time (small by definition; the collected row is then reused as
+      the broadcast dictionary, never recomputed).  Callers composing
+      fully-lazy pipelines force a side instead — a forced side runs
+      ZERO Spark jobs at build time.
 
-    Both plans produce identical values (locked by test); pass
-    `max_array_grams=0` / a huge value to force a side.
-
-    Plan-choice cost: adaptivity needs the dictionary size, so this
-    runs ONE eager job over the EVAL side at build time (small by
-    definition; the collected row is then reused as the broadcast
-    dictionary, never recomputed).  Callers that must stay fully lazy
-    force a side instead.
+    All plans produce identical values (locked by test).
     """
+    if plan not in ("auto", "array", "join"):
+        raise ValueError(f"plan must be auto|array|join, got {plan!r}")
+    if plan == "join":
+        return mark_contaminated_via_join(docs, eval_docs, n, id_col)
+    if plan == "array":
+        # the dictionary stays a (1-row) DataFrame: the eval aggregate
+        # runs inside the returned plan at execution time
+        dict_row = F.broadcast(eval_gram_set(eval_docs, n))
+        return _array_plan(docs, dict_row, n)
     collected = eval_gram_set(eval_docs, n).collect()
     eval_grams = collected[0]["eval_grams"] if collected else []
     if len(eval_grams) > max_array_grams:
@@ -138,6 +149,13 @@ def mark_contaminated(
             [([int(h) for h in eval_grams],)], "eval_grams array<bigint>"
         )
     )
+    return _array_plan(docs, dict_row, n)
+
+
+def _array_plan(docs: DataFrame, dict_row: DataFrame, n: int) -> DataFrame:
+    """The in-row array_intersect scoring pass over a 1-row broadcast
+    dictionary frame (literal row in auto mode, lazy eval-side
+    aggregate in forced-array mode — same values either way)."""
     hits = F.size(F.array_intersect(F.col("_ghs"), F.col("eval_grams")))
     return (
         with_gram_hashes(docs, n)

@@ -44,7 +44,7 @@ def curate_corpus(
     url_col: str | None = None,
     blocked_domains: tuple[str, ...] = (),
     max_per_domain: int | None = None,
-    public_suffixes: frozenset[str] | None = None,
+    public_suffixes: frozenset[str] | str | None = "psl",
     boilerplate_min_docs: int | None = None,
     exact_substr_min_tokens: int | None = None,
     perplexity_band: tuple[float, float] | None = None,
@@ -53,6 +53,7 @@ def curate_corpus(
     semdedup_threshold: float | None = None,
     mix_weights: dict[str, float] | None = None,
     mix_budget_tokens: int | None = None,
+    contamination_plan: str = "auto",
     lake: Lakehouse | None = None,
     schema: str = "curated",
     shard_budget: int = 2048,
@@ -196,8 +197,11 @@ def curate_corpus(
         )
 
     if eval_docs is not None:
+        # contamination_plan: "auto" sizes the eval dictionary with one
+        # tiny build-time job; pass "array"/"join" to keep the whole
+        # curation chain a single lazy plan (zero jobs until action)
         stage = _checkpoint(
-            mark_contaminated(stage, eval_docs)
+            mark_contaminated(stage, eval_docs, plan=contamination_plan)
             .filter(~F.col("contaminated"))
             .drop("contam_hits", "contaminated"),
             "decontaminated",

@@ -139,12 +139,36 @@ def registrable_domain(
     )
 
 
+def _resolve_suffixes(
+    suffixes: frozenset[str] | str | None,
+) -> frozenset[str] | None:
+    """Suffix-set knob shared by `domain_quota` / `filter_blocklist` /
+    `curate_corpus`:
+
+    * "psl" (the DEFAULT since r9) — the shipped offline snapshot
+      (`load_public_suffixes()`), falling back to the heuristic if the
+      data file is missing.  PSL keys are the deliberate default: the
+      heuristic lumps every *.github.io user site into ONE quota /
+      blocklist bucket, which at crawl scale starves or nukes
+      unrelated sites; the snapshot costs one memoized file read and a
+      few literal arrays in the row-local when-chain.
+    * None — the 9-entry co.uk-shape heuristic only.
+    * a frozenset — as given (e.g. `load_public_suffixes(extra=...)`).
+    """
+    if suffixes == "psl":
+        try:
+            return load_public_suffixes()
+        except OSError:
+            return None
+    return suffixes  # frozenset or None
+
+
 def domain_quota(
     docs: DataFrame,
     url_col: str,
     max_per_domain: int,
     id_col: str = "doc_id",
-    suffixes: frozenset[str] | None = None,
+    suffixes: frozenset[str] | str | None = "psl",
 ) -> DataFrame:
     """Keep at most `max_per_domain` docs per registrable domain —
     the C4-style balance cap that stops one mega-site from dominating
@@ -153,9 +177,10 @@ def domain_quota(
     samples whatever the crawler saw first, which skews freshness).
     One shuffle on the domain key — the semantics require it.
 
-    Pass `suffixes` (e.g. `load_public_suffixes()`) to key the quota
-    on PSL-accurate registrable domains — without it, every
-    *.github.io user site shares one quota bucket."""
+    Quota keys default to PSL-accurate registrable domains (the
+    shipped snapshot — each *.github.io user site its own bucket);
+    see `_resolve_suffixes` for the knob."""
+    suffixes = _resolve_suffixes(suffixes)
     host = parse_url(F.col(url_col))["host"]
     rd = (
         registrable_domain_psl(host, suffixes)
@@ -186,14 +211,16 @@ def filter_blocklist(
     docs: DataFrame,
     url_col: str,
     blocked_domains: list[str],
-    suffixes: frozenset[str] | None = None,
+    suffixes: frozenset[str] | str | None = "psl",
 ) -> DataFrame:
     """Drop docs whose registrable domain is blocklisted.  The list is
     folded to ONE broadcast array literal probed row-locally — the
     corpus side stays shuffle-free (blocklists are small; a million-
-    entry list would switch to a broadcast anti-join instead).  Pass
-    `suffixes` to block at PSL-accurate granularity (e.g. blocking
-    one github.io user site instead of all of github.io)."""
+    entry list would switch to a broadcast anti-join instead).
+    Blocking granularity defaults to PSL-accurate registrable domains
+    (block one github.io user site, not all of github.io); see
+    `_resolve_suffixes` for the knob."""
+    suffixes = _resolve_suffixes(suffixes)
     host = parse_url(F.col(url_col))["host"]
     rd = (
         registrable_domain_psl(host, suffixes)
