@@ -694,15 +694,24 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed registry phrase for the persistent-index part: consecutive
+# corpus tokens with healthy frequency at every test SF
+PHRASE: tuple[str, str] = ("table", "scan")
+
+
 def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
-    """DuckDB twin of `bm25_search`'s three-part hybrid row.
+    """DuckDB twin of `bm25_search`'s five-part retrieval row.
 
     The BM25 leg reuses `bm25.bm25_oracle_sql` verbatim as a subquery
     (identical inlined IDF/avgdl literals); the vector leg replays the
     `knn_cosine` fold (same sequential dot-product reduction, so
     cosines are bit-identical); the fused leg recomputes RRF exactly:
     CAST(1 AS DOUBLE)/(60 + rank) summed bm25-leg-first — the same
-    two-term left-associated double add `rrf_fuse` emits."""
+    two-term left-associated double add `rrf_fuse` emits.  The
+    'index' leg (PersistentBM25 lifecycle) re-emits the bm CTE — the
+    index contract IS bit-identity with the scan scorer; the 'phrase'
+    leg recomputes exact-phrase counts independently from the raw
+    token stream."""
     bm_body = bm25.bm25_oracle_sql(sf_dir, k=k)
     return f"""
     WITH bm AS (
@@ -756,6 +765,20 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
             FROM f
         )
         WHERE rank <= {k}
+    ),
+    phr AS (
+        SELECT doc_id, CAST(n_phrase AS DOUBLE) AS score,
+               row_number() OVER (ORDER BY n_phrase DESC, doc_id ASC)
+                   AS rank
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(generate_series(1, len(t) - 1),
+                       i -> t[i] = '{PHRASE[0]}'
+                            AND t[i + 1] = '{PHRASE[1]}')) AS n_phrase
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+        )
+        WHERE n_phrase > 0
     )
     SELECT 'bm25' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM bm
@@ -765,6 +788,19 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     UNION ALL
     SELECT 'fused' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM fused
+    UNION ALL
+    -- the persistent index is bit-identical to the scan scorer by
+    -- contract, so its oracle IS the bm leg re-labeled: hash equality
+    -- proves the whole build -> bucket-pruned read -> pivot -> literal
+    -- scoring lifecycle reproduces the scan
+    SELECT 'index' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bm
+    UNION ALL
+    -- phrase semantics recomputed INDEPENDENTLY from the raw text
+    -- (consecutive-token count), not by replaying the index - the
+    -- positional-intersection fold is checked against first principles
+    SELECT 'phrase' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM phr WHERE rank <= {k}
     ORDER BY part, rank
     """
 
@@ -778,15 +814,20 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     tags=("text", "retrieval", "bm25", "knn", "hybrid", "rrf", "scale"),
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 top-20 keyword ranking (text/bm25.py),
+    """Retrieval suite: BM25 top-20 keyword ranking (text/bm25.py),
     vector top-20 cosine ranking (similarity/knn.py, query = vec 0),
-    and their reciprocal-rank fusion (`rrf_fuse`, Cormack et al.) —
-    three parts, one hash.
+    their reciprocal-rank fusion (`rrf_fuse`, Cormack et al.), the
+    PersistentBM25 index lifecycle (build → bucket-pruned query, part
+    'index' — must hash-equal the scan scorer), and exact-phrase
+    retrieval from the positional postings (part 'phrase', oracle
+    recomputed from first principles over the raw token stream) —
+    five parts, one hash.
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
     the vector leg broadcasts the single query row; fusion joins two
-    top-20 lists — driver-broadcastable no matter the corpus size."""
+    top-20 lists — driver-broadcastable no matter the corpus size;
+    index queries read ≤|terms| of 64 postings buckets."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -815,6 +856,43 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank"),
         F.round("rrf_score", 6).alias("score"),
     )
+    # persistent-index lifecycle over a throwaway lakehouse: build
+    # (postings bucket(64, term) + doclen + stats in one atomic txn),
+    # then a bucket-pruned BM25 query — bit-identical to the scan
+    # scorer by contract — and an exact-phrase query answered by the
+    # positional-intersection fold.  Results are |k|-bounded: eager
+    # checkpoint pins them so the index files can be deleted before
+    # the frame is consumed.
+    import shutil
+    import tempfile
+
+    from ..sources.lakehouse import Lakehouse
+    from ..text.bm25_index import PersistentBM25
+
+    root = tempfile.mkdtemp(prefix="umdl_bm25_idx_")
+    try:
+        idx = PersistentBM25(Lakehouse(root))
+        idx.build(spark, docs.select("doc_id", "text"))
+        w_ph = Window.orderBy(F.desc("n_phrase"), F.asc("doc_id"))
+        index_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
+        phrase_part = (
+            idx.phrase_query(spark, PHRASE, k=k)
+            .withColumn("rank", F.row_number().over(w_ph).cast("long"))
+            .select(
+                "doc_id",
+                "rank",
+                F.col("n_phrase").cast("double").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     part = lambda df, p: df.select(  # noqa: E731
         F.lit(p).alias("part"), "doc_id", "rank", "score"
     )
@@ -822,5 +900,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         part(bm, "bm25")
         .unionByName(part(kn, "knn"))
         .unionByName(part(fused, "fused"))
+        .unionByName(part(index_part, "index"))
+        .unionByName(part(phrase_part, "phrase"))
         .orderBy("part", "rank")
     )
