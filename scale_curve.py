@@ -58,8 +58,6 @@ DIMS = ("region", "nation", "customer", "supplier", "part")
 # (measured: running_totals ×100 was 13× its ×10 under collect, ~8×
 # under noop — the engine is linear, the collect is not; a 100 TB
 # pipeline writes results, it doesn't collect them).
-# Max-scale caps: regex-heavy row-local CPU (doc_profile) is ~2 s per
-# 5k docs — ×10 already shows the row-local linearity.
 QUERIES: dict[str, tuple[int, str]] = {
     "hourly_demand": (100, "collect"),
     "pricing_summary": (100, "collect"),
@@ -71,8 +69,11 @@ QUERIES: dict[str, tuple[int, str]] = {
     "gravity_gaps": (100, "collect"),
     "bucketed_fact_join": (100, "collect"),
     "global_stats": (100, "collect"),
-    "exact_dup_groups": (10, "noop"),
-    "doc_profile": (10, "noop"),
+    # regex-heavy row-local CPU (doc_profile ~2 s per 5k docs): the
+    # x100 cells are expensive wall (~minutes of pure map CPU on 32
+    # cores) but close the last "—" cells in the replication table
+    "exact_dup_groups": (100, "noop"),
+    "doc_profile": (100, "noop"),
     "knn_ivf": (100, "collect"),
 }
 
@@ -132,6 +133,7 @@ LADDER_QUERIES = (
     "jsonl_corrupt_lane",
     "url_curation",
     "doc_profile",
+    "multimodal_suite",
 )
 
 # suites whose ladder wall is ALSO decomposed per `part` value — a
@@ -140,7 +142,7 @@ LADDER_QUERIES = (
 # suite's 16), so each part's wall is the cost of that part's branch
 # alone.  This attributes the suite's growth slope to the operator
 # that owns it instead of one aggregate number.
-LADDER_PART_SUITES = ("text_pairs_suite",)
+LADDER_PART_SUITES = ("text_pairs_suite", "multimodal_suite")
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's
 # EXPECTED_ROWS: a scale lane that silently times a wrong-rowcount
@@ -157,6 +159,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "exact_dup_groups": 500,
         "embedding_near_dups": 23,
         "text_pairs_suite": 14518,
+        "multimodal_suite": 1099,
     },
     "sf0.01": {
         "doc_profile": 500,
@@ -167,6 +170,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "exact_dup_groups": 500,
         "embedding_near_dups": 29,
         "text_pairs_suite": 14182,
+        "multimodal_suite": 1097,
     },
     "sf0.1": {
         "doc_profile": 5000,
@@ -177,6 +181,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "exact_dup_groups": 4992,
         "embedding_near_dups": 324,
         "text_pairs_suite": 135278,
+        "multimodal_suite": 10952,
     },
 }
 
