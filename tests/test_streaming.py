@@ -641,3 +641,27 @@ def test_timeout_eviction_keeps_session_numbering(spark):
     assert list(fn((1,), iter([]), state)) in ([],) or all(
         len(f) == 0 for f in fn((1,), iter([]), state)
     )
+
+
+def test_interval_join_same_ts_name_both_sides(spark):
+    """Both sides using one ts column name (e.g. 'ts') must suffix the
+    two ts outputs too, not emit 'ts' twice."""
+    import datetime as dt
+
+    from urban_mobility_data_lakehouse_spark.streaming.joins import (
+        interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base)], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=5))],
+        "user_id long, ts timestamp",
+    )
+    j = interval_join(left, right, left_ts="ts", right_ts="ts")
+    assert j.columns == ["user_id", "ts_left", "ts_right"]
+    row = j.collect()[0]
+    assert row["ts_left"] == base
+    assert row["ts_right"] == base + dt.timedelta(minutes=5)

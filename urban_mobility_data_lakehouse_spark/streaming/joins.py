@@ -43,10 +43,10 @@ def interval_join(
     rw = right.withWatermark(right_ts, watermark)
     cond = (
         (lw[key] == rw[key])
-        & (F.col(right_ts) >= F.col(left_ts))
+        & (rw[right_ts] >= lw[left_ts])
         & (
-            F.col(right_ts)
-            <= F.col(left_ts) + F.expr(f"INTERVAL {horizon}")
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {horizon}")
         )
     )
     # every carried column is QUALIFIED to its side (lw[c]/rw[c]):
@@ -57,15 +57,21 @@ def interval_join(
     # select-by-name instead of fixing it.
     lcols = [c for c in left.columns if c not in (key, left_ts)]
     rcols = [c for c in right.columns if c not in (key, right_ts)]
-    shared = {c for c in lcols if c in rcols} | {left_ts} & set(rcols) | {
-        right_ts
-    } & set(lcols)
+    # a name is shared when it would appear twice in the output: both
+    # carry-lists, a carry colliding with the OTHER side's ts output,
+    # or the two ts columns themselves sharing one name
+    shared = (
+        ({c for c in lcols if c in rcols})
+        | ({left_ts} & set(rcols))
+        | ({right_ts} & set(lcols))
+        | ({left_ts} if left_ts == right_ts else set())
+    )
     lname = lambda c: f"{c}_left" if c in shared else c  # noqa: E731
     rname = lambda c: f"{c}_right" if c in shared else c  # noqa: E731
     return lw.join(rw, cond, "inner").select(
         lw[key].alias(key),
-        lw[left_ts],
-        rw[right_ts],
+        lw[left_ts].alias(lname(left_ts)),
+        rw[right_ts].alias(rname(right_ts)),
         *[lw[c].alias(lname(c)) for c in lcols],
         *[rw[c].alias(rname(c)) for c in rcols],
     )
