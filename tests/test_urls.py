@@ -328,3 +328,15 @@ def test_domain_quota_exempts_docs_without_domain_identity(spark):
     # 2 per real domain (site0.com, site1.com) + ALL 11 identity-less
     assert kept.count() == 4 + 6 + 5
     assert kept.filter(F.col("url").isNull()).count() == 5
+
+
+def test_suffixes_rejects_stray_strings(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    with pytest.raises(ValueError):
+        domain_quota(df, "url", 1, suffixes="public_suffix_list")
+    with pytest.raises(ValueError):
+        filter_blocklist(df, "url", ["a.com"], suffixes="PSL")

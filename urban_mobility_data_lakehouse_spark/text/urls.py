@@ -155,7 +155,14 @@ def _resolve_suffixes(
     * None — the 9-entry co.uk-shape heuristic only.
     * a frozenset — as given (e.g. `load_public_suffixes(extra=...)`).
     """
-    if suffixes == "psl":
+    if isinstance(suffixes, str):
+        if suffixes != "psl":
+            # a stray string would be iterated character-by-character
+            # downstream — fail loudly instead
+            raise ValueError(
+                f"suffixes must be 'psl', None, or a frozenset; "
+                f"got {suffixes!r}"
+            )
         try:
             return load_public_suffixes()
         except OSError:
