@@ -111,3 +111,32 @@ def test_add_assigns_against_frozen_centroids_then_optimize(
     one = embeddings.filter(F.col("vec_id") == 0)
     touched = _scanned_cells(idx.query(spark, one, k=3))
     assert 0 < len(touched) <= idx.n_probe
+
+
+def test_frozen_centroids_split_ingest_converges_to_batch(
+    spark, embeddings, tmp_path, sf_dir
+):
+    """build(evens, centroids=frozen) + add(odds) + OPTIMIZE must give
+    the BATCH answer: with the quantizer frozen externally (FAISS
+    train-on-sample semantics), assignment is row-local and
+    deterministic, so how the corpus was split across ingest batches
+    cannot show in query results.  This is the contract the
+    embedding_near_dups 'serve' driver part hash-checks against the
+    injected-centroid DuckDB oracle."""
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        train_centroids_from_parquet,
+    )
+
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    idx = _mk_index(tmp_path, name="frozen")
+    idx.build(
+        spark, embeddings.filter(F.col("vec_id") % 2 == 0), centroids=cents
+    )
+    assert idx.centroids(spark) == cents  # stored verbatim, not retrained
+    idx.add(spark, embeddings.filter(F.col("vec_id") % 2 == 1))
+    idx.optimize(spark)
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    got = _rows(idx.query(spark, queries, k=3))
+    expect = _rows(knn_ivf(embeddings, n_queries=10, k=3, centroids=cents))
+    assert got == expect

@@ -425,7 +425,12 @@ def _semdedup_oracle(
 
 def _embedding_dedup_oracle(sf_dir: str) -> str:
     """pair part (static, seed-derived planes) + drop part (SemDeDup,
-    data-derived centroids) in one labeled union."""
+    data-derived centroids) + serve part (PersistentIVF lifecycle —
+    its contract is bit-identity with the in-memory IVF path, so the
+    oracle is the same first-principles replay from injected frozen
+    centroids; hash equality proves build → add → OPTIMIZE →
+    partition-pruned query converges to the batch answer, the
+    bm25_search 'index' pattern) in one labeled union."""
     return f"""
     SELECT * FROM (
         SELECT 'pair' AS part, vec_a, vec_b, cosine_sim AS score
@@ -433,6 +438,9 @@ def _embedding_dedup_oracle(sf_dir: str) -> str:
         UNION ALL
         SELECT 'drop', vec_id, dup_of, max_prior_sim
         FROM ({_semdedup_oracle(sf_dir)})
+        UNION ALL
+        SELECT 'serve', query_id, neighbor_id, cosine_sim
+        FROM ({_ivf_oracle(sf_dir)})
     )
     ORDER BY part, vec_a, vec_b
     """
@@ -454,10 +462,15 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     `drop`: SemDeDup (similarity/semdedup.py) — k-means-bucketed
     semantic dedup; one row per dropped vector with vec_b = the
     surviving lower-id cluster-mate that caused the drop and score =
-    that max prior cosine.  Both oracles replay the exact geometry
-    (inlined hyperplanes / bit-identical twin-trained centroids), so
-    the driver hash-checks candidate sets, scores, and drop decisions
-    end-to-end."""
+    that max prior cosine.
+    `serve`: the PersistentIVF serving lifecycle (see
+    `_persistent_ivf_serve`) — split-batch build/add against a frozen
+    quantizer, OPTIMIZE, then a partition-pruned top-3 query for the
+    first 10 vectors; vec_a = query, vec_b = neighbor, score = cosine.
+    All three oracles replay the exact geometry (inlined hyperplanes /
+    bit-identical twin-trained centroids), so the driver hash-checks
+    candidate sets, scores, drop decisions, and the persisted-index
+    answers end-to-end."""
     from ..similarity.knn import banded_near_dups
     from ..similarity.semdedup import semantic_dedup
 
@@ -474,7 +487,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").alias("vec_b"),
         F.col("max_prior_sim").alias("score"),
     )
-    return pairs.unionByName(drops).orderBy("part", "vec_a", "vec_b")
+    serve = _persistent_ivf_serve(spark, sf_dir).select(
+        F.lit("serve").alias("part"),
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("cosine_sim").alias("score"),
+    )
+    return (
+        pairs.unionByName(drops)
+        .unionByName(serve)
+        .orderBy("part", "vec_a", "vec_b")
+    )
 
 
 def _ivf_oracle(
@@ -595,3 +618,56 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir, cents, n_queries=10, n_probe=4
         ),
     )
+
+
+def _persistent_ivf_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PersistentIVF lifecycle (similarity/persistent_ivf.py): the
+    serving-path twin of `knn_ivf` — the index lives as a lakehouse
+    table partitioned by cell, probes prune to partition directories.
+
+    Exercises the FULL write path, not just a one-shot build: build()
+    ingests the even vec_ids against an externally frozen quantizer
+    (the pyarrow-trained centroids `knn_ivf` uses — FAISS
+    train-on-sample semantics), add() appends the odd vec_ids against
+    the same frozen geometry, optimize() re-clusters to one file per
+    cell partition, and query() answers the same 10 queries through
+    directory-level probe pruning.  Because assignment is row-local
+    and deterministic, the split-batch ingest MUST converge to the
+    batch answer — which the injected-centroid DuckDB oracle
+    recomputes independently.
+
+    Scale shape: ingest batches assign via one broadcast-centroid
+    Arrow map (no shuffle) and commit partition-scoped; queries read
+    n_probe/n_cells of the index directories no matter the corpus
+    size; the collected probe-cell union is ≤ n_cells ints."""
+    import shutil
+    import tempfile
+
+    from ..similarity import ivf
+    from ..similarity.persistent_ivf import PersistentIVF
+    from ..sources.lakehouse import Lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
+    root = tempfile.mkdtemp(prefix="umdl_ivf_idx_")
+    try:
+        lake = Lakehouse(root)
+        lake.create_schemas("gold")
+        idx = PersistentIVF(lake, n_cells=16, n_probe=4)
+        idx.build(
+            spark, emb.filter(F.col("vec_id") % 2 == 0), centroids=cents
+        )
+        idx.add(spark, emb.filter(F.col("vec_id") % 2 == 1))
+        idx.optimize(spark)
+        # |queries|×k-bounded result: eager checkpoint pins it so the
+        # throwaway index files can be deleted before consumption
+        out = idx.query(
+            spark, emb.filter(F.col("vec_id") < 10), k=3
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -80,12 +80,24 @@ class PersistentIVF:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def build(self, spark: SparkSession, embeddings: DataFrame) -> None:
+    def build(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        centroids: list[list[float]] | None = None,
+    ) -> None:
         """Train on `embeddings` and store the full assignment,
-        partitioned by cell (one commit per table)."""
-        centroids = train_centroids(
-            embeddings, n_cells=self.n_cells, seed=self.seed
-        )
+        partitioned by cell (one commit per table).
+
+        `centroids` freezes the quantizer externally (FAISS semantics:
+        train on a sample, then build/add against the frozen geometry)
+        — the path a bulk backfill split across build()+add() batches
+        needs so every batch shares one quantizer regardless of which
+        rows each batch holds."""
+        if centroids is None:
+            centroids = train_centroids(
+                embeddings, n_cells=self.n_cells, seed=self.seed
+            )
         assigned = assign_cells(embeddings, centroids)
         self.lake.overwrite_partitions(
             assigned.repartition(F.col("cell")),
