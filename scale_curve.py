@@ -157,8 +157,8 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 23,
-        "text_pairs_suite": 14518,
+        "embedding_near_dups": 53,
+        "text_pairs_suite": 15518,
         "multimodal_suite": 1099,
     },
     "sf0.01": {
@@ -168,8 +168,8 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 29,
-        "text_pairs_suite": 14182,
+        "embedding_near_dups": 59,
+        "text_pairs_suite": 15182,
         "multimodal_suite": 1097,
     },
     "sf0.1": {
@@ -179,8 +179,8 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
-        "embedding_near_dups": 324,
-        "text_pairs_suite": 135278,
+        "embedding_near_dups": 354,
+        "text_pairs_suite": 145278,
         "multimodal_suite": 10952,
     },
 }

@@ -171,3 +171,85 @@ def test_bigram_scoring_plan_broadcasts_models(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_micro_lm_scores_match_pure_python_replay(spark, sf_dir):
+    """The exact integer micro-log scores (the text_pairs_suite lm
+    parts) must equal an independent pure-Python replay of the model
+    semantics: per-token coalesce over (observed pair | fallback |
+    OOV) and order-independent integer accumulation."""
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        micro_lm_scores,
+        train_lm_micrologs,
+    )
+
+    m = train_lm_micrologs(sf_dir)
+    uni = {t: (u, fb) for t, u, fb in m["uni"]}
+    bi = {(a, b): u for a, b, u in m["bi"]}
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["uni_u"], r["bi_u"])
+        for r in micro_lm_scores(docs, m).collect()
+    }
+
+    for row in docs.select("doc_id", "text").collect():
+        toks = row["text"].split(" ")
+        su = sb = 0
+        for i, cur in enumerate(toks):
+            lpu = uni[cur][0] if cur in uni else m["oov_u"]
+            su += lpu
+            if i == 0:
+                sb += lpu
+            elif (toks[i - 1], cur) in bi:
+                sb += bi[(toks[i - 1], cur)]
+            else:
+                sb += uni[cur][1] if cur in uni else m["oov_fb_u"]
+        assert got[row["doc_id"]] == (len(toks), -su, -sb)
+
+
+def test_micro_lm_trainer_quantizes_float_model(sf_dir):
+    """Micro-log literals are the float trainer's log2 probabilities
+    rounded to 1e-9 bits — close enough that no band/filter decision
+    can move, and memoized identically for builder and oracle."""
+    import math
+
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        MICRO,
+        train_lm_micrologs,
+    )
+
+    m1 = train_lm_micrologs(sf_dir)
+    m2 = train_lm_micrologs(sf_dir)
+    assert m1 == m2  # memoized + copy-safe
+    # spot-check quantization: u/MICRO must be a log2 of a probability
+    # in (0, 1), and fb = log2(1-lam) + u within one quantum
+    lam_term = math.log2(1.0 - 0.7)
+    for tok, u, fb in m1["uni"]:
+        assert u < 0
+        assert abs((fb - u) / MICRO - lam_term) < 2e-9
+
+
+def test_micro_lm_plan_broadcasts_and_stays_jvm_side(spark, sf_dir):
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        micro_lm_scores,
+        train_lm_micrologs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        micro_lm_scores(docs, train_lm_micrologs(sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan

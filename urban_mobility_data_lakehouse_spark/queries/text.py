@@ -395,10 +395,79 @@ pack_packed AS (
 """
 
 
-@register(
-    "text_pairs_suite",
-    oracle=f"""
-    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}
+
+# LM-scoring part: integer micro-log2 model literals injected into both
+# engines (text/lm.py train_lm_micrologs); band thresholds in micro-bits
+# per token, compared by exact integer cross-multiplication
+_LM_LO_U = 9_000_000_000   # 9.0 bits/token
+_LM_HI_U = 11_000_000_000  # 11.0 bits/token
+
+
+def _lm_sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _lm_sql(sf_dir: str) -> str:
+    """DuckDB CTEs replaying `micro_lm_scores` from first principles:
+    the injected integer micro-log model (the bm25 inlined-literals
+    pattern — neither engine evaluates a log), a positional
+    (prev, cur) event explode, the unigram/bigram/fallback/OOV
+    coalesce chain, and EXACT per-doc BIGINT sums (order-independent,
+    so DuckDB's parallel hash agg and Spark's partial aggregation
+    cannot diverge)."""
+    from ..text import lm as lm_mod
+
+    m = lm_mod.train_lm_micrologs(sf_dir)
+    uni_vals = ",\n        ".join(
+        f"('{_lm_sq(t)}', {u}, {fb})" for t, u, fb in m["uni"]
+    )
+    bi_vals = ",\n        ".join(
+        f"('{_lm_sq(a)}', '{_lm_sq(b)}', {u})" for a, b, u in m["bi"]
+    )
+    return f"""
+lm_uni(tok, u, fb) AS (VALUES
+        {uni_vals}
+),
+lm_bi(prev, cur, ub) AS (VALUES
+        {bi_vals}
+),
+lm_events AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+lm_scored AS (
+    SELECT e.doc_id,
+           COALESCE(u.u, {m["oov_u"]}) AS lp_uni,
+           CASE WHEN e.i = 1 THEN COALESCE(u.u, {m["oov_u"]})
+                WHEN b.ub IS NOT NULL THEN b.ub
+                ELSE COALESCE(u.fb, {m["oov_fb_u"]}) END AS lp_bi
+    FROM (SELECT doc_id, i,
+                 CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+                 t[i] AS cur
+          FROM lm_events) e
+    LEFT JOIN lm_uni u ON u.tok = e.cur
+    LEFT JOIN lm_bi b ON b.prev = e.prev AND b.cur = e.cur
+),
+lm_doc AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(-SUM(lp_uni) AS BIGINT) AS su,
+           CAST(-SUM(lp_bi) AS BIGINT) AS sb
+    FROM lm_scored GROUP BY doc_id
+)
+"""
+
+
+def _lm_band_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < {_LM_LO_U} * n_toks THEN 'low' "
+        f"WHEN {col} > {_LM_HI_U} * n_toks THEN 'high' "
+        f"ELSE 'mid' END"
+    )
+
+
+def _text_pairs_oracle(sf_dir: str) -> str:
+    return f"""
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}, {_lm_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -494,10 +563,24 @@ pack_packed AS (
     SELECT 'histq', CAST(pct AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS VARCHAR), CAST(est AS BIGINT)
     FROM histq
+    UNION ALL
+    SELECT 'lmuni', CAST(doc_id AS BIGINT), n_toks,
+           {_lm_band_sql("su")}, su
+    FROM lm_doc
+    UNION ALL
+    SELECT 'lmbi', CAST(doc_id AS BIGINT), n_toks,
+           {_lm_band_sql("sb")}, sb
+    FROM lm_doc
     ORDER BY part, k1, k2, n
-    """,
+    """
+
+
+@register(
+    "text_pairs_suite",
+    oracle=_text_pairs_oracle,  # callable: the LM part injects
+    # corpus-trained integer micro-log literals per sf_dir
     tags=("text", "fuzzy", "levenshtein", "posexplode", "winnow", "pack",
-          "cms"),
+          "cms", "lm"),
 )
 def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four tokenizer-at-scale primitives in one labeled union.
@@ -679,6 +762,37 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("token"),
         F.col("est").cast("long").alias("n"),
     )
+    from ..text import lm as lm_mod
+
+    # lm parts: exact integer micro-log2 LM scores (unigram + JM
+    # bigram) under the driver-trained injected model — n carries the
+    # exact negated micro-bit sum, token the integer-compared band
+    lm_doc = lm_mod.micro_lm_scores(
+        docs_all, lm_mod.train_lm_micrologs(sf_dir)
+    )
+
+    def _lm_band(col: str):
+        n_tok = F.col("n_tokens")
+        return (
+            F.when(F.col(col) < F.lit(_LM_LO_U) * n_tok, "low")
+            .when(F.col(col) > F.lit(_LM_HI_U) * n_tok, "high")
+            .otherwise("mid")
+        )
+
+    lmuni = lm_doc.select(
+        F.lit("lmuni").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_tokens").cast("long").alias("k2"),
+        _lm_band("uni_u").alias("token"),
+        F.col("uni_u").alias("n"),
+    )
+    lmbi = lm_doc.select(
+        F.lit("lmbi").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_tokens").cast("long").alias("k2"),
+        _lm_band("bi_u").alias("token"),
+        F.col("bi_u").alias("n"),
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
@@ -690,6 +804,8 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cms)
         .unionByName(hist)
         .unionByName(histq)
+        .unionByName(lmuni)
+        .unionByName(lmbi)
         .orderBy("part", "k1", "k2", "n")
     )
 

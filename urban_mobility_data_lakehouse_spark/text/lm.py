@@ -24,6 +24,7 @@ take a band (too LOW is boilerplate/repetition, too HIGH is garbage).
 
 from __future__ import annotations
 
+import functools as _functools
 import math
 
 import pyspark.sql.functions as F
@@ -235,3 +236,182 @@ def bigram_cross_entropy(
         .withColumn("perplexity", F.pow(F.lit(2.0), F.col("xent")))
     )
     return docs.join(scored, id_col)
+
+
+# -- Exact micro-log scoring (the driver-hash path) -------------------------
+#
+# The float scorers above are the production shape, but a driver row
+# needs bit-exact cross-engine values, and neither Spark nor DuckDB
+# guarantees the last ulp of log2() or the order of a float SUM.  The
+# hashable variant removes BOTH hazards the way bm25 removes its log:
+#
+#   * every model probability is computed ONCE, driver-side, by the
+#     pure-Python trainer below, and shipped to both engines as an
+#     integer count of micro-log2-units (round(log2p · 1e9) — ~1e-9
+#     bits of quantization, far below any filtering decision);
+#   * scoring accumulates those BIGINTs — integer addition is exact
+#     and order-independent, so partial aggregation, AQE, and DuckDB's
+#     parallel hash agg all produce THE SAME per-document sum.
+#
+# xent is recoverable as sum / (n_tokens · 1e9); the driver row hashes
+# the exact integer sums themselves plus a band label derived from
+# integer cross-multiplication (sum < threshold · n_tokens), so no
+# float ever enters the hashed output.
+
+MICRO = 10**9
+
+
+def train_lm_micrologs(
+    sf_dir: str,
+    vocab_size: int = 16,
+    pairs_size: int = 256,
+    lam: float = BIGRAM_LAMBDA,
+) -> dict:
+    """Spark-free LM trainer for oracle construction: reads
+    `documents.parquet` with pyarrow and reproduces `unigram_model` +
+    `bigram_model` semantics (add-one unigram over top-V types with a
+    shared OOV bucket; Jelinek-Mercer interpolated bigram for the
+    top-P observed pairs, everything else falling back to
+    (1−λ)·p_uni(cur) at score time), emitting integer micro-log2
+    literals instead of floats.
+
+    The tiny defaults (V=16 of the fixture corpus's 31 types, P=256 of
+    its ~900 observed pairs) are deliberate: they keep every scoring
+    path — in-vocab, OOV, observed-pair, unobserved-fallback — live on
+    the test corpora, which a production-sized vocabulary would
+    short-circuit (nothing would ever be OOV).
+
+    Memoized per argument tuple PLUS the file's (mtime_ns, size) — the
+    builder and the oracle generator must inject IDENTICAL literals,
+    and a regenerated parquet must bust the cache (the
+    `train_centroids_from_parquet` contract).
+
+    Returns {"uni": [(token, u, fb)], "bi": [(prev, cur, u)],
+    "oov_u": int, "oov_fb_u": int} where u = round(log2p·1e9), fb =
+    the unobserved-bigram fallback round((log2(1−λ)+log2p_uni)·1e9).
+    """
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    got = _train_lm_cached(
+        sf_dir, vocab_size, pairs_size, lam, st.st_mtime_ns, st.st_size
+    )
+    return {
+        "uni": [tuple(r) for r in got["uni"]],
+        "bi": [tuple(r) for r in got["bi"]],
+        "oov_u": got["oov_u"],
+        "oov_fb_u": got["oov_fb_u"],
+    }
+
+
+@_functools.lru_cache(maxsize=8)
+def _train_lm_cached(
+    sf_dir: str,
+    vocab_size: int,
+    pairs_size: int,
+    lam: float,
+    mtime_ns: int,
+    size: int,
+) -> dict:
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    uni_c: Counter = Counter()
+    bi_c: Counter = Counter()
+    ctx_c: Counter = Counter()
+    for t in texts:
+        toks = (t or "").split(" ")
+        uni_c.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bi_c[(a, b)] += 1
+            ctx_c[a] += 1
+    n = sum(uni_c.values())
+    denom = n + len(uni_c) + 1  # add-one over types + shared OOV bucket
+    lg = math.log2
+    top = dict(
+        sorted(uni_c.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    )
+    oov_lp = lg(1.0 / denom)
+    uni = []
+    for tok, c in sorted(top.items()):
+        lp = lg((c + 1) / denom)
+        uni.append(
+            (tok, round(lp * MICRO), round((lg(1.0 - lam) + lp) * MICRO))
+        )
+    # interpolated log2 p(cur|prev) for the top-P observed pairs; pu
+    # uses the TOP-V membership exactly as bigram_model's left join
+    # against the truncated unigram table does
+    bi = []
+    for (a, b), c2 in sorted(
+        bi_c.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:pairs_size]:
+        pu = (uni_c[b] + 1) / denom if b in top else 1.0 / denom
+        lp = lg(lam * c2 / ctx_c[a] + (1.0 - lam) * pu)
+        bi.append((a, b, round(lp * MICRO)))
+    return {
+        "uni": uni,
+        "bi": bi,
+        "oov_u": round(oov_lp * MICRO),
+        "oov_fb_u": round((lg(1.0 - lam) + oov_lp) * MICRO),
+    }
+
+
+def micro_lm_scores(
+    docs: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, uni_u, bi_u): EXACT negated micro-log2 sums
+    per document under the injected integer model — the hashable twin
+    of `cross_entropy` + `bigram_cross_entropy`.
+
+    Same scale shape as the float path: the model relations are tiny
+    and broadcast; the corpus explodes row-locally into (prev, cur)
+    events and never shuffles before the per-doc aggregate (map-side
+    BIGINT partials).  xent_uni = uni_u / (n_tokens·1e9), same for bi.
+    """
+    spark = docs.sparkSession
+    uni_df = spark.createDataFrame(
+        model["uni"], "cur string, u long, fb long"
+    )
+    bi_df = spark.createDataFrame(
+        model["bi"], "prev string, cur string, ub long"
+    )
+    t = F.split(text_col, " ")
+    events = docs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    oov_u = F.lit(int(model["oov_u"]))
+    oov_fb_u = F.lit(int(model["oov_fb_u"]))
+    lp_uni = F.coalesce(F.col("u"), oov_u)
+    lp_bi = (
+        F.when(F.col("prev").isNull(), lp_uni)  # first token: no context
+        .when(F.col("ub").isNotNull(), F.col("ub"))
+        .otherwise(F.coalesce(F.col("fb"), oov_fb_u))
+    )
+    return (
+        events.join(F.broadcast(bi_df), ["prev", "cur"], "left")
+        .join(F.broadcast(uni_df), "cur", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(lp_uni)).alias("uni_u"),
+            (-F.sum(lp_bi)).alias("bi_u"),
+        )
+    )
