@@ -158,7 +158,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
         "embedding_near_dups": 53,
-        "text_pairs_suite": 15518,
+        "text_pairs_suite": 23426,
         "multimodal_suite": 1099,
     },
     "sf0.01": {
@@ -169,7 +169,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
         "embedding_near_dups": 59,
-        "text_pairs_suite": 15182,
+        "text_pairs_suite": 22812,
         "multimodal_suite": 1097,
     },
     "sf0.1": {
@@ -180,7 +180,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
         "embedding_near_dups": 354,
-        "text_pairs_suite": 145278,
+        "text_pairs_suite": 153395,
         "multimodal_suite": 10952,
     },
 }

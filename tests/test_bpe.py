@@ -98,3 +98,25 @@ def test_bpe_counts_drive_packing(spark, sf_dir):
         .count()
     )
     assert over == 0
+
+
+def test_parquet_twin_trainer_matches_spark_pipeline(spark, sf_dir):
+    """train_bpe_from_parquet (the oracle/builder twin) must learn the
+    SAME merges as the Spark word-frequency pass + train_bpe — both
+    deterministic over the same corpus multiset."""
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.bpe import (
+        train_bpe,
+        train_bpe_from_parquet,
+        word_frequencies,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_spark = train_bpe(word_frequencies(docs), n_merges=48)
+    via_arrow = train_bpe_from_parquet(sf_dir, n_merges=48)
+    assert via_arrow == via_spark
+    # memoized + copy-safe
+    again = train_bpe_from_parquet(sf_dir, n_merges=48)
+    assert again == via_arrow and again is not via_arrow

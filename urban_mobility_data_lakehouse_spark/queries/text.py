@@ -457,6 +457,78 @@ lm_doc AS (
 """
 
 
+# BPE part: the learned merges injected as a (k, pat, rep) table; the
+# oracle replays the greedy encoder as a rank-ordered replace() fold
+# over \x1f-sym-\x1e wrapped symbols (exact: a merged symbol only
+# participates in LATER-rank merges, so rank-ordered left-to-right
+# non-overlapping replacement == the leftmost-lowest-rank loop of
+# text/bpe._encode_word), applied per DISTINCT word via a recursive
+# CTE stepping k — |types| x |merges| rows, never corpus-sized
+_BPE_MERGES = 48
+_BPE_DOCS = 50  # encode subcorpus: doc_id < 50 (positional rows)
+
+
+def _bpe_sql(sf_dir: str) -> str:
+    from ..text import bpe as bpe_mod
+
+    merges = bpe_mod.train_bpe_from_parquet(sf_dir, n_merges=_BPE_MERGES)
+    o, c = bpe_mod._ORACLE_OPEN, bpe_mod._ORACLE_CLOSE
+
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
+    mvals = ",\n        ".join(
+        f"({k + 1}, '{q(o + a + c + o + b + c)}', '{q(o + a + b + c)}')"
+        for k, (a, b) in enumerate(merges)
+    )
+    K = len(merges)
+    return f"""
+bpe_docs AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents WHERE doc_id < {_BPE_DOCS}
+),
+bpe_words AS (SELECT DISTINCT unnest(ws) AS w FROM bpe_docs),
+bpe_merges(k, pat, rep) AS (VALUES
+        {mvals}
+),
+bpe_steps AS (
+    SELECT w,
+           array_to_string(list_transform(generate_series(1, length(w)),
+               i -> chr(31) || substr(w, i, 1) || chr(30)), '')
+           || chr(31) || '{bpe_mod.EOW}' || chr(30) AS s,
+           0 AS k
+    FROM bpe_words
+    UNION ALL
+    SELECT b.w, replace(b.s, m.pat, m.rep), b.k + 1
+    FROM bpe_steps b JOIN bpe_merges m ON m.k = b.k + 1
+),
+bpe_done AS (
+    SELECT w, list_transform(
+               list_filter(string_split(s, chr(31)), x -> x <> ''),
+               x -> rtrim(x, chr(30))) AS toks
+    FROM bpe_steps WHERE k = {K}
+),
+bpe_wordpos AS (
+    SELECT doc_id, unnest(ws) AS w,
+           unnest(generate_series(1, len(ws))) AS wi
+    FROM bpe_docs
+),
+bpe_tokpos AS (
+    SELECT doc_id, wi, unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS ti
+    FROM bpe_wordpos JOIN bpe_done USING (w)
+),
+bpe_out AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+               AS pos,
+           tok,
+           count(*) OVER (PARTITION BY doc_id) AS n
+    FROM bpe_tokpos
+)
+"""
+
+
 def _lm_band_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} < {_LM_LO_U} * n_toks THEN 'low' "
@@ -467,7 +539,7 @@ def _lm_band_sql(col: str) -> str:
 
 def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
-    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}, {_lm_sql(sf_dir)}
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -571,6 +643,9 @@ def _text_pairs_oracle(sf_dir: str) -> str:
     SELECT 'lmbi', CAST(doc_id AS BIGINT), n_toks,
            {_lm_band_sql("sb")}, sb
     FROM lm_doc
+    UNION ALL
+    SELECT 'bpe', CAST(doc_id AS BIGINT), pos, tok, n
+    FROM bpe_out
     ORDER BY part, k1, k2, n
     """
 
@@ -793,6 +868,29 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lm_band("bi_u").alias("token"),
         F.col("bi_u").alias("n"),
     )
+    from ..text import bpe as bpe_mod
+
+    # bpe part: the real Arrow mapInPandas encoder over the subcorpus
+    # under merges trained by the pyarrow twin (no Spark job); the
+    # oracle replays the SAME merges as a rank-ordered replace() fold
+    bpe_part = (
+        bpe_mod.encode_documents(
+            docs_all.filter(F.col("doc_id") < _BPE_DOCS),
+            bpe_mod.train_bpe_from_parquet(sf_dir, n_merges=_BPE_MERGES),
+        )
+        .select(
+            "doc_id",
+            "n_bpe_tokens",
+            F.posexplode("bpe_tokens").alias("pos", "tok"),
+        )
+        .select(
+            F.lit("bpe").alias("part"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.col("pos").cast("long").alias("k2"),
+            F.col("tok").alias("token"),
+            F.col("n_bpe_tokens").alias("n"),
+        )
+    )
     return (
         fuzzy.unionByName(tokpos)
         .unionByName(fps)
@@ -806,6 +904,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(histq)
         .unionByName(lmuni)
         .unionByName(lmbi)
+        .unionByName(bpe_part)
         .orderBy("part", "k1", "k2", "n")
     )
 

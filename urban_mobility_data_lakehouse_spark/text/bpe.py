@@ -164,3 +164,70 @@ def encode_documents(
 def decode_tokens(tokens: list[str]) -> str:
     """Exact inverse of encoding: concatenate, split words at EOW."""
     return "".join(tokens).replace(EOW, " ").rstrip(" ")
+
+
+# -- Oracle-twin trainer (driver-hash path) ----------------------------------
+
+#: Delimiters the DuckDB oracle wraps symbols in when it replays the
+#: encoder as a rank-ordered replace() fold (\x1f sym \x1e); corpus
+#: symbols must never contain them or the replay is ambiguous.
+_ORACLE_OPEN = "\x1f"
+_ORACLE_CLOSE = "\x1e"
+
+
+def train_bpe_from_parquet(
+    sf_dir: str,
+    n_merges: int = 48,
+    max_word_types: int = 65536,
+) -> list[tuple[str, str]]:
+    """Spark-free twin of `word_frequencies` + `train_bpe` for oracle
+    construction: reads `documents.parquet` with pyarrow, builds the
+    same (count desc, word asc)-truncated word-frequency table, and
+    runs the same deterministic merge learner — so the query builder
+    and the DuckDB oracle generator inject IDENTICAL merges (the
+    `train_centroids_from_parquet` contract, memoized per argument
+    tuple + file (mtime_ns, size)).
+
+    Raises if any word type contains the oracle's symbol delimiters
+    (U+001F/U+001E) — the replace()-fold replay would be ambiguous.
+    """
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    got = _train_bpe_cached(
+        sf_dir, n_merges, max_word_types, st.st_mtime_ns, st.st_size
+    )
+    return [tuple(m) for m in got]
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=8)
+def _train_bpe_cached(
+    sf_dir: str,
+    n_merges: int,
+    max_word_types: int,
+    mtime_ns: int,
+    size: int,
+) -> list[tuple[str, str]]:
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    wc: Counter = Counter(
+        w for t in texts for w in (t or "").split(" ") if w != ""
+    )
+    bad = [w for w in wc if _ORACLE_OPEN in w or _ORACLE_CLOSE in w]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} word types contain U+001F/U+001E; the oracle "
+            f"replace()-fold replay cannot represent them: {bad[:3]!r}"
+        )
+    wf = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_word_types]
+    return train_bpe(wf, n_merges=n_merges)
