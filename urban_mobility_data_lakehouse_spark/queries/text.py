@@ -928,12 +928,19 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     leg recomputes exact-phrase counts independently from the raw
     token stream."""
     bm_body = bm25.bm25_oracle_sql(sf_dir, k=k)
+    bmv1_body = bm25.bm25_oracle_sql(sf_dir, k=k, where="doc_id % 2 = 0")
     return f"""
     WITH bm AS (
         SELECT doc_id, score,
                row_number() OVER (ORDER BY score DESC, doc_id ASC)
                    AS rank
         FROM ({bm_body})
+    ),
+    bmv1 AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bmv1_body})
     ),
     v AS (
         SELECT vec_id,
@@ -1016,6 +1023,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     -- positional-intersection fold is checked against first principles
     SELECT 'phrase' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM phr WHERE rank <= {k}
+    UNION ALL
+    -- time travel: generation 1 froze the evens-only corpus, so its
+    -- replay must equal the scan scorer over that snapshot (stats,
+    -- IDF literals and all recomputed for the filtered corpus)
+    SELECT 'tt' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bmv1
     ORDER BY part, rank
     """
 
@@ -1036,7 +1049,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     'index' — must hash-equal the scan scorer), and exact-phrase
     retrieval from the positional postings (part 'phrase', oracle
     recomputed from first principles over the raw token stream) —
-    five parts, one hash.
+    plus a version=0 time-travel
+    query whose oracle is the scan scorer over the frozen
+    evens-only snapshot (part 'tt') — six parts, one hash.
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
@@ -1087,7 +1102,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="umdl_bm25_idx_")
     try:
         idx = PersistentBM25(Lakehouse(root))
-        idx.build(spark, docs.select("doc_id", "text"))
+        # split ingest: generation 1 = evens, generation 2 = +odds —
+        # part 'index' (gen 2) now ALSO hash-checks add()'s
+        # merge-convergence against the full-corpus scan scorer, and
+        # part 'tt' time-travels to gen 1 (the frozen evens snapshot)
+        corpus = docs.select("doc_id", "text")
+        idx.build(spark, corpus.filter(F.col("doc_id") % 2 == 0))
+        idx.add(spark, corpus.filter(F.col("doc_id") % 2 == 1))
         w_ph = Window.orderBy(F.desc("n_phrase"), F.asc("doc_id"))
         index_part = (
             idx.query(spark, bm25.QUERY_TERMS, k=k)
@@ -1105,6 +1126,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        tt_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k, version=0)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1117,5 +1144,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(fused, "fused"))
         .unionByName(part(index_part, "index"))
         .unionByName(part(phrase_part, "phrase"))
+        .unionByName(part(tt_part, "tt"))
         .orderBy("part", "rank")
     )

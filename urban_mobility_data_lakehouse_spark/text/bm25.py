@@ -173,12 +173,16 @@ def bm25_oracle_sql(
     sf_dir: str,
     terms: tuple[str, ...] = QUERY_TERMS,
     k: int = TOP_K,
+    where: str = "",
 ) -> str:
     """Generate the DuckDB twin for `bm25_topk` at this sf_dir:
     identical integers → identical Python-side IDF → identical literal
-    arithmetic."""
+    arithmetic.  `where` restricts the corpus snapshot (applied to the
+    stats pass AND the scoring scan — the twin of scoring a historical
+    index GENERATION whose tables froze a filtered corpus)."""
     import duckdb
 
+    cond = f"WHERE {where}" if where else ""
     con = duckdb.connect()
     cols = ", ".join(
         f"sum(CAST(list_contains(string_split(text, ' '), "
@@ -187,7 +191,7 @@ def bm25_oracle_sql(
     )
     n, sum_dl, *dfs = con.execute(
         f"SELECT count(*), sum(len(string_split(text, ' '))), {cols} "
-        f"FROM '{sf_dir}/documents.parquet'"
+        f"FROM '{sf_dir}/documents.parquet' {cond}"
     ).fetchone()
     con.close()
     stats = {
@@ -206,7 +210,7 @@ def bm25_oracle_sql(
     FROM (
         SELECT doc_id, string_split(text, ' ') AS toks,
                CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
-        FROM documents
+        FROM documents {cond}
     )
     WHERE len(list_intersect(toks, [{terms_arr}])) > 0
     ORDER BY score DESC, doc_id ASC
