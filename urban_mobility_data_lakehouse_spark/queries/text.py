@@ -913,6 +913,11 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus tokens with healthy frequency at every test SF
 PHRASE: tuple[str, str] = ("table", "scan")
 
+# fixed registry NEAR/n probe (distinct from the phrase pair): terms
+# with healthy proximity co-occurrence at every test SF, window 4
+NEAR_TERMS: tuple[str, str] = ("customer", "spark")
+NEAR_WINDOW = 4
+
 
 def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     """DuckDB twin of `bm25_search`'s five-part retrieval row.
@@ -988,6 +993,25 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
         )
         WHERE rank <= {k}
     ),
+    nearq AS (
+        SELECT doc_id, CAST(n_near AS DOUBLE) AS score,
+               row_number() OVER (ORDER BY n_near DESC, doc_id ASC)
+                   AS rank
+        FROM (
+            SELECT doc_id,
+                   len(list_filter(generate_series(1, len(t)),
+                       i -> t[i] = '{NEAR_TERMS[0]}'
+                            AND len(list_filter(
+                                generate_series(
+                                    greatest(1, i - {NEAR_WINDOW}),
+                                    least(len(t), i + {NEAR_WINDOW})),
+                                j -> t[j] = '{NEAR_TERMS[1]}')) > 0))
+                   AS n_near
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents)
+        )
+        WHERE n_near > 0
+    ),
     phr AS (
         SELECT doc_id, CAST(n_phrase AS DOUBLE) AS score,
                row_number() OVER (ORDER BY n_phrase DESC, doc_id ASC)
@@ -1029,6 +1053,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     -- IDF literals and all recomputed for the filtered corpus)
     SELECT 'tt' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM bmv1
+    UNION ALL
+    -- NEAR/n proximity recomputed INDEPENDENTLY from the raw token
+    -- stream (a-occurrences with a b-neighbor within the window), not
+    -- by replaying the positional postings
+    SELECT 'near' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM nearq WHERE rank <= {k}
     ORDER BY part, rank
     """
 
@@ -1051,7 +1081,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed from first principles over the raw token stream) —
     plus a version=0 time-travel
     query whose oracle is the scan scorer over the frozen
-    evens-only snapshot (part 'tt') — six parts, one hash.
+    evens-only snapshot (part 'tt') — six parts, one hash
+    (seven with the NEAR/n proximity part, oracle recomputed from the
+    raw token stream).
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
@@ -1132,6 +1164,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rank", "score")
             .localCheckpoint(eager=True)
         )
+        w_nr = Window.orderBy(F.desc("n_near"), F.asc("doc_id"))
+        near_part = (
+            idx.near_query(
+                spark, *NEAR_TERMS, window=NEAR_WINDOW, k=k
+            )
+            .withColumn("rank", F.row_number().over(w_nr).cast("long"))
+            .select(
+                "doc_id",
+                "rank",
+                F.col("n_near").cast("double").alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1145,5 +1190,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(index_part, "index"))
         .unionByName(part(phrase_part, "phrase"))
         .unionByName(part(tt_part, "tt"))
+        .unionByName(part(near_part, "near"))
         .orderBy("part", "rank")
     )
