@@ -539,7 +539,8 @@ def _lm_band_sql(col: str) -> str:
 
 def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
-    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL}, {_HIST_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
+    WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL},
+    {_HIST_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,

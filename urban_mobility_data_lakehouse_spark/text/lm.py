@@ -207,7 +207,11 @@ def bigram_cross_entropy(
                 ),
             )
         ).alias("e"),
-    ).select(id_col, F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    ).select(
+        id_col,
+        F.col("e.prev").alias("prev"),
+        F.col("e.cur").alias("cur"),
+    )
     uni = unigram.select(
         F.col("token").alias("cur"), F.col("log2p").alias("log2p_uni")
     )
@@ -396,7 +400,11 @@ def micro_lm_scores(
                 ),
             )
         ).alias("e"),
-    ).select(id_col, F.col("e.prev").alias("prev"), F.col("e.cur").alias("cur"))
+    ).select(
+        id_col,
+        F.col("e.prev").alias("prev"),
+        F.col("e.cur").alias("cur"),
+    )
     oov_u = F.lit(int(model["oov_u"]))
     oov_fb_u = F.lit(int(model["oov_fb_u"]))
     lp_uni = F.coalesce(F.col("u"), oov_u)
