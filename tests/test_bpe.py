@@ -120,3 +120,25 @@ def test_parquet_twin_trainer_matches_spark_pipeline(spark, sf_dir):
     # memoized + copy-safe
     again = train_bpe_from_parquet(sf_dir, n_merges=48)
     assert again == via_arrow and again is not via_arrow
+
+
+def test_null_text_encodes_to_zero_tokens(spark):
+    """NULL text must yield bpe_tokens=[] (and so NO rows after a
+    posexplode), matching the DuckDB oracle where string_split(NULL)
+    unnests to nothing — not the literal 'None'/'nan' word str()
+    would manufacture."""
+    from urban_mobility_data_lakehouse_spark.text.bpe import (
+        encode_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, None), (3, "")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in encode_documents(docs, merges=[]).collect()
+    }
+    assert rows[2] == ([], 0)
+    assert rows[3] == ([], 0)  # empty string: all-empty words skipped
+    assert rows[1][1] > 0 and "None" not in "".join(rows[1][0])

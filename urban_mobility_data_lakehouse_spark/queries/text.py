@@ -418,6 +418,12 @@ def _lm_sql(sf_dir: str) -> str:
     from ..text import lm as lm_mod
 
     m = lm_mod.train_lm_micrologs(sf_dir)
+    if not m["uni"] or not m["bi"]:
+        raise ValueError(
+            f"corpus at {sf_dir} too small to train the LM model "
+            f"(|uni|={len(m['uni'])}, |bi|={len(m['bi'])}) — an empty "
+            "VALUES list is not valid SQL"
+        )
     uni_vals = ",\n        ".join(
         f"('{_lm_sq(t)}', {u}, {fb})" for t, u, fb in m["uni"]
     )
@@ -472,6 +478,11 @@ def _bpe_sql(sf_dir: str) -> str:
     from ..text import bpe as bpe_mod
 
     merges = bpe_mod.train_bpe_from_parquet(sf_dir, n_merges=_BPE_MERGES)
+    if not merges:
+        raise ValueError(
+            f"corpus at {sf_dir} too small to train BPE merges — an "
+            "empty VALUES list is not valid SQL"
+        )
     o, c = bpe_mod._ORACLE_OPEN, bpe_mod._ORACLE_CLOSE
 
     def q(x: str) -> str:
@@ -659,7 +670,7 @@ def _text_pairs_oracle(sf_dir: str) -> str:
           "cms", "lm"),
 )
 def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Four tokenizer-at-scale primitives in one labeled union.
+    """Tokenizer-at-scale primitives in one labeled union.
 
     `levenshtein`: pairwise edit distances over a (small, broadcast)
     name dimension — at 100 TB fuzzy joins go through blocking
@@ -683,7 +694,16 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sketches.py — sparse (r, pos, cnt) counter relation,
     portable md5 positions; the oracle rebuilds the sketch and probes
     it in SQL, so sketch AND estimator are hash-checked end-to-end) —
-    token, n=estimate (≥ true count by construction)."""
+    token, n=estimate (≥ true count by construction).  `lmuni`/
+    `lmbi` (r9): exact unigram / interpolated-bigram LM scores under
+    the driver-trained integer micro-log2 model (text/lm.py
+    micro_lm_scores) — k1=doc_id, k2=n_tokens, n=exact negated
+    micro-bit sum, token=perplexity band decided by integer
+    cross-multiplication; no float enters the hash.  `bpe` (r9): the
+    Arrow mapInPandas BPE encoder's positional token stream for
+    doc_id<50 under pyarrow-twin-trained merges — k1=doc_id,
+    k2=position, token=subword, n=doc token count; the oracle replays
+    the merges as a rank-ordered boundary-exact replace() fold."""
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")

@@ -27,6 +27,7 @@ end-of-word marker; `decode` (driver-side) inverts `encode` exactly.
 
 from __future__ import annotations
 
+import functools as _functools
 from typing import Iterator
 
 import pyspark.sql.functions as F
@@ -137,7 +138,11 @@ def encode_documents(
             toks_col, n_col = [], []
             for text in pdf[text_col]:
                 out: list[str] = []
-                for w in str(text).split(" "):
+                # NULL text encodes to zero tokens (the DuckDB twin's
+                # string_split(NULL) → no rows), never to the literal
+                # 'None'/'nan' word str() would manufacture
+                words = [] if pd.isna(text) else str(text).split(" ")
+                for w in words:
                     if w == "":
                         continue
                     enc = cache.get(w)
@@ -198,9 +203,6 @@ def train_bpe_from_parquet(
         sf_dir, n_merges, max_word_types, st.st_mtime_ns, st.st_size
     )
     return [tuple(m) for m in got]
-
-
-import functools as _functools  # noqa: E402
 
 
 @_functools.lru_cache(maxsize=8)

@@ -178,6 +178,32 @@ def bigram_model(
     return bigram, uni, oov_log2p
 
 
+def _bigram_events(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, prev, cur) scoring events: one row per token position,
+    prev NULL for the first token — the positional explode both the
+    float scorer and the exact micro-log scorer share (row-local
+    transform/sequence, no shuffle)."""
+    t = F.split(text_col, " ")
+    return docs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+                    F.element_at(t, i).alias("cur"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        id_col,
+        F.col("e.prev").alias("prev"),
+        F.col("e.cur").alias("cur"),
+    )
+
+
 def bigram_cross_entropy(
     docs: DataFrame,
     bigram: DataFrame,
@@ -195,23 +221,7 @@ def bigram_cross_entropy(
     (1−λ)·p_uni(cur) (or the OOV floor).  Both model relations are
     broadcast; the corpus never shuffles before the per-doc mean.
     """
-    t = F.split(text_col, " ")
-    events = docs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t)),
-                lambda i: F.struct(
-                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
-                    F.element_at(t, i).alias("cur"),
-                ),
-            )
-        ).alias("e"),
-    ).select(
-        id_col,
-        F.col("e.prev").alias("prev"),
-        F.col("e.cur").alias("cur"),
-    )
+    events = _bigram_events(docs, id_col, text_col)
     uni = unigram.select(
         F.col("token").alias("cur"), F.col("log2p").alias("log2p_uni")
     )
@@ -388,23 +398,7 @@ def micro_lm_scores(
     bi_df = spark.createDataFrame(
         model["bi"], "prev string, cur string, ub long"
     )
-    t = F.split(text_col, " ")
-    events = docs.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t)),
-                lambda i: F.struct(
-                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
-                    F.element_at(t, i).alias("cur"),
-                ),
-            )
-        ).alias("e"),
-    ).select(
-        id_col,
-        F.col("e.prev").alias("prev"),
-        F.col("e.cur").alias("cur"),
-    )
+    events = _bigram_events(docs, id_col, text_col)
     oov_u = F.lit(int(model["oov_u"]))
     oov_fb_u = F.lit(int(model["oov_fb_u"]))
     lp_uni = F.coalesce(F.col("u"), oov_u)
