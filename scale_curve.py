@@ -157,7 +157,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 53,
+        "embedding_near_dups": 83,
         "text_pairs_suite": 23426,
         "multimodal_suite": 1099,
     },
@@ -168,7 +168,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 59,
+        "embedding_near_dups": 89,
         "text_pairs_suite": 22812,
         "multimodal_suite": 1097,
     },
@@ -179,7 +179,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
-        "embedding_near_dups": 354,
+        "embedding_near_dups": 384,
         "text_pairs_suite": 153395,
         "multimodal_suite": 10952,
     },

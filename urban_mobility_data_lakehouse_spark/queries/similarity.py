@@ -423,9 +423,141 @@ def _semdedup_oracle(
     """
 
 
+def _ivfadc_oracle(
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of the PersistentIVFPQ (IVFADC) rerank query:
+    the `_ivf_oracle` probe geometry (injected coarse centroids,
+    sequential-fold L2 cell ranking) spliced into the `_pq_oracle`
+    code/ADC/shortlist/re-rank flow (injected codebooks, per-subspace
+    argmin with lowest-code tie-break, subspace-ordered ADC fold,
+    exact squared-L2 re-rank) — candidates restricted to probed-cell
+    matches instead of the full corpus."""
+    from ..similarity import pq
+    from ..similarity.ivf import train_centroids_from_parquet
+
+    cents = train_centroids_from_parquet(
+        sf_dir, n_cells=n_cells, seed=seed
+    )
+    books = pq.train_pq_from_parquet(sf_dir, seed=seed)
+    dim = len(cents[0])
+    dsub = len(books[0][0])
+    shortlist = pq.SHORTLIST
+    cent_vals = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    book_vals = ",\n        ".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cw)}])"
+        for j, book in enumerate(books)
+        for c, cw in enumerate(book)
+    )
+    cell_l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (v.e[i] - cc.c[i]) * (v.e[i] - cc.c[i])), (a, b) -> a + b)"
+    )
+    sub_l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dsub}), "
+        "i -> ({a}[{off} + i] - {cw}[i]) * ({a}[{off} + i] - {cw}[i])), "
+        "(x, y) -> x + y)"
+    )
+    enc_l2 = sub_l2.format(a="v.e", off=f"cb.j * {dsub}", cw="cb.cw")
+    adc_l2 = sub_l2.format(a="q.eq", off=f"cb.j * {dsub}", cw="cb.cw")
+    full_l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (q.eq[i] - b.e[i]) * (q.eq[i] - b.e[i])), "
+        "(x, y) -> x + y)"
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    adc_cents(cell, c) AS (VALUES
+        {cent_vals}
+    ),
+    cb(j, code, cw) AS (VALUES
+        {book_vals}
+    ),
+    ranked_cells AS (
+        SELECT v.vec_id, cc.cell,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {cell_l2} ASC,
+                                           cc.cell ASC) AS r
+        FROM v, adc_cents cc
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+    probed AS (
+        SELECT vec_id, cell FROM ranked_cells
+        WHERE r <= {n_probe} AND vec_id < {n_queries}
+    ),
+    d2 AS (
+        SELECT v.vec_id, cb.j, cb.code, {enc_l2} AS d
+        FROM v, cb
+    ),
+    codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, code) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS eq FROM v
+          WHERE vec_id < {n_queries}),
+    cands AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM probed p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id != p.vec_id
+    ),
+    parts AS (
+        SELECT c.query_id, c.neighbor_id, cb.j, {adc_l2} AS dj
+        FROM cands c
+        JOIN codes co ON co.vec_id = c.neighbor_id
+        JOIN cb ON cb.j = co.j AND cb.code = co.code
+        JOIN q ON q.query_id = c.query_id
+    ),
+    adc AS (
+        SELECT query_id, neighbor_id,
+               list_reduce(list(dj ORDER BY j), (x, y) -> x + y) AS adc
+        FROM parts GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY adc ASC,
+                                                  neighbor_id ASC)
+                      AS srank
+            FROM adc
+        ) WHERE srank <= {shortlist}
+    ),
+    rer AS (
+        SELECT s.query_id, s.neighbor_id, {full_l2} AS l2
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN v b ON b.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(l2, 4) AS l2_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY l2 ASC, neighbor_id ASC)
+                  AS rank
+        FROM rer
+    )
+    WHERE rank <= {k}
+    """
+
+
 def _embedding_dedup_oracle(sf_dir: str) -> str:
     """pair part (static, seed-derived planes) + drop part (SemDeDup,
-    data-derived centroids) + serve part (PersistentIVF lifecycle —
+    data-derived centroids) + adc part (PersistentIVFPQ rerank query,
+    replayed from injected coarse centroids + codebooks) + serve part
+    (PersistentIVF lifecycle —
     its contract is bit-identity with the in-memory IVF path, so the
     oracle is the same first-principles replay from injected frozen
     centroids; hash equality proves build → add → OPTIMIZE →
@@ -441,6 +573,9 @@ def _embedding_dedup_oracle(sf_dir: str) -> str:
         UNION ALL
         SELECT 'serve', query_id, neighbor_id, cosine_sim
         FROM ({_ivf_oracle(sf_dir)})
+        UNION ALL
+        SELECT 'adc', query_id, neighbor_id, l2_dist
+        FROM ({_ivfadc_oracle(sf_dir)})
     )
     ORDER BY part, vec_a, vec_b
     """
@@ -493,9 +628,16 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("vec_b"),
         F.col("cosine_sim").alias("score"),
     )
+    adc = _persistent_ivfadc(spark, sf_dir).select(
+        F.lit("adc").alias("part"),
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("l2_dist").alias("score"),
+    )
     return (
         pairs.unionByName(drops)
         .unionByName(serve)
+        .unionByName(adc)
         .orderBy("part", "vec_a", "vec_b")
     )
 
@@ -667,6 +809,45 @@ def _persistent_ivf_serve(
         # throwaway index files can be deleted before consumption
         out = idx.query(
             spark, emb.filter(F.col("vec_id") < 10), k=3
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PersistentIVFPQ (IVFADC) rerank query: the FAISS production
+    composition as lakehouse tables — IVF cells for probe pruning ×
+    PQ codes for storage (the index persists (vec_id, cell, codes)
+    and nothing else), queried probe-pruned with ADC over the codes,
+    then exact squared-L2 re-rank against the full-vector corpus
+    (the refine stage).  Deterministic end-to-end, so the DuckDB twin
+    replays it from the injected coarse centroids + codebooks.
+
+    Scale shape: the index tier stores ~25×-compressed codes; query
+    reads n_probe/n_cells partition dirs; ADC is a row-local fold
+    against a broadcast codebook; the shortlist (50/query) bounds the
+    exact re-rank."""
+    import shutil
+    import tempfile
+
+    from ..similarity.persistent_ivf import PersistentIVFPQ
+    from ..sources.lakehouse import Lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    root = tempfile.mkdtemp(prefix="umdl_ivfpq_idx_")
+    try:
+        lake = Lakehouse(root)
+        lake.create_schemas("gold")
+        idx = PersistentIVFPQ(lake, n_cells=16, n_probe=4)
+        idx.build(spark, emb)
+        out = idx.query(
+            spark,
+            emb.filter(F.col("vec_id") < 10),
+            k=3,
+            rerank_source=emb,
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
