@@ -140,3 +140,61 @@ def test_frozen_centroids_split_ingest_converges_to_batch(
     got = _rows(idx.query(spark, queries, k=3))
     expect = _rows(knn_ivf(embeddings, n_queries=10, k=3, centroids=cents))
     assert got == expect
+
+
+def test_streaming_ingest_merges_exactly_once(
+    spark, embeddings, tmp_path, sf_dir
+):
+    """Micro-batched streaming ingest converges to the batch answer;
+    a restart from the same checkpoint reprocesses nothing; and a
+    hypothetically replayed batch is idempotent (merge by vec_id, not
+    append — append would double-count on crash-replay)."""
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        assign_cells,
+        train_centroids_from_parquet,
+    )
+
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    seed = embeddings.filter(F.col("vec_id") % 3 == 0)
+    rest = embeddings.filter(F.col("vec_id") % 3 != 0)
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for k in (1, 2):
+        rest.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+            str(stream_dir / f"slice{k}")
+        )
+
+    idx = _mk_index(tmp_path, name="stream_idx")
+    idx.build(spark, seed, centroids=cents)
+
+    def _stream():
+        return (
+            spark.readStream.schema(embeddings.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stream_dir) + "/slice*")
+        )
+
+    idx.streaming_ingest(
+        spark, _stream(), str(tmp_path / "ckpt")
+    ).awaitTermination(180)
+
+    queries = embeddings.filter(F.col("vec_id") < 10)
+    got = _rows(idx.query(spark, queries, k=3))
+    expect = _rows(knn_ivf(embeddings, n_queries=10, k=3, centroids=cents))
+    assert got == expect
+
+    # restart from the same checkpoint: nothing new processed
+    v_before = idx.lake.snapshots("gold", idx.name)[-1]["version"]
+    idx.streaming_ingest(
+        spark, _stream(), str(tmp_path / "ckpt")
+    ).awaitTermination(120)
+    assert idx.lake.snapshots("gold", idx.name)[-1]["version"] == v_before
+
+    # manual replay of an already-ingested batch: merge rewrites the
+    # same rows to the same values — query results cannot move
+    s1 = spark.read.parquet(str(stream_dir / "slice1"))
+    idx.lake.merge_into(
+        spark, "gold", idx.name, assign_cells(s1, cents),
+        key="vec_id", partition_col="cell",
+    )
+    assert _rows(idx.query(spark, queries, k=3)) == got

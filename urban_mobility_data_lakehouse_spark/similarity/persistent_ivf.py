@@ -132,6 +132,43 @@ class PersistentIVF:
             spark, self.schema, self.name, partition_col="cell"
         )
 
+    def streaming_ingest(
+        self,
+        spark: SparkSession,
+        stream_embeddings: DataFrame,
+        checkpoint_dir: str,
+    ):
+        """Maintain the index from an embedding STREAM: each
+        micro-batch assigns against the FROZEN quantizer and MERGEs by
+        vec_id through `foreachBatch` (the Structured-Streaming-to-
+        lakehouse bridge every sink here uses).  Exactly-once by
+        idempotence — the PersistentBM25 contract: assignment is
+        deterministic, so a crash-replayed micro-batch rewrites the
+        same (vec_id, emb, cell) rows to the same values, where plain
+        `add()` APPENDS and would double-count on replay.  A
+        re-delivered vector with a CHANGED embedding that moves cells
+        should go through delete+add instead (the merge only rewrites
+        partitions present in the batch).  AvailableNow trigger
+        (drain-and-stop); run `optimize()` afterwards to restore one
+        file per cell."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                assigned = assign_cells(
+                    batch_df, self.centroids(spark)
+                )
+                self.lake.merge_into(
+                    spark, self.schema, self.name, assigned,
+                    key="vec_id", partition_col="cell",
+                )
+
+        return (
+            stream_embeddings.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
     # -- search ------------------------------------------------------------
 
     def query(
@@ -306,6 +343,36 @@ class PersistentIVFPQ:
     def optimize(self, spark: SparkSession) -> dict:
         return self.lake.compact(
             spark, self.schema, self.name, partition_col="cell"
+        )
+
+    def streaming_ingest(
+        self,
+        spark: SparkSession,
+        stream_embeddings: DataFrame,
+        checkpoint_dir: str,
+    ):
+        """Streaming maintenance with the `PersistentIVF` contract:
+        assign + PQ-encode each micro-batch against the frozen
+        quantizers, MERGE by vec_id (idempotent under crash-replay,
+        unlike append-based `add()`), AvailableNow drain."""
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            if not batch_df.isEmpty():
+                encoded = self._encode(
+                    batch_df,
+                    self.centroids(spark),
+                    self.codebooks(spark),
+                )
+                self.lake.merge_into(
+                    spark, self.schema, self.name, encoded,
+                    key="vec_id", partition_col="cell",
+                )
+
+        return (
+            stream_embeddings.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
 
     # -- search ------------------------------------------------------------
