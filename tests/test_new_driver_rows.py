@@ -143,3 +143,42 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
         assert row["v2"] == want and row["flag"] is None
         assert row["n"] == row["id"]  # widened read of the int32 files
     assert saw_g2
+
+
+def test_bm25_time_travel_part_is_not_vacuous(spark):
+    """The 'tt' part's value rests on generation 0 being a genuinely
+    different corpus snapshot: if the evens-only ranking coincided
+    with the full-corpus ranking on the fixture, the time-travel hash
+    would prove nothing.  Pin that the two top-20 lists differ (odd
+    doc_ids can only appear in the latest generation)."""
+    from urban_mobility_data_lakehouse_spark.queries import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    df = REGISTRY["bm25_search"].builder(spark, SF_DIR)
+    rows = df.collect()
+    tt = [(r["doc_id"], r["score"]) for r in rows if r["part"] == "tt"]
+    idx = [(r["doc_id"], r["score"]) for r in rows if r["part"] == "index"]
+    assert tt and idx and tt != idx
+    assert all(d % 2 == 0 for d, _ in tt)  # gen 0 froze the evens
+    assert any(d % 2 == 1 for d, _ in idx)  # gen 1 added the odds
+
+
+def test_lm_bands_are_non_degenerate_on_fixture(spark):
+    """The lm parts hash exact integer sums, so a silently degenerate
+    band column (every doc 'mid') would still hash-match — pin that
+    the fixture corpus populates all three bands for BOTH orders, so
+    the integer cross-multiplied thresholds keep doing work."""
+    from urban_mobility_data_lakehouse_spark.queries import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    df = REGISTRY["text_pairs_suite"].builder(spark, SF_DIR)
+    rows = df.filter(F.col("part").isin("lmuni", "lmbi")).collect()
+    for part in ("lmuni", "lmbi"):
+        bands = {r["token"] for r in rows if r["part"] == part}
+        assert bands == {"low", "mid", "high"}, (part, bands)
