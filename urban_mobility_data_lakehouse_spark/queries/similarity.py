@@ -837,12 +837,23 @@ def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
+    from ..similarity import pq as _pq
+    from ..similarity.ivf import train_centroids_from_parquet
+
     root = tempfile.mkdtemp(prefix="umdl_ivfpq_idx_")
     try:
         lake = Lakehouse(root)
         lake.create_schemas("gold")
         idx = PersistentIVFPQ(lake, n_cells=16, n_probe=4)
-        idx.build(spark, emb)
+        # quantizers from the memoized pyarrow twins (no Spark jobs;
+        # bit-identical to the in-engine trainers and to what the
+        # oracle inlines)
+        idx.build(
+            spark,
+            emb,
+            centroids=train_centroids_from_parquet(sf_dir, n_cells=16),
+            codebooks=_pq.train_pq_from_parquet(sf_dir),
+        )
         out = idx.query(
             spark,
             emb.filter(F.col("vec_id") < 10),

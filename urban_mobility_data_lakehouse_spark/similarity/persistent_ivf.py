@@ -278,12 +278,26 @@ class PersistentIVFPQ:
         )
         return self._pq.encode_pq(assigned, books, keep_cols=("cell",))
 
-    def build(self, spark: SparkSession, embeddings: DataFrame) -> None:
+    def build(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        centroids: list[list[float]] | None = None,
+        codebooks: list[list[list[float]]] | None = None,
+    ) -> None:
+        """Train (unless frozen quantizers are passed — the
+        `PersistentIVF.build(centroids=...)` contract, FAISS
+        train-on-sample semantics) and store codes + geometry."""
         pq = self._pq
-        centroids = train_centroids(
-            embeddings, n_cells=self.n_cells, seed=self.seed
+        if centroids is None:
+            centroids = train_centroids(
+                embeddings, n_cells=self.n_cells, seed=self.seed
+            )
+        books = (
+            codebooks
+            if codebooks is not None
+            else pq.train_pq(embeddings, seed=self.seed)
         )
-        books = pq.train_pq(embeddings, seed=self.seed)
         self.lake.overwrite_partitions(
             self._encode(embeddings, centroids, books).repartition(
                 F.col("cell")
