@@ -431,3 +431,41 @@ def test_sf01_curation_pipeline_with_url_semdedup_spans(spark, tmp_path):
     # train split survives with text intact
     assert train.filter(F.length("text") > 0).count() == n_train
     print(f"# sf0.1 curation funnel: {funnel} -> train {n_train}")
+
+
+def test_sf01_boilerplate_strip_actually_removes(spark):
+    """The driver-hash 'strip' part is an identity transform on the
+    small fixtures (no cross-doc repeated lines below sf0.1), so the
+    removal path needs this lane: at sf0.1 the min_docs=2 hot set is
+    non-empty and stripping removes lines while preserving order."""
+    from urban_mobility_data_lakehouse_spark.text.boilerplate import (
+        hot_lines,
+        strip_boilerplate,
+    )
+
+    docs = load_table(spark, SF01_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    assert hot_lines(docs, min_docs=2).count() > 0
+    out = strip_boilerplate(docs, min_docs=2)
+    removed = out.agg(F.sum("n_boilerplate_lines")).collect()[0][0]
+    assert removed and removed > 0
+    # stripped docs lost exactly their hot lines, nothing reordered:
+    # surviving line sequence is a subsequence of the original
+    changed = (
+        out.filter(F.col("n_boilerplate_lines") > 0)
+        .select("doc_id", "text")
+        .collect()
+    )
+    orig = {
+        r["doc_id"]: r["text"]
+        for r in docs.join(
+            out.filter(F.col("n_boilerplate_lines") > 0).select("doc_id"),
+            "doc_id",
+        ).collect()
+    }
+    assert changed
+    for r in changed:
+        kept = r["text"].split("\n") if r["text"] else []
+        src = iter(orig[r["doc_id"]].split("\n"))
+        assert all(any(x == line for x in src) for line in kept)

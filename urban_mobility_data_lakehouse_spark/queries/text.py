@@ -540,6 +540,41 @@ bpe_out AS (
 """
 
 
+# boilerplate-strip part: census >=2 docs (the hotline set), then the
+# rebuilt text per doc — anti-join on the line hash, ordered
+# string_agg rebuild; md5 of the rebuilt text is the portable witness
+_STRIP_SQL = f"""
+strip_hot AS (
+    SELECT h FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            string_split(text, chr(10)), s -> {_CONTAM_HASH}))) AS h
+        FROM documents
+    ) GROUP BY h HAVING count(*) >= 2
+),
+strip_kept AS (
+    SELECT doc_id, l, i FROM (
+        SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+               unnest(generate_series(1,
+                   len(string_split(text, chr(10))))) AS i
+        FROM documents
+    ) WHERE CAST(CAST(CONCAT('0x', substr(md5(l), 1, 15)) AS UBIGINT) AS BIGINT) % 2147483647
+          NOT IN (SELECT h FROM strip_hot)
+),
+strip_out AS (
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, chr(10)))
+                - COALESCE(k.nk, 0) AS BIGINT) AS removed,
+           md5(COALESCE(k.txt, '')) AS h2,
+           CAST(length(COALESCE(k.txt, '')) AS BIGINT) AS n2
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, count(*) AS nk,
+               string_agg(l, chr(10) ORDER BY i) AS txt
+        FROM strip_kept GROUP BY doc_id
+    ) k USING (doc_id)
+)
+"""
+
+
 def _lm_band_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} < {_LM_LO_U} * n_toks THEN 'low' "
@@ -551,7 +586,7 @@ def _lm_band_sql(col: str) -> str:
 def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
     WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL},
-    {_HIST_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
+    {_HIST_SQL}, {_STRIP_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -658,6 +693,9 @@ def _text_pairs_oracle(sf_dir: str) -> str:
     UNION ALL
     SELECT 'bpe', CAST(doc_id AS BIGINT), pos, tok, n
     FROM bpe_out
+    UNION ALL
+    SELECT 'strip', CAST(doc_id AS BIGINT), removed, h2, n2
+    FROM strip_out
     ORDER BY part, k1, k2, n
     """
 
@@ -860,6 +898,23 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..text import lm as lm_mod
 
+    from ..text.boilerplate import strip_boilerplate
+
+    # strip part: the CCNet boilerplate REMOVAL itself (the census is
+    # part 'hotline') — rebuilt text witnessed by md5 + length, with
+    # the removed-line count; same min_docs=2 hot set as hotline.
+    # Fixture corpora below sf0.1 contain no cross-doc repeated lines,
+    # so the small-SF hash pins the exact split→filter→rebuild
+    # identity (newline round-trip); sf0.1 exercises real removal (16
+    # lines — asserted in the SLOW lane and measured on the ladder)
+    strip_part = strip_boilerplate(docs_all, min_docs=2).select(
+        F.lit("strip").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_boilerplate_lines").alias("k2"),
+        F.md5("text").alias("token"),
+        F.length("text").cast("long").alias("n"),
+    )
+
     # lm parts: exact integer micro-log2 LM scores (unigram + JM
     # bigram) under the driver-trained injected model — n carries the
     # exact negated micro-bit sum, token the integer-compared band
@@ -926,6 +981,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmuni)
         .unionByName(lmbi)
         .unionByName(bpe_part)
+        .unionByName(strip_part)
         .orderBy("part", "k1", "k2", "n")
     )
 
