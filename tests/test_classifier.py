@@ -80,3 +80,23 @@ def test_scoring_is_pure_catalyst(spark, docs, model):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_parquet_twin_trainer_matches_spark_pipeline(spark, sf_dir):
+    """The oracle/builder twin must train the SAME weights as the
+    Spark sampling + labeling pipeline — including the HALF_UP
+    round-to-4 the heuristic label ordering depends on."""
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.classifier import (
+        self_train_quality_model,
+        self_train_quality_model_from_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w1, b1 = self_train_quality_model(docs)
+    w2, b2 = self_train_quality_model_from_parquet(sf_dir)
+    assert (w1, b1) == (w2, b2)
+    again = self_train_quality_model_from_parquet(sf_dir)
+    assert again == (w2, b2) and again[0] is not w2  # memo + copy-safe

@@ -575,6 +575,34 @@ strip_out AS (
 """
 
 
+# classifier part: hashed-BoW quality scorer under twin-trained
+# injected weights — the logit is a bias-seeded LEFT FOLD of weight
+# literals in token order, so both engines produce the identical
+# float64 before the micro-unit rounding
+def _clf_sql(sf_dir: str) -> str:
+    from ..text import classifier as clf_mod
+
+    w, b = clf_mod.self_train_quality_model_from_parquet(sf_dir)
+    d = len(w)
+    w_list = ", ".join(repr(x) for x in w)
+    bucket = (
+        "CAST((CAST(CONCAT('0x', substr(md5(t), 1, 15)) AS UBIGINT) "
+        f"% 2147483647) % {d} AS BIGINT)"
+    )
+    return f"""
+clf_w AS (SELECT [{w_list}] AS w),
+clf_doc AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST({b!r} AS DOUBLE),
+                   list_transform(string_split(text, ' '),
+                       t -> w[{bucket} + 1])),
+               (a, b) -> a + b) AS logit
+    FROM documents, clf_w
+)
+"""
+
+
 def _lm_band_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} < {_LM_LO_U} * n_toks THEN 'low' "
@@ -586,7 +614,8 @@ def _lm_band_sql(col: str) -> str:
 def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
     WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL},
-    {_HIST_SQL}, {_STRIP_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)}
+    {_HIST_SQL}, {_STRIP_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)},
+    {_clf_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -696,6 +725,11 @@ def _text_pairs_oracle(sf_dir: str) -> str:
     UNION ALL
     SELECT 'strip', CAST(doc_id AS BIGINT), removed, h2, n2
     FROM strip_out
+    UNION ALL
+    SELECT 'clf', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+           CASE WHEN logit > 0 THEN 'good' ELSE 'bad' END,
+           CAST(round(logit * 1000000) AS BIGINT)
+    FROM clf_doc
     ORDER BY part, k1, k2, n
     """
 
@@ -915,6 +949,22 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n"),
     )
 
+    from ..text import classifier as clf_mod
+
+    # clf part: model-based quality scores under the twin-trained
+    # injected weight vector (logit in exact micro-units + the
+    # good/bad decision; score_documents compiles to codegen)
+    clf_w, clf_b = clf_mod.self_train_quality_model_from_parquet(sf_dir)
+    clf_part = clf_mod.score_documents(docs_all, clf_w, clf_b).select(
+        F.lit("clf").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.when(F.col("quality_logit") > 0, "good")
+        .otherwise("bad")
+        .alias("token"),
+        F.round(F.col("quality_logit") * 1e6).cast("long").alias("n"),
+    )
+
     # lm parts: exact integer micro-log2 LM scores (unigram + JM
     # bigram) under the driver-trained injected model — n carries the
     # exact negated micro-bit sum, token the integer-compared band
@@ -982,6 +1032,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lmbi)
         .unionByName(bpe_part)
         .unionByName(strip_part)
+        .unionByName(clf_part)
         .orderBy("part", "k1", "k2", "n")
     )
 

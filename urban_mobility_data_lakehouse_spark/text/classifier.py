@@ -152,3 +152,87 @@ def numpy_scores(
     x = _bucket_counts(texts, len(weights))
     z = x @ np.array(weights) + bias
     return [float(1.0 / (1.0 + math.exp(-v))) for v in z]
+
+
+# -- Oracle-twin trainer (driver-hash path) ----------------------------------
+
+
+def self_train_quality_model_from_parquet(
+    sf_dir: str,
+    d: int = DEFAULT_D,
+    sample_n: int = 512,
+) -> tuple[list[float], float]:
+    """Spark-free twin of `self_train_quality_model` for oracle
+    construction: reads `documents.parquet` with pyarrow, replays the
+    deterministic sampling (lowest doc_ids), the heuristic
+    quality-score labeling (same formula as `quality_features`, with
+    Spark's HALF_UP round-to-4 reproduced via Decimal-over-repr — the
+    BigDecimal(Double.toString) semantics), and the same
+    `_bucket_counts` + `train_logistic` — so the query builder and
+    the DuckDB oracle generator inject IDENTICAL weights (the
+    `train_centroids_from_parquet` contract, memoized per argument
+    tuple + file (mtime_ns, size))."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    w, b = _train_clf_cached(
+        sf_dir, d, sample_n, st.st_mtime_ns, st.st_size
+    )
+    return list(w), b
+
+
+def _py_quality_score(text: str) -> float:
+    """Pure-Python twin of `analysis.quality_features`' composite
+    quality_score (including the round-to-4)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from .analysis import STOPWORDS
+
+    toks = text.split(" ")
+    n, nc = len(toks), len(text)
+    punct = sum(c in ".,!?;:" for c in text)
+    stop = sum(t in STOPWORDS["en"] for t in toks)
+    sr = stop / n if n else None
+    pr = punct / nc if nc else None
+    score = min(1.0, n / 200.0) * 0.5
+    if sr is not None and 0.05 <= sr <= 0.6:
+        score += 0.3
+    if pr is not None and pr < 0.1:
+        score += 0.2
+    return float(
+        Decimal(repr(score)).quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+import functools as _functools  # noqa: E402
+
+
+@_functools.lru_cache(maxsize=8)
+def _train_clf_cached(
+    sf_dir: str, d: int, sample_n: int, mtime_ns: int, size: int
+) -> tuple[tuple[float, ...], float]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    rows = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )[:sample_n]
+    sample = [
+        (doc_id, text, _py_quality_score(text or ""))
+        for doc_id, text in rows
+    ]
+    ranked = sorted(sample, key=lambda r: (r[2], r[0]))
+    third = len(ranked) // 3
+    if third < 1:
+        raise ValueError(
+            f"self-training needs >= 3 sampled docs; got {len(ranked)}"
+        )
+    bad, good = ranked[:third], ranked[-third:]
+    texts = [r[1] for r in bad + good]
+    y = np.array([0.0] * len(bad) + [1.0] * len(good))
+    w, b = train_logistic(_bucket_counts(texts, d), y)
+    return tuple(w), b
