@@ -158,7 +158,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
         "embedding_near_dups": 83,
-        "text_pairs_suite": 24426,
+        "text_pairs_suite": 24945,
         "multimodal_suite": 1099,
     },
     "sf0.01": {
@@ -169,7 +169,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
         "embedding_near_dups": 89,
-        "text_pairs_suite": 23812,
+        "text_pairs_suite": 24318,
         "multimodal_suite": 1097,
     },
     "sf0.1": {
@@ -180,7 +180,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
         "embedding_near_dups": 384,
-        "text_pairs_suite": 163395,
+        "text_pairs_suite": 168396,
         "multimodal_suite": 10952,
     },
 }

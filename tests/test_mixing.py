@@ -99,3 +99,25 @@ def test_mixture_pass_is_row_local(docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_parquet_rates_twin_matches_spark_totals(spark, sf_dir):
+    """The oracle/builder rates twin must derive the SAME rates as the
+    Spark per-group aggregate + mixing_rates arithmetic."""
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.mixing import (
+        group_token_totals,
+        mixing_rates,
+        mixing_rates_from_parquet,
+    )
+
+    weights = tuple(sorted(
+        {f"src{i}": (3.0 if i < 5 else 1.0) for i in range(15)}.items()
+    ))
+    docs = load_table(spark, sf_dir, "documents")
+    totals = group_token_totals(docs)
+    via_spark = mixing_rates(totals, dict(weights), sum(totals.values()))
+    via_arrow = mixing_rates_from_parquet(sf_dir, weights)
+    assert via_arrow == via_spark

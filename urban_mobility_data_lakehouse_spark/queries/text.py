@@ -603,6 +603,50 @@ clf_doc AS (
 """
 
 
+# mixing part: the domain sampler's registry weights — src0-4
+# upsampled (rate ≈ 2.2-2.4: two full copies + a hash-gated
+# fractional), src5-14 downsampled (≈ 0.7-0.9), src15-19 dropped
+_MIX_WEIGHTS = tuple(sorted(
+    {f"src{i}": (3.0 if i < 5 else 1.0) for i in range(15)}.items()
+))
+
+
+def _mix_sql(sf_dir: str) -> str:
+    from ..text import mixing as mix_mod
+
+    rates = mix_mod.mixing_rates_from_parquet(sf_dir, _MIX_WEIGHTS)
+    # CAST each rate literal: DuckDB parses bare decimal literals as
+    # DECIMAL (whose fractional-part arithmetic overflows and differs
+    # from Spark's double math); both engines must compare the hash
+    # against the SAME float64 threshold
+    cases = " ".join(
+        f"WHEN '{g}' THEN CAST({r!r} AS DOUBLE)"
+        for g, r in sorted(rates.items())
+    )
+    return f"""
+mix_doc AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+           CASE source {cases} ELSE 0.0 END AS rate
+    FROM documents
+),
+mix_n AS (
+    SELECT doc_id, source, ntok,
+           CAST(floor(rate) AS INT)
+           + CASE WHEN CAST(CAST(CONCAT('0x', substr(md5('mix:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                  AS BIGINT) % 10000
+                  < (rate - floor(rate)) * 10000 THEN 1 ELSE 0 END AS n
+    FROM mix_doc
+),
+mix_out AS (
+    SELECT doc_id, source, ntok,
+           unnest(generate_series(0, n - 1)) AS copy_no
+    FROM mix_n WHERE n > 0
+)
+"""
+
+
 def _lm_band_sql(col: str) -> str:
     return (
         f"CASE WHEN {col} < {_LM_LO_U} * n_toks THEN 'low' "
@@ -615,7 +659,7 @@ def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
     WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL},
     {_HIST_SQL}, {_STRIP_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)},
-    {_clf_sql(sf_dir)}
+    {_clf_sql(sf_dir)}, {_mix_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -730,6 +774,10 @@ def _text_pairs_oracle(sf_dir: str) -> str:
            CASE WHEN logit > 0 THEN 'good' ELSE 'bad' END,
            CAST(round(logit * 1000000) AS BIGINT)
     FROM clf_doc
+    UNION ALL
+    SELECT 'mix', CAST(doc_id AS BIGINT), CAST(copy_no AS BIGINT),
+           source, ntok
+    FROM mix_out
     ORDER BY part, k1, k2, n
     """
 
@@ -951,6 +999,25 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..text import classifier as clf_mod
 
+    from ..text import mixing as mix_mod
+
+    # mix part: deterministic domain-mixing sampler under twin-derived
+    # injected rates — one row per surviving (doc, copy_no); the
+    # decision is a pure content-hash function, repartition-invariant
+    mixed = mix_mod.sample_mixture(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        ),
+        mix_mod.mixing_rates_from_parquet(sf_dir, _MIX_WEIGHTS),
+    )
+    mix_part = mixed.select(
+        F.lit("mix").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("copy_no").cast("long").alias("k2"),
+        F.col("source").alias("token"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+
     # clf part: model-based quality scores under the twin-trained
     # injected weight vector (logit in exact micro-units + the
     # good/bad decision; score_documents compiles to codegen)
@@ -1033,6 +1100,7 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe_part)
         .unionByName(strip_part)
         .unionByName(clf_part)
+        .unionByName(mix_part)
         .orderBy("part", "k1", "k2", "n")
     )
 

@@ -114,3 +114,53 @@ def mix_to_budget(
     """Convenience: totals → rates → sampled mixture."""
     rates = mixing_rates(group_token_totals(docs, by), weights, budget_tokens)
     return sample_mixture(docs, rates, by=by)
+
+
+# -- Oracle-twin rate computation (driver-hash path) -------------------------
+
+import functools as _functools
+
+
+def mixing_rates_from_parquet(
+    sf_dir: str,
+    weights: tuple[tuple[str, float], ...],
+    budget_frac: float = 1.0,
+) -> dict[str, float]:
+    """Spark-free twin of `group_token_totals` + `mixing_rates` for
+    oracle construction: pyarrow token totals per source (the same
+    whitespace-split count), budget = `budget_frac` × the corpus
+    token total, rates via the same `mixing_rates` arithmetic — so
+    the query builder and the DuckDB oracle generator inject
+    IDENTICAL rate literals (memoized per argument tuple + file
+    (mtime_ns, size)).  `weights` is a sorted tuple of items so the
+    memo key is hashable."""
+    import os
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    got = _mix_rates_cached(
+        sf_dir, weights, budget_frac, st.st_mtime_ns, st.st_size
+    )
+    return dict(got)
+
+
+@_functools.lru_cache(maxsize=8)
+def _mix_rates_cached(
+    sf_dir: str,
+    weights: tuple[tuple[str, float], ...],
+    budget_frac: float,
+    mtime_ns: int,
+    size: int,
+) -> tuple[tuple[str, float], ...]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    totals: dict[str, int] = {}
+    for src, text in zip(
+        tbl.column("source").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        totals[src] = totals.get(src, 0) + len((text or "").split(" "))
+    budget = int(budget_frac * sum(totals.values()))
+    rates = mixing_rates(totals, dict(weights), budget)
+    return tuple(sorted(rates.items()))
