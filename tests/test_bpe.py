@@ -142,3 +142,59 @@ def test_null_text_encodes_to_zero_tokens(spark):
     assert rows[2] == ([], 0)
     assert rows[3] == ([], 0)  # empty string: all-empty words skipped
     assert rows[1][1] > 0 and "None" not in "".join(rows[1][0])
+
+
+# -- Property: the oracle's replace-fold replay is exactly the greedy
+# encoder, for ANY merges train_bpe can produce ---------------------------
+
+from hypothesis import given, settings as hsettings, strategies as hst
+
+
+def _replay_replace_fold(word, merges):
+    """Pure-Python twin of the DuckDB bpe oracle: wrap every symbol as
+    \x1f sym \x1e, apply each merge in rank order as a global
+    left-to-right non-overlapping string replacement, then unwrap."""
+    from urban_mobility_data_lakehouse_spark.text.bpe import EOW
+
+    s = "".join(f"\x1f{c}\x1e" for c in word) + f"\x1f{EOW}\x1e"
+    for a, b in merges:
+        s = s.replace(f"\x1f{a}\x1e\x1f{b}\x1e", f"\x1f{a}{b}\x1e")
+    return [t[:-1] for t in s.split("\x1f") if t]
+
+
+@given(
+    corpus=hst.lists(
+        hst.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=30,
+    ),
+    words=hst.lists(
+        hst.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=hst.integers(0, 24),
+)
+@hsettings(max_examples=60, deadline=None)
+def test_replace_fold_replay_equals_greedy_encoder(
+    corpus, words, n_merges
+):
+    """The DuckDB oracle's soundness rests on this invariant: because
+    a merged symbol only participates in LATER-rank merges, applying
+    merges in rank order with left-to-right non-overlapping
+    replacement reproduces the leftmost-lowest-rank greedy loop of
+    `_encode_word` exactly — including on words with characters the
+    trainer never saw (char fallback) and degenerate repeats
+    ('aaaa')."""
+    from collections import Counter
+
+    from urban_mobility_data_lakehouse_spark.text.bpe import (
+        _encode_word,
+        train_bpe,
+    )
+
+    wf = sorted(Counter(corpus).items(), key=lambda kv: (-kv[1], kv[0]))
+    merges = train_bpe(wf, n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words + corpus:
+        assert _replay_replace_fold(w, merges) == _encode_word(w, ranks)
