@@ -45,3 +45,43 @@ def test_duckdb_hugeint_shape_detected():
     (val,) = rows[0]
     assert isinstance(val, Decimal)  # the trap is visible locally
     assert not _val_eq(val, 1)  # and the comparator refuses it
+
+
+def test_oracle_generation_runs_no_spark_jobs(spark):
+    """The driver calls oracle_sql() outside any session we control;
+    every data-derived oracle must resolve through the pyarrow twins
+    (memoized, Spark-free).  Guard: generating ALL oracles fires zero
+    Spark jobs (a twin regressing to a .collect() would show here)."""
+    from urban_mobility_data_lakehouse_spark.queries import all_oracles
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        _train_centroids_cached,
+    )
+    from urban_mobility_data_lakehouse_spark.similarity.pq import (
+        _train_pq_cached,
+    )
+    from urban_mobility_data_lakehouse_spark.text.bpe import (
+        _train_bpe_cached,
+    )
+    from urban_mobility_data_lakehouse_spark.text.classifier import (
+        _train_clf_cached,
+    )
+    from urban_mobility_data_lakehouse_spark.text.lm import (
+        _train_lm_cached,
+    )
+    from urban_mobility_data_lakehouse_spark.text.mixing import (
+        _mix_rates_cached,
+    )
+
+    # bust the twin memos so the generation below really retrains
+    for c in (_train_centroids_cached, _train_pq_cached,
+              _train_bpe_cached, _train_clf_cached, _train_lm_cached,
+              _mix_rates_cached):
+        c.cache_clear()
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    oracles = all_oracles("/root/testdata/sf0.001")
+    after = tracker.getJobIdsForGroup(None)
+    assert len(oracles) == 50
+    assert list(before) == list(after), "oracle generation ran Spark jobs"
