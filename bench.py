@@ -221,18 +221,72 @@ def main() -> None:
     # compare like-for-like under any estimator.  Set
     # SPARK_GRAFT_BENCH_REPS=1 for single-shot; values < 1 are clamped.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # Per-REP contamination gating (round 9's start-gate was not
+    # enough: the box loaded up AFTER the gate passed and inflated the
+    # canonical number +15% mid-run).  Each rep records the max of the
+    # 1-min load_avg sampled at its start and end; a rep whose load
+    # exceeds the threshold is CONTAMINATED and, while the global retry
+    # budget lasts, is re-run after a short bounded quiet-wait.  The
+    # reported min is taken over CLEAN reps when any exist, so ambient
+    # load can only ever make the artifact *flagged*, never silently
+    # slower.  `contaminated_reps` counts dirty reps; `queries_dirty`
+    # names queries whose min had to fall back to contaminated walls.
+    retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "12"))
+    rep_quiet_budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_REP_QUIET_SECS", "30")
+    )
     queries_load: dict[str, float] = {}
+    queries_dirty: list[str] = []
+    contaminated_reps = 0
     for name, spec in specs_items:
         walls: list[float] = []
+        clean_walls: list[float] = []
+        rep_loads: list[float] = []
         rows = []
-        queries_load[name] = round(os.getloadavg()[0], 2)
-        for _ in range(reps):
+
+        def run_rep():
+            pre = os.getloadavg()[0]
             t0 = time.perf_counter()
-            rows = spec.builder(spark, sf_dir).collect()
-            walls.append(round(time.perf_counter() - t0, 3))
-        best = min(walls)
+            r = spec.builder(spark, sf_dir).collect()
+            wall = round(time.perf_counter() - t0, 3)
+            return wall, r, max(pre, os.getloadavg()[0])
+
+        for _ in range(reps):
+            wall, rows, load = run_rep()
+            walls.append(wall)
+            rep_loads.append(load)
+            if load <= max_load:
+                clean_walls.append(wall)
+            else:
+                contaminated_reps += 1
+        # retry dirty reps (shared budget) until we have a full clean
+        # set — each retry first waits (bounded) for the box to quiet
+        while len(clean_walls) < reps and retry_budget > 0:
+            waited_r = 0.0
+            while os.getloadavg()[0] > max_load and waited_r < rep_quiet_budget:
+                time.sleep(2.0)
+                waited_r += 2.0
+            retry_budget -= 1
+            wall, rows, load = run_rep()
+            walls.append(wall)
+            rep_loads.append(load)
+            if load <= max_load:
+                clean_walls.append(wall)
+            else:
+                contaminated_reps += 1
+                print(
+                    f"# retry of {name} still contaminated "
+                    f"(load {load:.2f} > {max_load})",
+                    file=sys.stderr,
+                )
+        queries_load[name] = round(max(rep_loads), 2)
+        if not clean_walls:
+            queries_dirty.append(name)
+        best = min(clean_walls) if clean_walls else min(walls)
         timings[name] = best
-        timings_mean[name] = round(sum(walls) / len(walls), 3)
+        # mean/cold over the first `reps` walls — the estimator prior
+        # rounds used, kept comparable regardless of retries
+        timings_mean[name] = round(sum(walls[:reps]) / min(len(walls), reps), 3)
         timings_cold[name] = walls[0]
         total += best
         total_mean += timings_mean[name]
@@ -268,10 +322,21 @@ def main() -> None:
                 # start so per-query drift can be attributed.
                 "load_avg": [round(x, 2) for x in load_avg_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
-                "contaminated": contaminated,
+                "contaminated": contaminated or bool(queries_dirty),
                 "load_threshold": max_load,
                 "quiet_wait_sec": round(waited, 1),
+                # max per-rep load (start/end 1-min load_avg) observed
+                # for each query; reps whose load exceeded the
+                # threshold were re-run (bounded global retry budget)
+                # and the min is over clean reps whenever any exist
                 "queries_load": queries_load,
+                "contaminated_reps": contaminated_reps,
+                # queries whose reported min had to fall back to
+                # contaminated walls (retry budget exhausted) — a
+                # non-empty list means the canonical number is NOT
+                # clean and must not be compared across rounds
+                "queries_dirty": queries_dirty,
+                "retry_budget_left": retry_budget,
                 "row_mismatches": row_mismatches,
                 # one-time bucketed-layout DDL, paid in warmup (0.0x if
                 # attached from a previous session's surviving files)

@@ -249,17 +249,11 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the %3 split is greatest(doc_a % 3, doc_b % 3) — replayed
     verbatim in the oracle, so attribution (not just the union) is
     hash-checked."""
-    import shutil
-    import tempfile
-
     from ..dedup.incremental import BATCH_COL, NearDupIndex
-    from ..sources.lakehouse import Lakehouse
+    from ..sources.lakehouse import temp_lakehouse
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="umdl_neardup_incr_")
-    try:
-        lake = Lakehouse(root)
-        lake.create_schemas("gold")
+    with temp_lakehouse(prefix="umdl_neardup_incr_") as lake:
         idx = NearDupIndex(lake)
         for k in (0, 1, 2):
             idx.ingest_and_log(
@@ -280,8 +274,6 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
     return out.orderBy("doc_a", "doc_b")
 
 

@@ -576,6 +576,13 @@ def _embedding_dedup_oracle(sf_dir: str) -> str:
         UNION ALL
         SELECT 'adc', query_id, neighbor_id, l2_dist
         FROM ({_ivfadc_oracle(sf_dir)})
+        UNION ALL
+        -- stream: the foreachBatch MERGE-by-vec_id streaming-ingest
+        -- path (persistent_ivf.py streaming_ingest).  Its contract is
+        -- convergence to the batch build, so the oracle IS the batch
+        -- oracle — hash equality proves streaming-merge ≡ batch build
+        SELECT 'stream', query_id, neighbor_id, cosine_sim
+        FROM ({_ivf_oracle(sf_dir)})
     )
     ORDER BY part, vec_a, vec_b
     """
@@ -602,6 +609,10 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_persistent_ivf_serve`) — split-batch build/add against a frozen
     quantizer, OPTIMIZE, then a partition-pruned top-3 query for the
     first 10 vectors; vec_a = query, vec_b = neighbor, score = cosine.
+    `stream`: the same index maintained by STREAMING ingest (see
+    `_persistent_ivf_stream`) — two foreachBatch MERGE-by-vec_id
+    micro-batches against the frozen quantizer; hash equality against
+    the batch oracle proves streaming-merge ≡ batch build.
     All three oracles replay the exact geometry (inlined hyperplanes /
     bit-identical twin-trained centroids), so the driver hash-checks
     candidate sets, scores, drop decisions, and the persisted-index
@@ -634,10 +645,17 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("vec_b"),
         F.col("l2_dist").alias("score"),
     )
+    stream = _persistent_ivf_stream(spark, sf_dir).select(
+        F.lit("stream").alias("part"),
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("cosine_sim").alias("score"),
+    )
     return (
         pairs.unionByName(drops)
         .unionByName(serve)
         .unionByName(adc)
+        .unionByName(stream)
         .orderBy("part", "vec_a", "vec_b")
     )
 
@@ -784,21 +802,15 @@ def _persistent_ivf_serve(
     Arrow map (no shuffle) and commit partition-scoped; queries read
     n_probe/n_cells of the index directories no matter the corpus
     size; the collected probe-cell union is ≤ n_cells ints."""
-    import shutil
-    import tempfile
-
     from ..similarity import ivf
     from ..similarity.persistent_ivf import PersistentIVF
-    from ..sources.lakehouse import Lakehouse
+    from ..sources.lakehouse import temp_lakehouse
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
-    root = tempfile.mkdtemp(prefix="umdl_ivf_idx_")
-    try:
-        lake = Lakehouse(root)
-        lake.create_schemas("gold")
+    with temp_lakehouse(prefix="umdl_ivf_idx_") as lake:
         idx = PersistentIVF(lake, n_cells=16, n_probe=4)
         idx.build(
             spark, emb.filter(F.col("vec_id") % 2 == 0), centroids=cents
@@ -810,8 +822,69 @@ def _persistent_ivf_serve(
         out = idx.query(
             spark, emb.filter(F.col("vec_id") < 10), k=3
         ).localCheckpoint(eager=True)
+    return out
+
+
+def _persistent_ivf_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PersistentIVF maintained by STREAMING ingest: the
+    foreachBatch-merge path (`persistent_ivf.py` `streaming_ingest`)
+    driven end-to-end and hash-checked against the same
+    injected-centroid DuckDB oracle as the batch lifecycle.
+
+    The corpus arrives as a seed build (vec_id % 3 == 0) plus TWO
+    micro-batches (% 3 == 1, % 3 == 2) delivered through a
+    maxFilesPerTrigger=1 AvailableNow file stream into the
+    MERGE-by-vec_id sink; optimize() then restores one file per cell
+    and the same 10 queries run partition-pruned.  Because assignment
+    against the frozen quantizer is deterministic and the sink merges
+    (idempotent under crash-replay) rather than appends, the merged
+    state MUST equal the batch build — which the oracle recomputes
+    from first principles, so hash equality proves
+    streaming-merge ≡ batch build.
+
+    Scale shape: each micro-batch is one broadcast-centroid Arrow
+    assignment + a merge that rewrites only the cell partitions
+    present in the batch; stream state is the file-source checkpoint
+    only (no in-memory index)."""
+    import shutil
+    import tempfile
+
+    from ..similarity import ivf
+    from ..similarity.persistent_ivf import PersistentIVF
+    from ..sources.lakehouse import temp_lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
+    aux = tempfile.mkdtemp(prefix="umdl_ivf_stream_")
+    try:
+        for k in (1, 2):
+            emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+                f"{aux}/in/slice{k}"
+            )
+        with temp_lakehouse(prefix="umdl_ivf_sidx_") as lake:
+            idx = PersistentIVF(lake, n_cells=16, n_probe=4)
+            idx.build(
+                spark, emb.filter(F.col("vec_id") % 3 == 0),
+                centroids=cents,
+            )
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{aux}/in/slice*")
+            )
+            idx.streaming_ingest(
+                spark, stream, f"{aux}/ckpt"
+            ).awaitTermination(300)
+            idx.optimize(spark)
+            out = idx.query(
+                spark, emb.filter(F.col("vec_id") < 10), k=3
+            ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(aux, ignore_errors=True)
     return out
 
 
@@ -828,11 +901,8 @@ def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads n_probe/n_cells partition dirs; ADC is a row-local fold
     against a broadcast codebook; the shortlist (50/query) bounds the
     exact re-rank."""
-    import shutil
-    import tempfile
-
     from ..similarity.persistent_ivf import PersistentIVFPQ
-    from ..sources.lakehouse import Lakehouse
+    from ..sources.lakehouse import temp_lakehouse
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
@@ -840,10 +910,7 @@ def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..similarity import pq as _pq
     from ..similarity.ivf import train_centroids_from_parquet
 
-    root = tempfile.mkdtemp(prefix="umdl_ivfpq_idx_")
-    try:
-        lake = Lakehouse(root)
-        lake.create_schemas("gold")
+    with temp_lakehouse(prefix="umdl_ivfpq_idx_") as lake:
         idx = PersistentIVFPQ(lake, n_cells=16, n_probe=4)
         # quantizers from the memoized pyarrow twins (no Spark jobs;
         # bit-identical to the in-engine trainers and to what the
@@ -860,6 +927,4 @@ def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=3,
             rerank_source=emb,
         ).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
     return out

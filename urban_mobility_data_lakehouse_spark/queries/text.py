@@ -1321,15 +1321,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional-intersection fold.  Results are |k|-bounded: eager
     # checkpoint pins them so the index files can be deleted before
     # the frame is consumed.
-    import shutil
-    import tempfile
-
-    from ..sources.lakehouse import Lakehouse
+    from ..sources.lakehouse import temp_lakehouse
     from ..text.bm25_index import PersistentBM25
 
-    root = tempfile.mkdtemp(prefix="umdl_bm25_idx_")
-    try:
-        idx = PersistentBM25(Lakehouse(root))
+    with temp_lakehouse(prefix="umdl_bm25_idx_") as lake:
+        idx = PersistentBM25(lake)
         # split ingest: generation 1 = evens, generation 2 = +odds —
         # part 'index' (gen 2) now ALSO hash-checks add()'s
         # merge-convergence against the full-corpus scan scorer, and
@@ -1373,8 +1369,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
     part = lambda df, p: df.select(  # noqa: E731
         F.lit(p).alias("part"), "doc_id", "rank", "score"

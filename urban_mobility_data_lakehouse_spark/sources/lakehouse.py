@@ -3644,6 +3644,31 @@ QUALITY_LOG_SCHEMA = (
 )
 
 
+@contextmanager
+def temp_lakehouse(schema: str = "gold", prefix: str = "umdl_tmp_lake_"):
+    """Throwaway Lakehouse scoped to a `with` block — the shared
+    mkdtemp/rmtree pattern the persistent-index query builders
+    (bm25_search, _persistent_ivf_serve/_persistent_ivfadc/_stream,
+    near_dup_incremental) all need: build an index in a temp root,
+    query it, and guarantee cleanup on any exit path.
+
+    Callers must pin results that outlive the block (e.g.
+    `localCheckpoint(eager=True)`) BEFORE exiting — the root is
+    deleted on exit, so an un-pinned lazy plan would read vanished
+    files.  If the process dies inside the block, the OS tempdir
+    reaper owns the leak (same story as any mkdtemp)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        lake = Lakehouse(root)
+        lake.create_schemas(schema)
+        yield lake
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def log_metric(
     lake: Lakehouse,
     spark: SparkSession,
