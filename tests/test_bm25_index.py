@@ -323,3 +323,77 @@ def test_near_query_matches_python_oracle(spark, docs, tmp_path):
         }
         assert got == py_near(w), f"window={w}"
     assert py_near(10), "chosen pair must co-occur somewhere"
+
+
+def _index_state(spark, idx):
+    """Full logical index state: postings, doclens, stats — sorted."""
+    lake = idx.lake
+    post = sorted(
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in lake.read(spark, "gold", idx.postings).collect()
+    )
+    lens = sorted(
+        (r["doc_id"], r["dl"])
+        for r in lake.read(spark, "gold", idx.doclen).collect()
+    )
+    stats = [
+        (r["n_docs"], r["sum_dl"])
+        for r in lake.read(spark, "gold", idx.stats).collect()
+    ]
+    return post, lens, stats
+
+
+def test_reindex_shorter_doc_matches_fresh_build(spark, docs, tmp_path):
+    """A re-added SHORTER document (terms dropped from the new text)
+    scores identically to a fresh build: `reindex` purges the
+    dropped-term postings the fast-path `add` would leave stale, and
+    the whole three-table state — not just the query answer — equals
+    the from-scratch index over the modified corpus."""
+    target = docs.filter(F.col("text").like("%customer%")).select(
+        "doc_id"
+    ).first()[0]
+    changed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == target, F.lit("customer only")
+        ).otherwise(F.col("text")),
+    )
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "a")))
+    idx.build(spark, docs)
+    idx.add(
+        spark, changed.filter(F.col("doc_id") == target), reindex=True
+    )
+    fresh = PersistentBM25(Lakehouse(str(tmp_path / "b")))
+    fresh.build(spark, changed)
+    assert _index_state(spark, idx) == _index_state(spark, fresh)
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        fresh.query(spark, TERMS, k=20)
+    )
+
+
+def test_delete_docs_matches_fresh_build_without_them(
+    spark, docs, tmp_path
+):
+    """delete_docs removes a document everywhere — postings for every
+    term, its doclen row, and the stats refresh — in one atomic
+    commit, leaving the state equal to a fresh build that never saw
+    the doc."""
+    ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("text").like("%customer%"))
+        .select("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "a")))
+    idx.build(spark, docs)
+    v_before = len(idx.lake.snapshots("gold", idx.postings))
+    idx.delete_docs(spark, ids)
+    # atomic: exactly one new version per table
+    assert len(idx.lake.snapshots("gold", idx.postings)) == v_before + 1
+    fresh = PersistentBM25(Lakehouse(str(tmp_path / "b")))
+    fresh.build(spark, docs.filter(~F.col("doc_id").isin(ids)))
+    assert _index_state(spark, idx) == _index_state(spark, fresh)
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        fresh.query(spark, TERMS, k=20)
+    )

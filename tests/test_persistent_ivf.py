@@ -198,3 +198,117 @@ def test_streaming_ingest_merges_exactly_once(
         key="vec_id", partition_col="cell",
     )
     assert _rows(idx.query(spark, queries, k=3)) == got
+
+
+def _pick_mover(spark, embeddings, cents):
+    """(mover_id, donor_id): two vectors assigned to different cells."""
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        assign_cells,
+    )
+
+    rows = (
+        assign_cells(embeddings.filter(F.col("vec_id") < 50), cents)
+        .select("vec_id", "cell")
+        .collect()
+    )
+    mover = rows[0]
+    donor = next(r for r in rows if r["cell"] != mover["cell"])
+    return mover["vec_id"], donor["vec_id"]
+
+
+def _modified_corpus(embeddings, mover_id, donor_id):
+    """The corpus with mover's embedding replaced by donor's (a
+    changed embedding that MOVES cells)."""
+    donor_row = embeddings.filter(F.col("vec_id") == donor_id).collect()[0]
+    lit_emb = F.array(
+        *[F.lit(float(x)) for x in donor_row["embedding"]]
+    ).cast("array<float>")
+    return embeddings.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == mover_id, lit_emb).otherwise(
+            F.col("embedding")
+        ),
+    )
+
+
+def test_replace_existing_handles_cell_moves(
+    spark, embeddings, tmp_path, sf_dir
+):
+    """add(replace_existing=True) is a true re-add: a changed
+    embedding that moves cells leaves NO stale row in the old cell,
+    and the index answers queries identically to a fresh build over
+    the modified corpus."""
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        train_centroids_from_parquet,
+    )
+
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    mover, donor = _pick_mover(spark, embeddings, cents)
+    modified = _modified_corpus(embeddings, mover, donor)
+
+    idx = _mk_index(tmp_path, name="readd")
+    idx.build(spark, embeddings, centroids=cents)
+    idx.add(
+        spark,
+        modified.filter(F.col("vec_id") == mover),
+        replace_existing=True,
+    )
+    # no duplicate vec_id anywhere in the index
+    n = (
+        idx.lake.read(spark, "gold", idx.name)
+        .filter(F.col("vec_id") == mover)
+        .count()
+    )
+    assert n == 1
+    queries = modified.filter(F.col("vec_id") < 10)
+    got = _rows(idx.query(spark, queries, k=3))
+    fresh = _mk_index(tmp_path / "fresh", name="fresh")
+    fresh.build(spark, modified, centroids=cents)
+    assert got == _rows(fresh.query(spark, queries, k=3))
+
+
+def test_streaming_reassign_moved_leaves_no_stale_row(
+    spark, embeddings, tmp_path, sf_dir
+):
+    """streaming_ingest(reassign_moved=True): a re-delivered vector
+    whose changed embedding moves cells is deleted from its old cell
+    before the merge, so the merged index equals a fresh build over
+    the modified corpus (the documented gap the default merge-only
+    sink keeps for append-mostly streams)."""
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        train_centroids_from_parquet,
+    )
+
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    mover, donor = _pick_mover(spark, embeddings, cents)
+    modified = _modified_corpus(embeddings, mover, donor)
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    modified.filter(F.col("vec_id") == mover).coalesce(1).write.parquet(
+        str(stream_dir / "redeliver")
+    )
+
+    idx = _mk_index(tmp_path, name="moved")
+    idx.build(spark, embeddings, centroids=cents)
+    stream = (
+        spark.readStream.schema(embeddings.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/redeliver")
+    )
+    idx.streaming_ingest(
+        spark, stream, str(tmp_path / "ckpt"), reassign_moved=True
+    ).awaitTermination(180)
+
+    n = (
+        idx.lake.read(spark, "gold", idx.name)
+        .filter(F.col("vec_id") == mover)
+        .count()
+    )
+    assert n == 1
+    queries = modified.filter(F.col("vec_id") < 10)
+    fresh = _mk_index(tmp_path / "fresh", name="fresh")
+    fresh.build(spark, modified, centroids=cents)
+    assert _rows(idx.query(spark, queries, k=3)) == _rows(
+        fresh.query(spark, queries, k=3)
+    )

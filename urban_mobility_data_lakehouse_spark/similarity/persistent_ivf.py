@@ -119,12 +119,70 @@ class PersistentIVF:
         )
         return [list(r["centroid"]) for r in rows]
 
-    def add(self, spark: SparkSession, embeddings: DataFrame) -> None:
+    def add(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        replace_existing: bool = False,
+    ) -> None:
         """Append a batch assigned against the frozen quantizer (no
         retrain — FAISS add() semantics).  Appended files are not yet
-        cell-clustered; run `optimize()` to restore probe pruning."""
+        cell-clustered; run `optimize()` to restore probe pruning.
+
+        With the default ``replace_existing=False`` the batch must be
+        genuinely NEW vec_ids (a re-added id would coexist with its
+        old row).  ``replace_existing=True`` makes it a true re-add:
+        any existing rows with the incoming vec_ids — including ones
+        whose changed embedding moves them to a different cell — are
+        deleted first (deletion-vector commit, O(replaced rows)), so
+        the index never holds a vec_id twice."""
         assigned = assign_cells(embeddings, self.centroids(spark))
+        if replace_existing:
+            ids = [
+                int(r[0])
+                for r in assigned.select("vec_id").distinct().collect()
+            ]
+            self.delete_vecs(spark, ids)
         self.lake.append(assigned, self.schema, self.name)
+
+    def delete_vecs(
+        self, spark: SparkSession, vec_ids: list[int]
+    ) -> bool:
+        """Remove vectors from the index (retention / GDPR erasure,
+        and the primitive re-adds with changed embeddings compose
+        with).  Deletion-vector (merge-on-read) commit: O(deleted
+        rows) write cost, readers anti-join the positions out until
+        `optimize()` materializes the deletes.  Returns True iff any
+        row matched."""
+        return self.lake.delete_where(
+            spark, self.schema, self.name,
+            F.col("vec_id").isin([int(i) for i in vec_ids]),
+            mode="merge_on_read",
+        )
+
+    def _moved_ids(
+        self, spark: SparkSession, assigned: DataFrame
+    ) -> list[int]:
+        """vec_ids of incoming rows that already exist in the index in
+        a DIFFERENT cell — the re-delivered-with-changed-embedding
+        case the plain merge cannot fix (it only rewrites partitions
+        present in the batch, so the old cell's stale row would
+        survive).  Batch-bounded: the incoming side broadcasts and the
+        result is collected (≤ batch size)."""
+        idx = self.lake.read(spark, self.schema, self.name).select(
+            "vec_id", F.col("cell").cast("int").alias("old_cell")
+        )
+        inc = assigned.select(
+            "vec_id", F.col("cell").cast("int").alias("new_cell")
+        )
+        return [
+            int(r[0])
+            for r in idx.join(F.broadcast(inc), "vec_id")
+            .filter(F.col("old_cell") != F.col("new_cell"))
+            .select("vec_id")
+            .distinct()
+            .collect()
+        ]
 
     def optimize(self, spark: SparkSession) -> dict:
         """Re-cluster the index into one file per cell partition."""
@@ -137,6 +195,7 @@ class PersistentIVF:
         spark: SparkSession,
         stream_embeddings: DataFrame,
         checkpoint_dir: str,
+        reassign_moved: bool = False,
     ):
         """Maintain the index from an embedding STREAM: each
         micro-batch assigns against the FROZEN quantizer and MERGEs by
@@ -145,18 +204,31 @@ class PersistentIVF:
         idempotence — the PersistentBM25 contract: assignment is
         deterministic, so a crash-replayed micro-batch rewrites the
         same (vec_id, emb, cell) rows to the same values, where plain
-        `add()` APPENDS and would double-count on replay.  A
-        re-delivered vector with a CHANGED embedding that moves cells
-        should go through delete+add instead (the merge only rewrites
-        partitions present in the batch).  AvailableNow trigger
-        (drain-and-stop); run `optimize()` afterwards to restore one
-        file per cell."""
+        `add()` APPENDS and would double-count on replay.
+
+        ``reassign_moved=True`` handles streams that may re-deliver a
+        vector with a CHANGED embedding that moves cells: the merge
+        alone only rewrites partitions present in the batch, so the
+        stale row in the OLD cell would survive and the vec_id would
+        answer queries twice — with the flag, each batch first deletes
+        its cross-cell movers (`_moved_ids` → `delete_vecs`, a
+        deletion-vector commit) and then merges.  Still idempotent
+        under crash-replay: a replayed batch finds no movers (already
+        deleted) and rewrites the same rows.  The default False keeps
+        the per-batch cost at one merge for append-mostly streams —
+        enforce upstream that re-deliveries don't change embeddings,
+        or run with the flag.  AvailableNow trigger (drain-and-stop);
+        run `optimize()` afterwards to restore one file per cell."""
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
                 assigned = assign_cells(
                     batch_df, self.centroids(spark)
                 )
+                if reassign_moved:
+                    moved = self._moved_ids(spark, assigned)
+                    if moved:
+                        self.delete_vecs(spark, moved)
                 self.lake.merge_into(
                     spark, self.schema, self.name, assigned,
                     key="vec_id", partition_col="cell",
@@ -343,16 +415,59 @@ class PersistentIVFPQ:
             books.setdefault(r["j"], []).append(list(r["cw"]))
         return [books[j] for j in sorted(books)]
 
-    def add(self, spark: SparkSession, embeddings: DataFrame) -> None:
+    def add(
+        self,
+        spark: SparkSession,
+        embeddings: DataFrame,
+        replace_existing: bool = False,
+    ) -> None:
         """Assign + encode a batch against the FROZEN quantizers and
-        append (FAISS add semantics; run optimize() to re-cluster)."""
-        self.lake.append(
-            self._encode(
-                embeddings, self.centroids(spark), self.codebooks(spark)
-            ),
-            self.schema,
-            self.name,
+        append (FAISS add semantics; run optimize() to re-cluster).
+        ``replace_existing=True`` deletes any existing rows with the
+        incoming vec_ids first (deletion-vector commit) — the true
+        re-add path for changed embeddings, including cell moves."""
+        encoded = self._encode(
+            embeddings, self.centroids(spark), self.codebooks(spark)
         )
+        if replace_existing:
+            ids = [
+                int(r[0])
+                for r in encoded.select("vec_id").distinct().collect()
+            ]
+            self.delete_vecs(spark, ids)
+        self.lake.append(encoded, self.schema, self.name)
+
+    def delete_vecs(
+        self, spark: SparkSession, vec_ids: list[int]
+    ) -> bool:
+        """Remove vectors from the code index (see
+        `PersistentIVF.delete_vecs` — same deletion-vector commit,
+        O(deleted rows))."""
+        return self.lake.delete_where(
+            spark, self.schema, self.name,
+            F.col("vec_id").isin([int(i) for i in vec_ids]),
+            mode="merge_on_read",
+        )
+
+    def _moved_ids(
+        self, spark: SparkSession, encoded: DataFrame
+    ) -> list[int]:
+        """Incoming vec_ids already present in a DIFFERENT cell (see
+        `PersistentIVF._moved_ids`)."""
+        idx = self.lake.read(spark, self.schema, self.name).select(
+            "vec_id", F.col("cell").cast("int").alias("old_cell")
+        )
+        inc = encoded.select(
+            "vec_id", F.col("cell").cast("int").alias("new_cell")
+        )
+        return [
+            int(r[0])
+            for r in idx.join(F.broadcast(inc), "vec_id")
+            .filter(F.col("old_cell") != F.col("new_cell"))
+            .select("vec_id")
+            .distinct()
+            .collect()
+        ]
 
     def optimize(self, spark: SparkSession) -> dict:
         return self.lake.compact(
@@ -364,11 +479,14 @@ class PersistentIVFPQ:
         spark: SparkSession,
         stream_embeddings: DataFrame,
         checkpoint_dir: str,
+        reassign_moved: bool = False,
     ):
         """Streaming maintenance with the `PersistentIVF` contract:
         assign + PQ-encode each micro-batch against the frozen
         quantizers, MERGE by vec_id (idempotent under crash-replay,
-        unlike append-based `add()`), AvailableNow drain."""
+        unlike append-based `add()`), AvailableNow drain.
+        ``reassign_moved=True`` deletes each batch's cross-cell movers
+        before merging (see `PersistentIVF.streaming_ingest`)."""
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
@@ -377,6 +495,10 @@ class PersistentIVFPQ:
                     self.centroids(spark),
                     self.codebooks(spark),
                 )
+                if reassign_moved:
+                    moved = self._moved_ids(spark, encoded)
+                    if moved:
+                        self.delete_vecs(spark, moved)
                 self.lake.merge_into(
                     spark, self.schema, self.name, encoded,
                     key="vec_id", partition_col="cell",

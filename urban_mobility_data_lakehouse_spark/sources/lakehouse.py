@@ -3541,13 +3541,23 @@ class Transaction:
         updates: DataFrame,
         key: str | list[str],
         partition_col: str | None = None,
+        purge_condition=None,
     ) -> None:
         """Stage a copy-on-write MERGE (same semantics as
         `Lakehouse.merge_into`) inside the transaction: the merged
         partitions are computed against the CURRENT table state at
         stage time and become visible only at the journal commit —
         so several tables' merges (e.g. an index's postings + doc
-        lengths + stats) land atomically."""
+        lengths + stats) land atomically.
+
+        `purge_condition` is the WHEN MATCHED DELETE leg (Delta MERGE
+        analog): current rows where the predicate is TRUE are dropped
+        even when no update row shares their key, and partitions
+        containing such rows join the rewrite set.  This is what a
+        reindex needs — replacing a document's postings must also
+        remove rows for terms the new text no longer contains, which
+        live under keys (and partitions) the update frame never
+        mentions."""
         keys = [key] if isinstance(key, str) else list(key)
         dup = (
             updates.groupBy(*keys)
@@ -3565,24 +3575,93 @@ class Transaction:
         updates, partition_col = lake._resolve_partitioning(
             updates, schema, name, partition_col
         )
-        affected = [
+        affected = {
             str(r[0])
             for r in updates.select(partition_col).distinct().collect()
-        ]
-        current = lake._ensure_partition_col(
+        }
+        current_full = lake._ensure_partition_col(
             lake.read(spark, schema, name), schema, name, partition_col
-        ).filter(F.col(partition_col).cast("string").isin(affected))
+        )
+        if purge_condition is not None:
+            affected |= {
+                str(r[0])
+                for r in current_full.filter(purge_condition)
+                .select(partition_col)
+                .distinct()
+                .collect()
+            }
+        current = current_full.filter(
+            F.col(partition_col).cast("string").isin(sorted(affected))
+        )
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         )
+        if purge_condition is not None:
+            # SQL three-valued logic: only TRUE rows are purged
+            survivors = survivors.filter(
+                ~F.coalesce(purge_condition, F.lit(False))
+            )
         self._stage(
             schema, name,
             lake._stage_overwrite_partitions(
                 survivors.unionByName(updates, allowMissingColumns=True),
                 schema, name, partition_col,
                 self._data_dir(schema, name),
+                # purge can empty a partition entirely — list the
+                # rewrite set explicitly so the commit still records
+                # (and supersedes) partitions the staged write
+                # produced no directory for
+                partitions=sorted(affected)
+                if purge_condition is not None
+                else None,
             ),
         )
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        condition,
+        partition_col: str | None = None,
+    ) -> bool:
+        """Stage a copy-on-write row-level DELETE (same semantics as
+        `Lakehouse.delete_where(mode="copy_on_write")`) inside the
+        transaction — so a multi-table erasure (an index's postings +
+        doc lengths + stats refresh) lands at one journal line and a
+        reader can never observe postings for a document whose length
+        row is already gone.  Returns True iff rows matched (False =
+        nothing staged for this table)."""
+        lake = self.lake
+        current = lake.read(spark, schema, name)
+        if partition_col is None:
+            current, partition_col = lake._resolve_partitioning(
+                current, schema, name, None
+            )
+        else:
+            current = lake._ensure_partition_col(
+                current, schema, name, partition_col
+            )
+        affected = [
+            str(r[0])
+            for r in current.filter(condition)
+            .select(partition_col)
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return False
+        survivors = current.filter(
+            F.col(partition_col).cast("string").isin(affected)
+        ).filter(~F.coalesce(condition, F.lit(False)))
+        self._stage(
+            schema, name,
+            lake._stage_overwrite_partitions(
+                survivors, schema, name, partition_col,
+                self._data_dir(schema, name), partitions=affected,
+            ),
+        )
+        return True
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         self._stage(

@@ -115,20 +115,54 @@ class PersistentBM25:
             )
             txn.overwrite(self._stat_row(docs), self.schema, self.stats)
 
-    def add(self, spark: SparkSession, docs: DataFrame) -> None:
-        """Index additional documents.  Re-added doc_ids replace their
-        old postings ONLY for terms present in the new text — pass
-        genuinely new documents (the FAISS-add contract PersistentIVF
-        also keeps).  ATOMIC: postings merge, doclen merge, and the
-        stats refresh stage inside one transaction and appear at a
-        single journal line — a reader can never observe new postings
-        against old collection statistics."""
+    def add(
+        self, spark: SparkSession, docs: DataFrame, reindex: bool = False
+    ) -> None:
+        """Index additional documents.  With the default
+        ``reindex=False``, a re-added doc_id replaces its old postings
+        ONLY for terms present in the new text (the cheap FAISS-add
+        fast path for genuinely NEW documents); pass ``reindex=True``
+        when the batch may contain CHANGED documents — it routes
+        through `reindex`, which also purges postings for terms the
+        new text dropped, so a re-added shorter doc scores identically
+        to a fresh build.  ATOMIC either way: postings merge, doclen
+        merge, and the stats refresh stage inside one transaction and
+        appear at a single journal line — a reader can never observe
+        new postings against old collection statistics."""
+        if reindex:
+            return self.reindex(spark, docs)
+        self._merge_docs(spark, docs, purge_condition=None)
+
+    def reindex(self, spark: SparkSession, docs: DataFrame) -> None:
+        """Re-index CHANGED documents: replaces ALL existing postings
+        of the incoming doc_ids — including rows for terms the new
+        text no longer contains, which live under (term, doc_id) keys
+        the merge frame never mentions — via the transaction's
+        WHEN-MATCHED-DELETE leg (`purge_condition`).  One atomic
+        commit; after it, the index state is byte-equal to a fresh
+        build over the corpus with these documents' new texts.
+
+        Cost: the incoming doc_ids are collected (reindex batches are
+        maintenance-sized by contract) and the postings rewrite covers
+        the buckets holding any old or new posting of those ids."""
+        ids = [
+            int(r[0])
+            for r in docs.select("doc_id").distinct().collect()
+        ]
+        self._merge_docs(
+            spark, docs, purge_condition=F.col("doc_id").isin(ids)
+        )
+
+    def _merge_docs(
+        self, spark: SparkSession, docs: DataFrame, purge_condition
+    ) -> None:
         lake = self.lake
         new_lens = self._length_rows(docs)
         with lake.transaction() as txn:
             txn.merge_into(
                 spark, self.schema, self.postings,
                 self._posting_rows(docs), key=["term", "doc_id"],
+                purge_condition=purge_condition,
             )
             txn.merge_into(
                 spark, self.schema, self.doclen,
@@ -150,11 +184,43 @@ class PersistentBM25:
                 self.stats,
             )
 
+    def delete_docs(
+        self, spark: SparkSession, doc_ids: list[int]
+    ) -> None:
+        """Remove documents from the index entirely — postings (every
+        term), doc lengths, and the collection-stats refresh in ONE
+        atomic transaction, so a reader can never observe postings for
+        a document whose length row is already gone (or stale n_docs).
+        The retention/GDPR leg the add-only lifecycle lacked; also the
+        primitive `reindex` composes with.
+
+        Cost: copy-on-write rewrite of only the bucket partitions
+        holding the deleted ids' rows — at 100 TB that is
+        |touched buckets|/n_buckets of the index, not the table."""
+        ids = [int(i) for i in doc_ids]
+        cond = F.col("doc_id").isin(ids)
+        lake = self.lake
+        with lake.transaction() as txn:
+            txn.delete_where(spark, self.schema, self.postings, cond)
+            txn.delete_where(spark, self.schema, self.doclen, cond)
+            remaining = lake.read(
+                spark, self.schema, self.doclen
+            ).filter(~cond)
+            txn.overwrite(
+                remaining.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                ),
+                self.schema,
+                self.stats,
+            )
+
     def streaming_ingest(
         self,
         spark: SparkSession,
         stream_docs: DataFrame,
         checkpoint_dir: str,
+        reindex: bool = False,
     ):
         """Maintain the index from a document STREAM: each micro-batch
         runs `add` through `foreachBatch` (the Structured-Streaming-to-
@@ -163,12 +229,16 @@ class PersistentBM25:
         restarts, and `add` merges postings/doclens BY KEY — replaying
         a micro-batch rewrites the same rows to the same values and
         the stats recompute reads the converged doclen table, so a
-        crash-replay cannot double-count.  AvailableNow trigger
-        (drain-and-stop, the daily-ingest shape)."""
+        crash-replay cannot double-count.  ``reindex=True`` routes
+        each batch through `reindex` for streams that may re-deliver
+        CHANGED documents (purges dropped-term postings; still
+        idempotent — a replayed batch purges nothing new and rewrites
+        the same rows).  AvailableNow trigger (drain-and-stop, the
+        daily-ingest shape)."""
 
         def _sink(batch_df: DataFrame, batch_id: int) -> None:
             if not batch_df.isEmpty():
-                self.add(spark, batch_df)
+                self.add(spark, batch_df, reindex=reindex)
 
         return (
             stream_docs.writeStream.foreachBatch(_sink)
