@@ -665,3 +665,87 @@ def test_interval_join_same_ts_name_both_sides(spark):
     row = j.collect()[0]
     assert row["ts_left"] == base
     assert row["ts_right"] == base + dt.timedelta(minutes=5)
+
+
+def test_tombstone_ttl_bounds_state(spark):
+    """The long tombstone horizon: a tombstone survives the ordinary
+    close-after timeout (numbering continues for a returning user) but
+    is DROPPED when the TTL fires — state shrinks back to the active
+    population, and a user absent the whole TTL restarts at session 1
+    (the documented trade)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        _session_fn,
+    )
+
+    fn = _session_fn(
+        gap_minutes=6, close_after_ms=60_000, tombstone_ttl_ms=3_600_000
+    )
+    state = _FakeGroupState()
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def batch(*ts_vals):
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "event_id": range(len(ts_vals)),
+                        "ts": [t for t, _ in ts_vals],
+                        "value": [v for _, v in ts_vals],
+                    }
+                )
+            ]
+        )
+
+    # open session 1, then the close-after timeout evicts it
+    pd.concat(list(fn((1,), batch((base, 1.0)), state)))
+    state.hasTimedOut = True
+    out = pd.concat(list(fn((1,), iter([]), state)))
+    assert list(out["session_no"]) == [1]
+    # tombstone survives, armed with the LONG horizon (not close_after)
+    assert state.exists and state.get == (1, None, None, 0, 0.0)
+    assert state.timeout_set == 3_600_000
+
+    # the user returns within the TTL: numbering continues at 2
+    state.hasTimedOut = False
+    out = pd.concat(
+        list(fn((1,), batch((base + dt.timedelta(hours=1), 1.0)), state))
+    )
+    assert list(out["session_no"]) == [2]
+
+    # evict again → tombstone(2); then the TTL horizon fires on the
+    # tombstone: dropped, nothing emitted
+    state.hasTimedOut = True
+    pd.concat(list(fn((1,), iter([]), state)))
+    assert state.get == (2, None, None, 0, 0.0)
+    frames = list(fn((1,), iter([]), state))  # TTL fires
+    assert all(len(f) == 0 for f in frames)
+    assert not state.exists, "tombstone must be dropped at the TTL"
+
+    # a user absent the whole TTL restarts numbering at 1
+    state.hasTimedOut = False
+    out = pd.concat(
+        list(fn((1,), batch((base + dt.timedelta(days=9), 1.0)), state))
+    )
+    assert list(out["session_no"]) == [1]
+
+
+def test_tombstone_ttl_requires_close_after(spark):
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as user_id", "timestamp as ts",
+            "value as event_id", "1.0 as value",
+        )
+    )
+    with _pytest.raises(ValueError, match="requires close_after"):
+        sessionize_stream(stream, tombstone_ttl_minutes=60)

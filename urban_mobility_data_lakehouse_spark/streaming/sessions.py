@@ -136,7 +136,9 @@ ORDER BY user_id, session_no
 
 
 def _session_fn(
-    gap_minutes: int, close_after_ms: int | None
+    gap_minutes: int,
+    close_after_ms: int | None,
+    tombstone_ttl_ms: int | None = None,
 ) -> Callable:
     """Per-user stateful session builder factory (the returned function
     runs inside Arrow workers).
@@ -145,8 +147,14 @@ def _session_fn(
     every session closed by this batch plus the still-open one (update
     semantics — later batches may extend and re-emit it).  With a
     timeout configured, an idle user's open session is closed, emitted
-    one final time, and the state row REMOVED — state stays bounded by
-    the active population instead of every key ever seen.
+    one final time, and the state row collapsed to a TOMBSTONE that
+    preserves monotonic session numbering.  `tombstone_ttl_ms` is the
+    second, much longer horizon that bounds tombstone state: a
+    tombstone idle that long is REMOVED — a user absent for the whole
+    TTL restarts numbering at 1 (the accepted trade), restoring the
+    O(active) + O(recently-seen) state bound the close-after knob
+    originally bought.  With no TTL, tombstones live forever —
+    numbering never restarts, state grows O(keys-ever-seen).
     """
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -172,20 +180,34 @@ def _session_fn(
             )
 
         if close_after_ms is not None and state.hasTimedOut:
+            closed = state.get
+            if closed[1] is None:
+                # the timeout fired ON a tombstone: with a TTL armed
+                # this is the long horizon elapsing — the user stayed
+                # away for the whole TTL, so drop the tombstone
+                # (numbering restarts at 1 if they ever return: the
+                # documented trade) and state shrinks back to the
+                # active population.  Without a TTL no timeout is ever
+                # armed on a tombstone; if one fires anyway, keep it
+                # (monotonic numbering is the no-TTL contract) and
+                # never re-emit.
+                if tombstone_ttl_ms is not None:
+                    state.remove()
+                return
             # idle user: final emit of the open session, then the state
             # row is collapsed to a TOMBSTONE carrying only session_no —
             # a returning user must CONTINUE numbering, not restart at 1
             # (a full remove() made the stream re-emit (user, 1) with
             # new bounds, silently overwriting the closed session 1 in
-            # update-mode sinks keyed by (user_id, session_no)).  The
-            # tombstone arms no timeout, so it never re-fires; cost is
-            # one 5-field row per key ever seen — the boundedness knob
-            # now trades O(active) open-session state for O(seen-keys)
-            # tombstones, the price of monotonic numbering.
-            closed = state.get
+            # update-mode sinks keyed by (user_id, session_no)).  With a
+            # TTL the tombstone arms the LONG horizon (dropped when it
+            # fires, above); without, it arms nothing and lives forever
+            # — O(seen-keys) state, the price of unconditional
+            # monotonic numbering.
             state.update((closed[0], None, None, 0, 0.0))
-            if closed[1] is not None:  # defensive: never re-emit a tombstone
-                yield frame([closed])
+            if tombstone_ttl_ms is not None:
+                state.setTimeoutDuration(tombstone_ttl_ms)
+            yield frame([closed])
             return
 
         out = []
@@ -235,6 +257,7 @@ def sessionize_stream(
     events_stream: DataFrame,
     gap_minutes: int = 30,
     close_after_minutes: int | None = None,
+    tombstone_ttl_minutes: int | None = None,
 ) -> DataFrame:
     """Stateful streaming sessionization (custom operator the built-in
     windowed aggs can't express: gap-defined, per-key dynamic windows).
@@ -243,7 +266,12 @@ def sessionize_stream(
     differential oracles of each other at ANY gap, not one magic
     value).  `close_after_minutes` arms a processing-time timeout that
     closes + evicts idle users' open sessions — the state-boundedness
-    switch for unbounded key spaces."""
+    switch for unbounded key spaces.  Eviction leaves a tombstone so a
+    returning user continues session numbering; `tombstone_ttl_minutes`
+    (requires `close_after_minutes`; pick it MUCH longer, e.g.
+    10–100× — N× close_after) drops tombstones idle that long,
+    restoring the O(active)+O(recently-seen) state bound at the cost
+    of numbering restarting at 1 for users absent the whole TTL."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     close_ms = (
@@ -251,8 +279,18 @@ def sessionize_stream(
         if close_after_minutes is None
         else close_after_minutes * 60 * 1000
     )
+    if tombstone_ttl_minutes is not None and close_ms is None:
+        raise ValueError(
+            "tombstone_ttl_minutes requires close_after_minutes "
+            "(tombstones only exist once timeout eviction is on)"
+        )
+    ttl_ms = (
+        None
+        if tombstone_ttl_minutes is None
+        else tombstone_ttl_minutes * 60 * 1000
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_minutes, close_ms),
+        _session_fn(gap_minutes, close_ms, ttl_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
