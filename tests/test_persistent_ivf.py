@@ -312,3 +312,39 @@ def test_streaming_reassign_moved_leaves_no_stale_row(
     assert _rows(idx.query(spark, queries, k=3)) == _rows(
         fresh.query(spark, queries, k=3)
     )
+
+
+def test_serving_geometry_memoized_per_generation(
+    spark, embeddings, tmp_path
+):
+    """centroids() costs ONE lakehouse read per index generation, not
+    one per query call: repeated queries hit the version-keyed cache,
+    and a rebuild (new centroids commit) invalidates it."""
+    idx = _mk_index(tmp_path, name="memo")
+    idx.build(spark, embeddings)
+
+    reads = []
+    orig_read = idx.lake.read
+
+    def counting_read(spark_, schema, name, **kw):
+        reads.append(name)
+        return orig_read(spark_, schema, name, **kw)
+
+    idx.lake.read = counting_read
+    try:
+        geom_table = f"{idx.name}_centroids"
+        c1 = idx.centroids(spark)
+        queries = embeddings.filter(F.col("vec_id") < 10)
+        first = _rows(idx.query(spark, queries, k=3))
+        second = _rows(idx.query(spark, queries, k=3))
+        assert first == second
+        assert reads.count(geom_table) == 1  # build() primed nothing;
+        # the first centroids() loaded, both query() calls hit cache
+        assert idx.centroids(spark) == c1
+        assert reads.count(geom_table) == 1
+        # a rebuild commits new geometry → cache invalidates
+        idx.build(spark, embeddings)
+        idx.centroids(spark)
+        assert reads.count(geom_table) == 2
+    finally:
+        idx.lake.read = orig_read

@@ -77,6 +77,22 @@ class PersistentIVF:
         self.n_cells = n_cells
         self.n_probe = n_probe
         self.seed = seed
+        self._geom_cache: dict[str, tuple[int, object]] = {}
+
+    def _memo_geometry(self, table: str, loader):
+        """Serving-path geometry cache keyed on the geometry table's
+        CURRENT commit version (the twin-trainer (mtime,size) idiom
+        applied to the lakehouse): a query loop pays one table read
+        per index GENERATION instead of one per call, and a rebuild
+        (new centroids commit) invalidates automatically.  The version
+        probe is a log-file read, not a Spark job."""
+        v = self.lake.snapshots(self.schema, table)[-1]["version"]
+        hit = self._geom_cache.get(table)
+        if hit is not None and hit[0] == v:
+            return hit[1]
+        val = loader()
+        self._geom_cache[table] = (v, val)
+        return val
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -112,12 +128,17 @@ class PersistentIVF:
         )
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
-        rows = (
-            self.lake.read(spark, self.schema, f"{self.name}_centroids")
-            .orderBy("cell")
-            .collect()
-        )
-        return [list(r["centroid"]) for r in rows]
+        def _load():
+            rows = (
+                self.lake.read(
+                    spark, self.schema, f"{self.name}_centroids"
+                )
+                .orderBy("cell")
+                .collect()
+            )
+            return [list(r["centroid"]) for r in rows]
+
+        return self._memo_geometry(f"{self.name}_centroids", _load)
 
     def add(
         self,
@@ -339,6 +360,9 @@ class PersistentIVFPQ:
         self.n_probe = n_probe
         self.seed = seed
         self._pq = _pq
+        self._geom_cache: dict[str, tuple[int, object]] = {}
+
+    _memo_geometry = PersistentIVF._memo_geometry
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -397,23 +421,33 @@ class PersistentIVFPQ:
         )
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
-        rows = (
-            self.lake.read(spark, self.schema, f"{self.name}_centroids")
-            .orderBy("cell")
-            .collect()
-        )
-        return [list(r["centroid"]) for r in rows]
+        def _load():
+            rows = (
+                self.lake.read(
+                    spark, self.schema, f"{self.name}_centroids"
+                )
+                .orderBy("cell")
+                .collect()
+            )
+            return [list(r["centroid"]) for r in rows]
+
+        return self._memo_geometry(f"{self.name}_centroids", _load)
 
     def codebooks(self, spark: SparkSession) -> list[list[list[float]]]:
-        rows = (
-            self.lake.read(spark, self.schema, f"{self.name}_codebooks")
-            .orderBy("j", "c")
-            .collect()
-        )
-        books: dict[int, list] = {}
-        for r in rows:
-            books.setdefault(r["j"], []).append(list(r["cw"]))
-        return [books[j] for j in sorted(books)]
+        def _load():
+            rows = (
+                self.lake.read(
+                    spark, self.schema, f"{self.name}_codebooks"
+                )
+                .orderBy("j", "c")
+                .collect()
+            )
+            books: dict[int, list] = {}
+            for r in rows:
+                books.setdefault(r["j"], []).append(list(r["cw"]))
+            return [books[j] for j in sorted(books)]
+
+        return self._memo_geometry(f"{self.name}_codebooks", _load)
 
     def add(
         self,
