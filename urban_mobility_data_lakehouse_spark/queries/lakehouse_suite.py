@@ -49,25 +49,43 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
 @register(
     "lakehouse_roundtrip",
     oracle=f"""
-    SELECT event_id AS id,
-           event_type AS p,
-           CASE WHEN event_id % 7 = 3 THEN value * 2 + 1
-                ELSE value END AS v2,
-           CAST(NULL AS VARCHAR) AS flag,
-           CAST(event_id AS BIGINT) AS n
-    FROM events
-    WHERE event_id % 11 != 0
-    UNION ALL
-    SELECT event_id + {_G2_ID_OFFSET},
-           event_type,
-           value * 3,
-           'g2',
-           event_id + {_G2_N_OFFSET}
-    FROM events
-    WHERE event_id % 13 = 0
-    ORDER BY id
+    WITH final_state AS (
+        SELECT event_id AS id,
+               event_type AS p,
+               CASE WHEN event_id % 7 = 3 THEN value * 2 + 1
+                    ELSE value END AS v2,
+               CAST(NULL AS VARCHAR) AS flag,
+               CAST(event_id AS BIGINT) AS n
+        FROM events
+        WHERE event_id % 11 != 0
+        UNION ALL
+        SELECT event_id + {_G2_ID_OFFSET},
+               event_type,
+               value * 3,
+               'g2',
+               event_id + {_G2_N_OFFSET}
+        FROM events
+        WHERE event_id % 13 = 0
+    )
+    SELECT * FROM (
+        SELECT 'dml' AS part, id, p, v2, flag, n FROM final_state
+        UNION ALL
+        -- mv: the incrementally-refreshed materialized view.  The
+        -- engine maintains it from the base table's CDC feed
+        -- (affected-group recompute); the oracle aggregates the final
+        -- state from scratch — hash equality proves incremental
+        -- refresh == from-scratch recompute across the whole DML walk
+        SELECT 'mv', CAST(NULL AS BIGINT), p,
+               CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(NULL AS VARCHAR), count(*)
+        FROM final_state GROUP BY p
+    )
+    ORDER BY part, coalesce(id, -1), p
     """,
-    tags=("lakehouse", "column-mapping", "update", "mor", "dv", "widen"),
+    tags=(
+        "lakehouse", "column-mapping", "update", "mor", "dv", "widen",
+        "matview",
+    ),
 )
 def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events as a partitioned lakehouse table, then walk the
@@ -86,8 +104,20 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       7. append generation 2 (id%13==0 rows, ids shifted, flag='g2',
          n beyond int32) — physically int64, untouched by the earlier
          UPDATE/DELETE commits
-      8. read → (id, p, v2, flag, n) ordered by id: one bigint `n`
+      8. read → part='dml' rows (id, p, v2, flag, n): one bigint `n`
          column spanning both physical generations
+
+    Part 'mv' (r10) rides the same walk: a MaterializedView over
+    silver.t (group p → decimal-exact sum(v2), count) is FULL-built
+    right after the rename, then incrementally refreshed ONCE after
+    the update/delete/widen/append — the refresh reads the CDC feed
+    and recomputes only the affected groups (`sources/matview.py`;
+    the builder asserts the incremental strategy actually ran, so a
+    silent full-rebuild fallback fails the row rather than passing by
+    accident).  The oracle aggregates the final state from scratch,
+    so hash equality proves incremental refresh ≡ from-scratch
+    recompute through MoR updates, deletion vectors, a metadata-only
+    widen, and a post-widen append.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
@@ -95,7 +125,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     lake = Lakehouse(root)
-    lake.create_schemas("silver")
+    lake.create_schemas("silver", "gold")
     events = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         F.col("event_type").alias("p"),
@@ -104,6 +134,21 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lake.overwrite_partitions(events, "silver", "t", partition_col="p")
     lake.rename_column(spark, "silver", "t", "v", "v2")
+    from ..sources.matview import MaterializedView
+
+    mv = MaterializedView(
+        lake,
+        base=("silver", "t"),
+        view=("gold", "t_by_type"),
+        group_by=["p"],
+        partition_col="p",
+        aggs={
+            "total": "cast(sum(cast(v2 as decimal(25,6))) as double)",
+            "n_rows": "count(*)",
+        },
+    )
+    first = mv.refresh(spark)
+    assert first["strategy"] == "full", first
     lake.update_where(
         spark, "silver", "t",
         F.col("id") % 7 == 3,
@@ -127,8 +172,27 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + F.lit(_G2_N_OFFSET)).alias("n"),
     )
     lake.append(gen2, "silver", "t")
-    return (
+    # ONE incremental refresh across the whole mutation window: MoR
+    # update + deletion vectors + add_column + widen + append.  The
+    # strategy assertion is the point — a fallback full rebuild would
+    # also hash-match (same agg expressions), silently un-testing the
+    # CDC path
+    second = mv.refresh(spark)
+    assert second["strategy"] == "incremental", second
+    dml_rows = (
         lake.read(spark, "silver", "t")
-        .select("id", "p", "v2", "flag", "n")
-        .orderBy("id")
+        .select(
+            F.lit("dml").alias("part"), "id", "p", "v2", "flag", "n"
+        )
+    )
+    mv_rows = mv.read(spark).select(
+        F.lit("mv").alias("part"),
+        F.lit(None).cast("long").alias("id"),
+        "p",
+        F.col("total").alias("v2"),
+        F.lit(None).cast("string").alias("flag"),
+        F.col("n_rows").alias("n"),
+    )
+    return dml_rows.unionByName(mv_rows).orderBy(
+        "part", F.coalesce(F.col("id"), F.lit(-1)), "p"
     )
