@@ -47,7 +47,7 @@ def test_duckdb_hugeint_shape_detected():
     assert not _val_eq(val, 1)  # and the comparator refuses it
 
 
-def test_oracle_generation_runs_no_spark_jobs(spark):
+def test_oracle_generation_runs_no_spark_jobs(spark, sf_dir):
     """The driver calls oracle_sql() outside any session we control;
     every data-derived oracle must resolve through the pyarrow twins
     (memoized, Spark-free).  Guard: generating ALL oracles fires zero
@@ -78,10 +78,18 @@ def test_oracle_generation_runs_no_spark_jobs(spark):
               _mix_rates_cached):
         c.cache_clear()
 
+    from urban_mobility_data_lakehouse_spark.queries import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     before = tracker.getJobIdsForGroup(None)
-    oracles = all_oracles("/root/testdata/sf0.001")
+    oracles = all_oracles(sf_dir)
     after = tracker.getJobIdsForGroup(None)
-    assert len(oracles) == 50
+    # every registry row with an oracle resolves — no magic count, so
+    # adding a registry row can't silently rot this guard
+    assert len(oracles) == sum(1 for s in REGISTRY.values() if s.oracle)
     assert list(before) == list(after), "oracle generation ran Spark jobs"

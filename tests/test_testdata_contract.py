@@ -111,3 +111,25 @@ def test_testdata_contract(spark, sf_dir, name):
         f"{name} engine-facing schema drifted: {got} != contract; "
         "update normalization (sources/testdata.py) or this contract"
     )
+
+
+def test_documents_text_is_non_null(spark, sf_dir):
+    """Several hash-checked parts (lm/strip/clf/mix in
+    text_pairs_suite) tokenize documents.text with row-local
+    split/size/sequence expressions whose NULL behavior DIVERGES from
+    the DuckDB oracles' unnest-of-NULL (size(NULL) is -1, so
+    sequence(1, -1) emits bogus descending indices).  The engine
+    guards the worst offenders explicitly, but the fixture contract is
+    the backstop: a regenerated documents.parquet that introduces NULL
+    (or NaN-ish) text must fail HERE, naming the issue, instead of
+    silently moving four part hashes."""
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE text IS NULL"
+    ).fetchone()[0]
+    assert n == 0, (
+        f"{n} NULL-text documents in {sf_dir}/documents.parquet — "
+        "the lm/strip/clf/mix oracle replays assume non-null text"
+    )

@@ -184,13 +184,21 @@ def _bigram_events(
     """(id, prev, cur) scoring events: one row per token position,
     prev NULL for the first token — the positional explode both the
     float scorer and the exact micro-log scorer share (row-local
-    transform/sequence, no shuffle)."""
+    transform/sequence, no shuffle).
+
+    NULL text emits ZERO events, matching the oracle's
+    unnest-of-NULL: unguarded, size(NULL) is -1 and sequence(1, -1)
+    DESCENDS, emitting three bogus [1, 0, -1] OOV events per NULL doc
+    (the encode_documents NULL guard, applied here too)."""
     t = F.split(text_col, " ")
+    idx = F.when(F.size(t) >= 1, F.sequence(F.lit(1), F.size(t))).otherwise(
+        F.array().cast("array<int>")
+    )
     return docs.select(
         id_col,
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(t)),
+                idx,
                 lambda i: F.struct(
                     F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
                     F.element_at(t, i).alias("cur"),

@@ -49,7 +49,14 @@ def group_token_totals(
     """Per-group whitespace-token totals — the one (tiny) aggregate."""
     rows = (
         docs.groupBy(by)
-        .agg(F.sum(F.size(F.split("text", " "))).alias("toks"))
+        # NULL text counts ZERO tokens (size(split(NULL)) is -1, which
+        # would SUBTRACT from the group total and diverge from the
+        # oracle's unnest-of-NULL)
+        .agg(
+            F.sum(
+                F.greatest(F.size(F.split("text", " ")), F.lit(0))
+            ).alias("toks")
+        )
         .collect()
     )
     return {r[by]: int(r["toks"]) for r in rows}
