@@ -134,6 +134,7 @@ LADDER_QUERIES = (
     "url_curation",
     "doc_profile",
     "multimodal_suite",
+    "bm25_search",
 )
 
 # suites whose ladder wall is ALSO decomposed per `part` value — a
@@ -142,7 +143,40 @@ LADDER_QUERIES = (
 # suite's 16), so each part's wall is the cost of that part's branch
 # alone.  This attributes the suite's growth slope to the operator
 # that owns it instead of one aggregate number.
-LADDER_PART_SUITES = ("text_pairs_suite", "multimodal_suite")
+#
+# bm25_search is special: its builder runs a FIXED persistent-index
+# lifecycle (throwaway-lakehouse build + add) eagerly before any part
+# is consumable, so every part's wall carries that cost.  The
+# `_lifecycle` pseudo-part below times the build+add ALONE per sf —
+# part wall minus lifecycle wall ≈ that part's query cost, making
+# index-build vs query growth visible per decade.
+LADDER_PART_SUITES = (
+    "text_pairs_suite", "multimodal_suite", "bm25_search",
+)
+
+
+def _bm25_lifecycle(spark, sf_dir: str) -> None:
+    """The exact index lifecycle bm25_search's builder pays (split
+    build + add over a throwaway lakehouse), with NO queries — timed
+    separately so the ladder can subtract it out."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        temp_lakehouse,
+    )
+    from urban_mobility_data_lakehouse_spark.sources.testdata import (
+        load_table,
+    )
+    from urban_mobility_data_lakehouse_spark.text.bm25_index import (
+        PersistentBM25,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    with temp_lakehouse(prefix="umdl_bm25_scale_") as lake:
+        idx = PersistentBM25(lake)
+        idx.build(spark, corpus.filter(F.col("doc_id") % 2 == 0))
+        idx.add(spark, corpus.filter(F.col("doc_id") % 2 == 1))
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's
 # EXPECTED_ROWS: a scale lane that silently times a wrong-rowcount
@@ -157,9 +191,10 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 83,
+        "embedding_near_dups": 113,
         "text_pairs_suite": 24945,
         "multimodal_suite": 1099,
+        "bm25_search": 140,
     },
     "sf0.01": {
         "doc_profile": 500,
@@ -168,9 +203,10 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 89,
+        "embedding_near_dups": 119,
         "text_pairs_suite": 24318,
         "multimodal_suite": 1097,
+        "bm25_search": 140,
     },
     "sf0.1": {
         "doc_profile": 5000,
@@ -179,9 +215,10 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
-        "embedding_near_dups": 384,
+        "embedding_near_dups": 414,
         "text_pairs_suite": 168396,
         "multimodal_suite": 10952,
+        "bm25_search": 140,
     },
 }
 
@@ -316,6 +353,25 @@ def main() -> None:
                     print(
                         json.dumps(
                             {"query": name, "part": part,
+                             "sf": sf_tag, "sec": best, "reps": reps}
+                        ),
+                        file=sys.stderr,
+                    )
+            if name == "bm25_search":
+                # fixed index-lifecycle cost every part wall carries
+                ladder_parts[name]["_lifecycle"] = {}
+                for d in SF_LADDER:
+                    sf_tag = d.rstrip("/").rsplit("/", 1)[-1]
+                    best = None
+                    for _ in range(reps):
+                        t0 = time.perf_counter()
+                        _bm25_lifecycle(spark, d)
+                        dt = round(time.perf_counter() - t0, 3)
+                        best = dt if best is None else min(best, dt)
+                    ladder_parts[name]["_lifecycle"][sf_tag] = best
+                    print(
+                        json.dumps(
+                            {"query": name, "part": "_lifecycle",
                              "sf": sf_tag, "sec": best, "reps": reps}
                         ),
                         file=sys.stderr,
