@@ -194,7 +194,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 113,
         "text_pairs_suite": 24945,
         "multimodal_suite": 1099,
-        "bm25_search": 140,
+        "bm25_search": 180,
     },
     "sf0.01": {
         "doc_profile": 500,
@@ -206,7 +206,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 119,
         "text_pairs_suite": 24318,
         "multimodal_suite": 1097,
-        "bm25_search": 140,
+        "bm25_search": 180,
     },
     "sf0.1": {
         "doc_profile": 5000,
@@ -218,7 +218,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 414,
         "text_pairs_suite": 168396,
         "multimodal_suite": 10952,
-        "bm25_search": 140,
+        "bm25_search": 180,
     },
 }
 

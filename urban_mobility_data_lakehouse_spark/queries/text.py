@@ -1114,6 +1114,19 @@ PHRASE: tuple[str, str] = ("table", "scan")
 NEAR_TERMS: tuple[str, str] = ("customer", "spark")
 NEAR_WINDOW = 4
 
+# r10 mutation parts: docs with doc_id % REIDX_MOD == REIDX_REM are
+# REINDEXED with REIDX_TEXT (dropping all their old terms — the
+# stale-postings case), then docs with doc_id % DEL_MOD == 0 are
+# DELETED.  Shared by the builder and the oracle so both replay the
+# identical corpus mutation.
+REIDX_MOD, REIDX_REM = 113, 5
+REIDX_TEXT = "customer stream"
+DEL_MOD = 19
+_REIDX_CASE = (
+    f"CASE WHEN doc_id % {REIDX_MOD} = {REIDX_REM} "
+    f"THEN '{REIDX_TEXT}' ELSE text END"
+)
+
 
 def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     """DuckDB twin of `bm25_search`'s five-part retrieval row.
@@ -1130,6 +1143,17 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     token stream."""
     bm_body = bm25.bm25_oracle_sql(sf_dir, k=k)
     bmv1_body = bm25.bm25_oracle_sql(sf_dir, k=k, where="doc_id % 2 = 0")
+    # r10 mutation twins: 'reidx' rescans the CASE-mapped corpus from
+    # scratch (fresh stats, IDF and all); 'del' rescans the mapped
+    # corpus minus the deleted ids — hash equality proves
+    # reindex()/delete_docs() leave the index equal to a fresh build
+    # over the mutated corpus
+    bmre_body = bm25.bm25_oracle_sql(sf_dir, k=k, text_expr=_REIDX_CASE)
+    bmdel_body = bm25.bm25_oracle_sql(
+        sf_dir, k=k,
+        where=f"doc_id % {DEL_MOD} != 0",
+        text_expr=_REIDX_CASE,
+    )
     return f"""
     WITH bm AS (
         SELECT doc_id, score,
@@ -1142,6 +1166,18 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
                row_number() OVER (ORDER BY score DESC, doc_id ASC)
                    AS rank
         FROM ({bmv1_body})
+    ),
+    bmre AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bmre_body})
+    ),
+    bmdel AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bmdel_body})
     ),
     v AS (
         SELECT vec_id,
@@ -1255,6 +1291,14 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     -- by replaying the positional postings
     SELECT 'near' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM nearq WHERE rank <= {k}
+    UNION ALL
+    -- reindexed generation: scan scorer over the CASE-mapped corpus
+    SELECT 'reidx' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bmre
+    UNION ALL
+    -- post-delete generation: mapped corpus minus the deleted ids
+    SELECT 'del' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bmdel
     ORDER BY part, rank
     """
 
@@ -1277,9 +1321,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed from first principles over the raw token stream) —
     plus a version=0 time-travel
     query whose oracle is the scan scorer over the frozen
-    evens-only snapshot (part 'tt') — six parts, one hash
-    (seven with the NEAR/n proximity part, oracle recomputed from the
-    raw token stream).
+    evens-only snapshot (part 'tt'), the NEAR/n proximity part
+    (oracle recomputed from the raw token stream), and the r10
+    mutation parts: 'reidx' queries the index after reindex()
+    replaced the REIDX docs' texts (stale dropped-term postings must
+    be purged — oracle rescans the CASE-mapped corpus), 'del' after
+    delete_docs() erased the DEL docs (oracle filters them out) —
+    nine parts, one hash.
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
@@ -1369,6 +1417,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        # -- r10 mutation parts: the delete/reindex machinery driven
+        # through the hash gate.  reindex() replaces the REIDX docs'
+        # texts (dropping every old term — the stale-postings case the
+        # fast-path add can't fix); the oracle rescans the CASE-mapped
+        # corpus from scratch.  delete_docs() then erases the DEL docs
+        # entirely; its oracle filters them out of the same mapped
+        # corpus.  Order matters and is pinned: reidx state = mapped
+        # corpus, del state = mapped corpus minus deletions.
+        changed = corpus.filter(
+            F.col("doc_id") % REIDX_MOD == REIDX_REM
+        ).withColumn("text", F.lit(REIDX_TEXT))
+        idx.reindex(spark, changed)
+        reidx_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
+        del_ids = [
+            int(r[0])
+            for r in corpus.filter(F.col("doc_id") % DEL_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        idx.delete_docs(spark, del_ids)
+        del_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
 
     part = lambda df, p: df.select(  # noqa: E731
         F.lit(p).alias("part"), "doc_id", "rank", "score"
@@ -1381,5 +1460,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(phrase_part, "phrase"))
         .unionByName(part(tt_part, "tt"))
         .unionByName(part(near_part, "near"))
+        .unionByName(part(reidx_part, "reidx"))
+        .unionByName(part(del_part, "del"))
         .orderBy("part", "rank")
     )

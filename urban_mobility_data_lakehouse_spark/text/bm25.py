@@ -174,23 +174,29 @@ def bm25_oracle_sql(
     terms: tuple[str, ...] = QUERY_TERMS,
     k: int = TOP_K,
     where: str = "",
+    text_expr: str = "text",
 ) -> str:
     """Generate the DuckDB twin for `bm25_topk` at this sf_dir:
     identical integers → identical Python-side IDF → identical literal
     arithmetic.  `where` restricts the corpus snapshot (applied to the
     stats pass AND the scoring scan — the twin of scoring a historical
-    index GENERATION whose tables froze a filtered corpus)."""
+    index GENERATION whose tables froze a filtered corpus).
+    `text_expr` substitutes a SQL expression for the raw text column
+    in BOTH passes — the twin of scoring an index whose documents were
+    REINDEXED with changed content (e.g. a CASE mapping specific
+    doc_ids to their new text)."""
     import duckdb
 
     cond = f"WHERE {where}" if where else ""
     con = duckdb.connect()
     cols = ", ".join(
-        f"sum(CAST(list_contains(string_split(text, ' '), "
+        f"sum(CAST(list_contains(string_split({text_expr}, ' '), "
         f"'{_q(t)}') AS BIGINT))"
         for t in terms
     )
     n, sum_dl, *dfs = con.execute(
-        f"SELECT count(*), sum(len(string_split(text, ' '))), {cols} "
+        f"SELECT count(*), sum(len(string_split({text_expr}, ' '))), "
+        f"{cols} "
         f"FROM '{sf_dir}/documents.parquet' {cond}"
     ).fetchone()
     con.close()
@@ -208,8 +214,8 @@ def bm25_oracle_sql(
     return f"""
     SELECT doc_id, CAST(dl AS BIGINT) AS dl, round({score}, 4) AS score
     FROM (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+        SELECT doc_id, string_split({text_expr}, ' ') AS toks,
+               CAST(len(string_split({text_expr}, ' ')) AS DOUBLE) AS dl
         FROM documents {cond}
     )
     WHERE len(list_intersect(toks, [{terms_arr}])) > 0
