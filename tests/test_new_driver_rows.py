@@ -125,8 +125,22 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
         .select(F.col("event_id").alias("id"), F.col("value").alias("v"))
         .collect()
     }
+    # r10: the row is a labeled dml+mv union — the mv part must equal
+    # a per-group recompute of the dml part (the incremental refresh's
+    # from-scratch twin, here checked engine-side)
+    dml = [r for r in r1 if r["part"] == "dml"]
+    mv = {r["p"]: (r["v2"], r["n"]) for r in r1 if r["part"] == "mv"}
+    assert set(r["part"] for r in r1) == {"dml", "mv"}
+    by_group: dict[str, list[float]] = {}
+    for row in dml:
+        by_group.setdefault(row["p"], []).append(row["v2"])
+    assert set(mv) == set(by_group)
+    for g, vals in by_group.items():
+        total, n = mv[g]
+        assert n == len(vals)
+        assert abs(total - sum(vals)) < 1e-6 * max(1.0, abs(total))
     saw_g2 = False
-    for row in r1:
+    for row in dml:
         if row["flag"] == "g2":
             saw_g2 = True
             base = row["id"] - _G2_ID_OFFSET
