@@ -130,7 +130,11 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
     # from-scratch twin, here checked engine-side)
     dml = [r for r in r1 if r["part"] == "dml"]
     mv = {r["p"]: (r["v2"], r["n"]) for r in r1 if r["part"] == "mv"}
-    assert set(r["part"] for r in r1) == {"dml", "mv"}
+    assert set(r["part"] for r in r1) == {"dml", "mv", "cdc"}
+    # cdc conservation: the pipe's inserts minus deletes must equal
+    # the live table the dml part reads
+    cdc = {r["p"]: r["n"] for r in r1 if r["part"] == "cdc"}
+    assert cdc["insert"] - cdc["delete"] == len(dml)
     by_group: dict[str, list[float]] = {}
     for row in dml:
         by_group.setdefault(row["p"], []).append(row["v2"])

@@ -67,6 +67,30 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
         FROM events
         WHERE event_id % 13 = 0
     )
+    , cdc_rows AS (
+        -- the change feed the pipe must deliver, replayed from first
+        -- principles: initial snapshot as inserts, the MoR UPDATE as
+        -- old-image delete + new-image insert pairs, the DV DELETE as
+        -- deletes of the CURRENT (post-update) images, the metadata
+        -- commits (add_column / widen) as nothing, the post-widen
+        -- append as inserts
+        SELECT event_id AS id, value AS v2, 'insert' AS ct FROM events
+        UNION ALL
+        SELECT event_id, value, 'delete' FROM events
+        WHERE event_id % 7 = 3
+        UNION ALL
+        SELECT event_id, value * 2 + 1, 'insert' FROM events
+        WHERE event_id % 7 = 3
+        UNION ALL
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 3 THEN value * 2 + 1
+                    ELSE value END,
+               'delete'
+        FROM events WHERE event_id % 11 = 0
+        UNION ALL
+        SELECT event_id + {_G2_ID_OFFSET}, value * 3, 'insert'
+        FROM events WHERE event_id % 13 = 0
+    )
     SELECT * FROM (
         SELECT 'dml' AS part, id, p, v2, flag, n FROM final_state
         UNION ALL
@@ -79,6 +103,16 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
                CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
                CAST(NULL AS VARCHAR), count(*)
         FROM final_state GROUP BY p
+        UNION ALL
+        -- cdc: the exactly-once change-feed pipe's sink, summarized
+        -- per change type.  The engine's sink accumulated four
+        -- incremental polls; the oracle replays the entire change
+        -- history from scratch — hash equality proves the windows
+        -- covered everything exactly once
+        SELECT 'cdc', CAST(NULL AS BIGINT), ct,
+               CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(NULL AS VARCHAR), count(*)
+        FROM cdc_rows GROUP BY ct
     )
     ORDER BY part, coalesce(id, -1), p
     """,
@@ -118,6 +152,18 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     so hash equality proves incremental refresh ≡ from-scratch
     recompute through MoR updates, deletion vectors, a metadata-only
     widen, and a post-widen append.
+
+    Part 'cdc' (r10): an exactly-once ChangeFeedPipe
+    (`sources/changefeed.py`) from silver.t into gold.t_feed, polled
+    FOUR times (initial snapshot, after the MoR update, after the DV
+    delete, after the metadata commits + append) plus a fifth no-op
+    poll; the part summarizes the sink per change type (decimal-exact
+    sum(v2), count).  The oracle replays the ENTIRE change history
+    from first principles — initial inserts, old-image delete +
+    new-image insert pairs for the update, current-image deletes for
+    the DV delete, gen2 inserts — so hash equality proves the
+    incremental windows delivered everything exactly once with the
+    right images.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
@@ -149,17 +195,33 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = mv.refresh(spark)
     assert first["strategy"] == "full", first
+    from ..sources.changefeed import ChangeFeedPipe
+
+    pipe = ChangeFeedPipe(
+        lake,
+        source=("silver", "t"),
+        sink=("gold", "t_feed"),
+        transform=lambda cdc: cdc.select("id", "v2", "_change_type"),
+    )
+    # poll 1: initial snapshot (post-rename, pre-mutation) as inserts
+    assert pipe.poll(spark)["status"] == "initial"
     lake.update_where(
         spark, "silver", "t",
         F.col("id") % 7 == 3,
         {"v2": F.col("v2") * 2 + 1},
         partition_col="p", mode="merge_on_read",
     )
+    # poll 2: the MoR UPDATE as old-image delete + new-image inserts
+    p2 = pipe.poll(spark)
+    assert p2["status"] == "delta" and p2["rows"] > 0, p2
     lake.delete_where(
         spark, "silver", "t",
         F.col("id") % 11 == 0,
         partition_col="p", mode="merge_on_read",
     )
+    # poll 3: the DV DELETE as deletes of the current images
+    p3 = pipe.poll(spark)
+    assert p3["status"] == "delta" and p3["rows"] > 0, p3
     lake.add_column(spark, "silver", "t", "flag", "string", default=None)
     lake.widen_column_type(spark, "silver", "t", "n", "bigint")
     gen2 = load_table(spark, sf_dir, "events").filter(
@@ -172,6 +234,12 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") + F.lit(_G2_N_OFFSET)).alias("n"),
     )
     lake.append(gen2, "silver", "t")
+    # poll 4: a window spanning two metadata-only commits (add_column,
+    # widen — no CDC rows) plus the post-widen append's inserts; then
+    # an extra poll proves exactly-once (noop, sink untouched)
+    p4 = pipe.poll(spark)
+    assert p4["status"] == "delta" and p4["rows"] > 0, p4
+    assert pipe.poll(spark)["status"] == "noop"
     # ONE incremental refresh across the whole mutation window: MoR
     # update + deletion vectors + add_column + widen + append.  The
     # strategy assertion is the point — a fallback full rebuild would
@@ -193,6 +261,24 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("flag"),
         F.col("n_rows").alias("n"),
     )
-    return dml_rows.unionByName(mv_rows).orderBy(
+    cdc_rows = (
+        lake.read(spark, "gold", "t_feed")
+        .groupBy("_change_type")
+        .agg(
+            F.expr(
+                "cast(sum(cast(v2 as decimal(25,6))) as double)"
+            ).alias("v2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("cdc").alias("part"),
+            F.lit(None).cast("long").alias("id"),
+            F.col("_change_type").alias("p"),
+            "v2",
+            F.lit(None).cast("string").alias("flag"),
+            "n",
+        )
+    )
+    return dml_rows.unionByName(mv_rows).unionByName(cdc_rows).orderBy(
         "part", F.coalesce(F.col("id"), F.lit(-1)), "p"
     )
