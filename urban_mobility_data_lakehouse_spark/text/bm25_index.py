@@ -59,6 +59,27 @@ class PersistentBM25:
         self.postings = f"{name}_postings"
         self.doclen = f"{name}_doclen"
         self.stats = f"{name}_stats"
+        self._stats_cache: tuple[int, object] | None = None
+
+    def _stat_values(self, spark, version):
+        """The (n_docs, sum_dl) row, memoized for live-version reads
+        keyed on the stats table's current commit version (the
+        PersistentIVF `_memo_geometry` idiom): a serving loop pays one
+        stats read per index GENERATION, not per query.  Time-travel
+        reads (`version` set) bypass the cache — they are explicitly
+        historical."""
+        if version is not None:
+            return self.lake.read(
+                spark, self.schema, self.stats, version=version
+            ).collect()[0]
+        v = self.lake.snapshots(self.schema, self.stats)[-1]["version"]
+        if self._stats_cache is not None and self._stats_cache[0] == v:
+            return self._stats_cache[1]
+        row = self.lake.read(
+            spark, self.schema, self.stats
+        ).collect()[0]
+        self._stats_cache = (v, row)
+        return row
 
     # -- build ------------------------------------------------------
 
@@ -281,9 +302,7 @@ class PersistentBM25:
         # index built over ZERO documents has n_docs=0 and a NULL
         # sum_dl (SUM over empty input) — return an empty result with
         # the query schema instead of dividing by the empty corpus
-        srow = lake.read(
-            spark, self.schema, self.stats, version=version
-        ).collect()[0]
+        srow = self._stat_values(spark, version)
         if not srow["n_docs"]:
             return spark.createDataFrame(
                 [], "doc_id long, dl bigint, score double"
