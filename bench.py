@@ -66,6 +66,47 @@ EXPECTED_ROWS: dict[float, dict[str, int]] = {
 }
 
 
+def _total_busy_jiffies() -> int:
+    """System-wide busy jiffies from /proc/stat (everything but
+    idle+iowait)."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]
+
+
+def _tree_busy_jiffies() -> int:
+    """utime+stime jiffies of THIS process and every live descendant
+    (the Spark JVM and its Python/Arrow workers).  Subtracting the
+    tree's delta from the system's delta isolates AMBIENT load — the
+    1-min load_avg cannot: a 32-thread bench inflates it all by
+    itself, so gating on load_avg flags a quiet box as contaminated
+    the moment the bench works hard (observed: 32/34 reps flagged
+    with zero external load)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        rest = s[s.rindex(")") + 2:].split()
+        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack, seen = 0, [os.getpid()], set()
+    while stack:
+        p = stack.pop()
+        if p in seen or p not in procs:
+            continue
+        seen.add(p)
+        total += procs[p][1]
+        stack.extend(kids.get(p, ()))
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -223,39 +264,50 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     # Per-REP contamination gating (round 9's start-gate was not
     # enough: the box loaded up AFTER the gate passed and inflated the
-    # canonical number +15% mid-run).  Each rep records the max of the
-    # 1-min load_avg sampled at its start and end; a rep whose load
-    # exceeds the threshold is CONTAMINATED and, while the global retry
-    # budget lasts, is re-run after a short bounded quiet-wait.  The
-    # reported min is taken over CLEAN reps when any exist, so ambient
-    # load can only ever make the artifact *flagged*, never silently
-    # slower.  `contaminated_reps` counts dirty reps; `queries_dirty`
-    # names queries whose min had to fall back to contaminated walls.
+    # canonical number +15% mid-run).  Each rep measures AMBIENT load
+    # — system-wide busy CPU from /proc/stat MINUS this process
+    # tree's own busy CPU, divided by the rep wall — because the
+    # 1-min load_avg counts the bench's own 32 threads and flags a
+    # quiet box the moment the bench works hard.  A rep whose ambient
+    # load exceeds the threshold (cores of EXTERNAL work running
+    # concurrently) is CONTAMINATED and, while the global retry budget
+    # lasts, is re-run after a short bounded quiet-wait.  The reported
+    # min is taken over CLEAN reps when any exist, so ambient load can
+    # only ever make the artifact *flagged*, never silently slower.
+    # `contaminated_reps` counts dirty reps; `queries_dirty` names
+    # queries whose min had to fall back to contaminated walls.
     retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "12"))
     rep_quiet_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_REP_QUIET_SECS", "30")
     )
+    hz = os.sysconf("SC_CLK_TCK")
     queries_load: dict[str, float] = {}
+    queries_ambient: dict[str, float] = {}
     queries_dirty: list[str] = []
     contaminated_reps = 0
     for name, spec in specs_items:
         walls: list[float] = []
         clean_walls: list[float] = []
-        rep_loads: list[float] = []
+        rep_ambients: list[float] = []
         rows = []
+        queries_load[name] = round(os.getloadavg()[0], 2)
 
         def run_rep():
-            pre = os.getloadavg()[0]
+            b0, o0 = _total_busy_jiffies(), _tree_busy_jiffies()
             t0 = time.perf_counter()
             r = spec.builder(spark, sf_dir).collect()
-            wall = round(time.perf_counter() - t0, 3)
-            return wall, r, max(pre, os.getloadavg()[0])
+            wall = time.perf_counter() - t0
+            ambient = (
+                (_total_busy_jiffies() - b0)
+                - (_tree_busy_jiffies() - o0)
+            ) / (hz * max(wall, 1e-3))
+            return round(wall, 3), r, round(max(0.0, ambient), 2)
 
         for _ in range(reps):
-            wall, rows, load = run_rep()
+            wall, rows, amb = run_rep()
             walls.append(wall)
-            rep_loads.append(load)
-            if load <= max_load:
+            rep_ambients.append(amb)
+            if amb <= max_load:
                 clean_walls.append(wall)
             else:
                 contaminated_reps += 1
@@ -267,19 +319,19 @@ def main() -> None:
                 time.sleep(2.0)
                 waited_r += 2.0
             retry_budget -= 1
-            wall, rows, load = run_rep()
+            wall, rows, amb = run_rep()
             walls.append(wall)
-            rep_loads.append(load)
-            if load <= max_load:
+            rep_ambients.append(amb)
+            if amb <= max_load:
                 clean_walls.append(wall)
             else:
                 contaminated_reps += 1
                 print(
                     f"# retry of {name} still contaminated "
-                    f"(load {load:.2f} > {max_load})",
+                    f"(ambient {amb:.2f} cores > {max_load})",
                     file=sys.stderr,
                 )
-        queries_load[name] = round(max(rep_loads), 2)
+        queries_ambient[name] = round(max(rep_ambients), 2)
         if not clean_walls:
             queries_dirty.append(name)
         best = min(clean_walls) if clean_walls else min(walls)
@@ -325,11 +377,15 @@ def main() -> None:
                 "contaminated": contaminated or bool(queries_dirty),
                 "load_threshold": max_load,
                 "quiet_wait_sec": round(waited, 1),
-                # max per-rep load (start/end 1-min load_avg) observed
-                # for each query; reps whose load exceeded the
+                # 1-min load_avg at each query's start (r9 field, kept
+                # for cross-round comparison — includes SELF-load)
+                "queries_load": queries_load,
+                # max per-rep AMBIENT load (cores of external work:
+                # /proc/stat busy minus this process tree's busy, per
+                # rep wall); the gating signal — reps above the
                 # threshold were re-run (bounded global retry budget)
                 # and the min is over clean reps whenever any exist
-                "queries_load": queries_load,
+                "queries_ambient": queries_ambient,
                 "contaminated_reps": contaminated_reps,
                 # queries whose reported min had to fall back to
                 # contaminated walls (retry budget exhausted) — a
