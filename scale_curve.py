@@ -144,27 +144,37 @@ LADDER_QUERIES = (
 # alone.  This attributes the suite's growth slope to the operator
 # that owns it instead of one aggregate number.
 #
-# bm25_search is special: its builder runs a FIXED persistent-index
-# lifecycle (throwaway-lakehouse build + add) eagerly before any part
-# is consumable, so every part's wall carries that cost.  The
-# `_lifecycle` pseudo-part below times the build+add ALONE per sf —
-# part wall minus lifecycle wall ≈ that part's query cost, making
-# index-build vs query growth visible per decade.
-LADDER_PART_SUITES = (
-    "text_pairs_suite", "multimodal_suite", "bm25_search",
-)
+# bm25_search is special: its builder materializes EVERY part eagerly
+# (localCheckpoint before the temp index is deleted), so the part=X
+# constant-fold trick can't decompose it — each filtered run would
+# just re-pay the whole builder (measured: every part wall ≈ the full
+# suite wall).  Instead `_bm25_staged` replays the builder's lifecycle
+# ONCE per sf and times each index OPERATION individually: build /
+# add / query / phrase / tt / near / reindex / delete and the
+# post-mutation queries — index-build cost vs query cost per decade,
+# directly.
+LADDER_PART_SUITES = ("text_pairs_suite", "multimodal_suite")
 
 
-def _bm25_lifecycle(spark, sf_dir: str) -> None:
-    """The exact index lifecycle bm25_search's builder pays (split
-    build + add over a throwaway lakehouse), with NO queries — timed
-    separately so the ladder can subtract it out."""
+def _bm25_staged(spark, sf_dir: str) -> dict[str, float]:
+    """One pass of the bm25_search lifecycle with per-operation walls
+    (bounded query outputs collected, index ops measured to commit)."""
+    from urban_mobility_data_lakehouse_spark.queries.text import (
+        DEL_MOD,
+        NEAR_TERMS,
+        NEAR_WINDOW,
+        PHRASE,
+        REIDX_MOD,
+        REIDX_REM,
+        REIDX_TEXT,
+    )
     from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
         temp_lakehouse,
     )
     from urban_mobility_data_lakehouse_spark.sources.testdata import (
         load_table,
     )
+    from urban_mobility_data_lakehouse_spark.text.bm25 import QUERY_TERMS
     from urban_mobility_data_lakehouse_spark.text.bm25_index import (
         PersistentBM25,
     )
@@ -173,10 +183,44 @@ def _bm25_lifecycle(spark, sf_dir: str) -> None:
     corpus = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+    walls: dict[str, float] = {}
+
+    def timed(stage, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        walls[stage] = round(time.perf_counter() - t0, 3)
+        return out
+
     with temp_lakehouse(prefix="umdl_bm25_scale_") as lake:
         idx = PersistentBM25(lake)
-        idx.build(spark, corpus.filter(F.col("doc_id") % 2 == 0))
-        idx.add(spark, corpus.filter(F.col("doc_id") % 2 == 1))
+        timed("build", lambda: idx.build(
+            spark, corpus.filter(F.col("doc_id") % 2 == 0)))
+        timed("add", lambda: idx.add(
+            spark, corpus.filter(F.col("doc_id") % 2 == 1)))
+        timed("query", lambda: idx.query(
+            spark, QUERY_TERMS, k=20).collect())
+        timed("phrase", lambda: idx.phrase_query(
+            spark, PHRASE, k=20).collect())
+        timed("tt", lambda: idx.query(
+            spark, QUERY_TERMS, k=20, version=0).collect())
+        timed("near", lambda: idx.near_query(
+            spark, *NEAR_TERMS, window=NEAR_WINDOW, k=20).collect())
+        changed = corpus.filter(
+            F.col("doc_id") % REIDX_MOD == REIDX_REM
+        ).withColumn("text", F.lit(REIDX_TEXT))
+        timed("reindex", lambda: idx.reindex(spark, changed))
+        timed("query_reidx", lambda: idx.query(
+            spark, QUERY_TERMS, k=20).collect())
+        del_ids = [
+            int(r[0])
+            for r in corpus.filter(F.col("doc_id") % DEL_MOD == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        timed("delete", lambda: idx.delete_docs(spark, del_ids))
+        timed("query_del", lambda: idx.query(
+            spark, QUERY_TERMS, k=20).collect())
+    return walls
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's
 # EXPECTED_ROWS: a scale lane that silently times a wrong-rowcount
@@ -357,25 +401,26 @@ def main() -> None:
                         ),
                         file=sys.stderr,
                     )
-            if name == "bm25_search":
-                # fixed index-lifecycle cost every part wall carries
-                ladder_parts[name]["_lifecycle"] = {}
-                for d in SF_LADDER:
-                    sf_tag = d.rstrip("/").rsplit("/", 1)[-1]
-                    best = None
-                    for _ in range(reps):
-                        t0 = time.perf_counter()
-                        _bm25_lifecycle(spark, d)
-                        dt = round(time.perf_counter() - t0, 3)
-                        best = dt if best is None else min(best, dt)
-                    ladder_parts[name]["_lifecycle"][sf_tag] = best
+        if name == "bm25_search":
+            # staged decomposition (see LADDER_PART_SUITES note):
+            # per-operation walls, min over reps per stage
+            stages: dict[str, dict[str, float]] = {}
+            for d in SF_LADDER:
+                sf_tag = d.rstrip("/").rsplit("/", 1)[-1]
+                best: dict[str, float] = {}
+                for _ in range(reps):
+                    for stage, w in _bm25_staged(spark, d).items():
+                        best[stage] = min(best.get(stage, w), w)
+                for stage, w in best.items():
+                    stages.setdefault(stage, {})[sf_tag] = w
                     print(
                         json.dumps(
-                            {"query": name, "part": "_lifecycle",
-                             "sf": sf_tag, "sec": best, "reps": reps}
+                            {"query": name, "stage": stage,
+                             "sf": sf_tag, "sec": w, "reps": reps}
                         ),
                         file=sys.stderr,
                     )
+            ladder_parts[name] = stages
 
     def with_ratios(times: dict, prefix: str = "") -> dict:
         """times + ratio_{b}/{a} for each adjacent key pair — the one
