@@ -348,3 +348,21 @@ def test_serving_geometry_memoized_per_generation(
         assert reads.count(geom_table) == 2
     finally:
         idx.lake.read = orig_read
+
+
+def test_moved_probe_prunes_by_bloom(spark, embeddings, tmp_path, sf_dir):
+    """The `_moved_ids` probe reads through read_where(vec_id IN …):
+    with the Bloom index build() registers, a one-id probe plans a
+    strict subset of the index files instead of the corpus-sized
+    scan."""
+    idx = _mk_index(tmp_path, name="bloomprobe")
+    idx.build(spark, embeddings)
+    assert "vec_id" in idx.lake.bloom_index("gold", idx.name)
+    full = idx.lake.read(spark, "gold", idx.name)
+    probe = idx.lake.read_where(
+        spark, "gold", idx.name, [("vec_id", "in", [0])]
+    )
+    n_full = len(full.inputFiles())
+    n_probe = len(probe.inputFiles())
+    assert n_probe < n_full, (n_probe, n_full)
+    assert probe.count() == 1

@@ -115,6 +115,16 @@ class PersistentIVF:
                 embeddings, n_cells=self.n_cells, seed=self.seed
             )
         assigned = assign_cells(embeddings, centroids)
+        # per-file Bloom index on vec_id BEFORE the first write so
+        # every index file carries a filter: point lookups (the
+        # `_moved_ids` probe, delete audits) prune to the files that
+        # can hold the ids instead of scanning the corpus-sized index
+        import os as _os
+
+        _os.makedirs(
+            self.lake._table_dir(self.schema, self.name), exist_ok=True
+        )
+        self.lake.add_bloom_index(self.schema, self.name, "vec_id")
         self.lake.overwrite_partitions(
             assigned.repartition(F.col("cell")),
             self.schema,
@@ -188,22 +198,29 @@ class PersistentIVF:
         a DIFFERENT cell — the re-delivered-with-changed-embedding
         case the plain merge cannot fix (it only rewrites partitions
         present in the batch, so the old cell's stale row would
-        survive).  Batch-bounded: the incoming side broadcasts and the
-        result is collected (≤ batch size)."""
-        idx = self.lake.read(spark, self.schema, self.name).select(
-            "vec_id", F.col("cell").cast("int").alias("old_cell")
+        survive).  Batch-bounded: the incoming (vec_id, cell) pairs
+        collect (≤ batch size) and the index side reads through
+        `read_where(vec_id IN …)` — the per-file Bloom index `build`
+        registers prunes that probe to the files that can hold the
+        batch's ids, so a serving-sized micro-batch never scans the
+        corpus-sized index."""
+        inc = {
+            int(r["vec_id"]): int(r["new_cell"])
+            for r in assigned.select(
+                "vec_id", F.col("cell").cast("int").alias("new_cell")
+            ).collect()
+        }
+        cand = self.lake.read_where(
+            spark, self.schema, self.name,
+            [("vec_id", "in", sorted(inc))],
+        ).select("vec_id", F.col("cell").cast("int").alias("old_cell"))
+        return sorted(
+            {
+                int(r["vec_id"])
+                for r in cand.collect()
+                if r["old_cell"] != inc[int(r["vec_id"])]
+            }
         )
-        inc = assigned.select(
-            "vec_id", F.col("cell").cast("int").alias("new_cell")
-        )
-        return [
-            int(r[0])
-            for r in idx.join(F.broadcast(inc), "vec_id")
-            .filter(F.col("old_cell") != F.col("new_cell"))
-            .select("vec_id")
-            .distinct()
-            .collect()
-        ]
 
     def optimize(self, spark: SparkSession) -> dict:
         """Re-cluster the index into one file per cell partition."""
@@ -394,6 +411,14 @@ class PersistentIVFPQ:
             if codebooks is not None
             else pq.train_pq(embeddings, seed=self.seed)
         )
+        # vec_id Bloom index before the first write (see
+        # PersistentIVF.build) — prunes the `_moved_ids` probe
+        import os as _os
+
+        _os.makedirs(
+            self.lake._table_dir(self.schema, self.name), exist_ok=True
+        )
+        self.lake.add_bloom_index(self.schema, self.name, "vec_id")
         self.lake.overwrite_partitions(
             self._encode(embeddings, centroids, books).repartition(
                 F.col("cell")
@@ -487,21 +512,24 @@ class PersistentIVFPQ:
         self, spark: SparkSession, encoded: DataFrame
     ) -> list[int]:
         """Incoming vec_ids already present in a DIFFERENT cell (see
-        `PersistentIVF._moved_ids`)."""
-        idx = self.lake.read(spark, self.schema, self.name).select(
-            "vec_id", F.col("cell").cast("int").alias("old_cell")
+        `PersistentIVF._moved_ids` — same Bloom-pruned probe)."""
+        inc = {
+            int(r["vec_id"]): int(r["new_cell"])
+            for r in encoded.select(
+                "vec_id", F.col("cell").cast("int").alias("new_cell")
+            ).collect()
+        }
+        cand = self.lake.read_where(
+            spark, self.schema, self.name,
+            [("vec_id", "in", sorted(inc))],
+        ).select("vec_id", F.col("cell").cast("int").alias("old_cell"))
+        return sorted(
+            {
+                int(r["vec_id"])
+                for r in cand.collect()
+                if r["old_cell"] != inc[int(r["vec_id"])]
+            }
         )
-        inc = encoded.select(
-            "vec_id", F.col("cell").cast("int").alias("new_cell")
-        )
-        return [
-            int(r[0])
-            for r in idx.join(F.broadcast(inc), "vec_id")
-            .filter(F.col("old_cell") != F.col("new_cell"))
-            .select("vec_id")
-            .distinct()
-            .collect()
-        ]
 
     def optimize(self, spark: SparkSession) -> dict:
         return self.lake.compact(
