@@ -182,9 +182,12 @@ class PersistentIVF:
         """Remove vectors from the index (retention / GDPR erasure,
         and the primitive re-adds with changed embeddings compose
         with).  Deletion-vector (merge-on-read) commit: O(deleted
-        rows) write cost, readers anti-join the positions out until
-        `optimize()` materializes the deletes.  Returns True iff any
-        row matched."""
+        rows) WRITE cost, readers anti-join the positions out until
+        `optimize()` materializes the deletes.  The position-finding
+        SCAN is full-table (the DV path reads with positions, which
+        the Bloom-pruned `read_where` doesn't support yet) — batch
+        deletes amortize it; `_moved_ids` keeps the per-micro-batch
+        probe pruned.  Returns True iff any row matched."""
         return self.lake.delete_where(
             spark, self.schema, self.name,
             F.col("vec_id").isin([int(i) for i in vec_ids]),
