@@ -102,7 +102,8 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
         vcol = "v2" if renamed else "v"
         op = rng.choice(
             ["append", "merge", "delete_cow", "delete_mor",
-             "update_mor", "compact", "add_col", "rename", "widen"]
+             "update_mor", "compact", "add_col", "rename", "widen",
+             "txn_purge_merge", "txn_delete"]
         )
         if op == "append":
             lake.append(
@@ -139,6 +140,31 @@ def test_manifest_contract_under_random_op_tape(spark, tmp_path, seed):
                 {vcol: F.col(vcol) + 1.0},
                 partition_col="p", mode="merge_on_read",
             )
+        elif op == "txn_purge_merge":
+            # the r10 WHEN-MATCHED-DELETE leg: ONE staged commit that
+            # merges a row AND purges an unrelated id, whose partition
+            # may differ from the update's — the explicit-partition
+            # staging (a purge can empty a partition) rides the tape
+            with lake.transaction() as txn:
+                txn.merge_into(
+                    spark, "silver", "t",
+                    _df(
+                        spark,
+                        [(rng.randrange(30), "0", 50.0 + step)],
+                        vcol,
+                    ).withColumn("p", (F.col("id") % 3).cast("string")),
+                    key="id", partition_col="p",
+                    purge_condition=F.col("id") == rng.randrange(30),
+                )
+        elif op == "txn_delete":
+            # staged copy-on-write DELETE (r10) — commits only if rows
+            # match, like the direct path
+            with lake.transaction() as txn:
+                txn.delete_where(
+                    spark, "silver", "t",
+                    F.col("id") == rng.randrange(30),
+                    partition_col="p",
+                )
         elif op == "compact":
             lake.compact(spark, "silver", "t", partition_col="p")
         elif op == "add_col":
