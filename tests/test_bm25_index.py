@@ -397,3 +397,51 @@ def test_delete_docs_matches_fresh_build_without_them(
     assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
         fresh.query(spark, TERMS, k=20)
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bm25_random_mutation_tape(spark, docs, tmp_path, seed):
+    """Model-based tape over the index-mutation surface: ANY random
+    interleaving of add-new / reindex-changed / delete must leave the
+    three-table state equal to a fresh build of the modeled corpus —
+    the same randomized methodology the lakehouse manifest tape uses,
+    pointed at the r10 mutation legs."""
+    import random
+
+    rng = random.Random(20260816 + seed)
+    base = {
+        r["doc_id"]: r["text"]
+        for r in docs.orderBy("doc_id").limit(40).collect()
+    }
+    model = dict(base)
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, model[i]) for i in ids], "doc_id long, text string"
+        )
+
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "tape")))
+    idx.build(spark, frame(sorted(model)))
+    next_id = max(model) + 1_000
+    for step in range(5):
+        op = rng.choice(["add", "reindex", "delete"])
+        if op == "add":
+            model[next_id] = f"fresh doc {step} customer stream"
+            idx.add(spark, frame([next_id]))
+            next_id += 1
+        elif op == "reindex" and model:
+            target = rng.choice(sorted(model))
+            model[target] = f"rewritten {step} spark vector"
+            idx.reindex(spark, frame([target]))
+        elif op == "delete" and model:
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            for v in victims:
+                del model[v]
+            idx.delete_docs(spark, victims)
+
+    fresh = PersistentBM25(Lakehouse(str(tmp_path / "fresh")))
+    fresh.build(spark, frame(sorted(model)))
+    assert _index_state(spark, idx) == _index_state(spark, fresh)
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        fresh.query(spark, TERMS, k=20)
+    )
