@@ -366,3 +366,69 @@ def test_moved_probe_prunes_by_bloom(spark, embeddings, tmp_path, sf_dir):
     n_probe = len(probe.inputFiles())
     assert n_probe < n_full, (n_probe, n_full)
     assert probe.count() == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ivf_random_mutation_tape(
+    spark, embeddings, tmp_path, sf_dir, seed
+):
+    """Model-based tape over the vector-index mutation surface: ANY
+    random interleaving of add-new / replace-with-changed-embedding
+    (cell moves included) / delete must leave the index answering
+    queries identically to a fresh build of the modeled corpus, with
+    every vec_id stored exactly once."""
+    import random
+
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        train_centroids_from_parquet,
+    )
+
+    rng = random.Random(20260816 + seed)
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    pool = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in embeddings.orderBy("vec_id").limit(60).collect()
+    ]
+    model = dict(pool[:40])
+    donors = [e for _, e in pool[40:]]
+
+    def frame(ids):
+        return spark.createDataFrame(
+            [(i, model[i]) for i in ids],
+            "vec_id long, embedding array<float>",
+        )
+
+    idx = _mk_index(tmp_path / "tape", name="tape")
+    idx.build(spark, frame(sorted(model)), centroids=cents)
+    next_id = max(model) + 1_000
+    for step in range(5):
+        op = rng.choice(["add", "replace", "delete"])
+        if op == "add":
+            model[next_id] = rng.choice(donors)
+            idx.add(spark, frame([next_id]))
+            next_id += 1
+        elif op == "replace" and model:
+            # a changed embedding that may move cells
+            target = rng.choice(sorted(model))
+            model[target] = rng.choice(donors)
+            idx.add(spark, frame([target]), replace_existing=True)
+        elif op == "delete" and model:
+            victims = rng.sample(sorted(model), k=min(2, len(model)))
+            for v in victims:
+                del model[v]
+            idx.delete_vecs(spark, victims)
+
+    # every surviving vec_id stored exactly once
+    counts = (
+        idx.lake.read(spark, "gold", idx.name)
+        .groupBy("vec_id").count().collect()
+    )
+    assert {int(r["vec_id"]) for r in counts} == set(model)
+    assert all(r["count"] == 1 for r in counts)
+
+    fresh = _mk_index(tmp_path / "fresh", name="fresh")
+    fresh.build(spark, frame(sorted(model)), centroids=cents)
+    queries = frame(sorted(model)[:8])
+    assert _rows(idx.query(spark, queries, k=3)) == _rows(
+        fresh.query(spark, queries, k=3)
+    )
