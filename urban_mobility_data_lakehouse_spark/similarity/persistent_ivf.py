@@ -181,16 +181,16 @@ class PersistentIVF:
     ) -> bool:
         """Remove vectors from the index (retention / GDPR erasure,
         and the primitive re-adds with changed embeddings compose
-        with).  Deletion-vector (merge-on-read) commit: O(deleted
-        rows) WRITE cost, readers anti-join the positions out until
-        `optimize()` materializes the deletes.  The position-finding
-        SCAN is full-table (the DV path reads with positions, which
-        the Bloom-pruned `read_where` doesn't support yet) — batch
-        deletes amortize it; `_moved_ids` keeps the per-micro-batch
-        probe pruned.  Returns True iff any row matched."""
+        with).  Deletion-vector (merge-on-read) commit through the
+        PRUNED path: the position-finding scan routes through
+        `read_where(vec_id IN …)`, so with the Bloom index `build`
+        registers it opens only the files that can hold the ids —
+        O(matching files) scan + O(deleted rows) write; readers
+        anti-join the positions out until `optimize()` materializes
+        the deletes.  Returns True iff any row matched."""
         return self.lake.delete_where(
             spark, self.schema, self.name,
-            F.col("vec_id").isin([int(i) for i in vec_ids]),
+            predicates=[("vec_id", "in", sorted(int(i) for i in vec_ids))],
             mode="merge_on_read",
         )
 
@@ -503,11 +503,11 @@ class PersistentIVFPQ:
         self, spark: SparkSession, vec_ids: list[int]
     ) -> bool:
         """Remove vectors from the code index (see
-        `PersistentIVF.delete_vecs` — same deletion-vector commit,
-        O(deleted rows))."""
+        `PersistentIVF.delete_vecs` — same Bloom-pruned
+        deletion-vector commit)."""
         return self.lake.delete_where(
             spark, self.schema, self.name,
-            F.col("vec_id").isin([int(i) for i in vec_ids]),
+            predicates=[("vec_id", "in", sorted(int(i) for i in vec_ids))],
             mode="merge_on_read",
         )
 

@@ -1225,9 +1225,10 @@ class Lakehouse:
         spark: SparkSession,
         schema: str,
         name: str,
-        condition,
+        condition=None,
         partition_col: str | None = None,
         mode: str = "copy_on_write",
+        predicates: list[tuple] | None = None,
     ) -> bool:
         """Row-level DELETE: rewrite only the partitions that contain
         matching rows, keeping the non-matching rows (GDPR-erasure /
@@ -1257,12 +1258,32 @@ class Lakehouse:
         are named); time travel, CDC, and restore all see DV deletes
         as ordinary commits.
 
+        `predicates` (the ``read_where`` triple list) may be passed
+        INSTEAD of `condition`: the delete condition is derived from
+        the triples (one source of truth — the rows deleted are exactly
+        the rows the triples select), and the merge-on-read
+        position-finding scan routes through `read_where`, opening only
+        the stats/bloom-surviving files.  The pruned path is what makes
+        a point erasure (GDPR delete of k ids) O(matching files), not
+        O(table scan), on a Bloom-indexed key.
+
         Returns True iff a commit happened (False = no matching rows,
         table untouched, no new version) — callers tracking commit
         counts must branch on this rather than assume one version per
         call."""
+        if (condition is None) == (predicates is None):
+            raise ValueError(
+                "delete_where: pass exactly one of condition or "
+                "predicates"
+            )
+        if predicates is not None:
+            from .skipping import predicates_to_column
+
+            condition = predicates_to_column(predicates)
         if mode == "merge_on_read":
-            return self._delete_where_dv(spark, schema, name, condition)
+            return self._delete_where_dv(
+                spark, schema, name, condition, predicates
+            )
         if mode != "copy_on_write":
             raise ValueError(
                 f"delete_where: unknown mode {mode!r} "
@@ -1520,22 +1541,34 @@ class Lakehouse:
         )
 
     def _delete_where_dv(
-        self, spark: SparkSession, schema: str, name: str, condition
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        condition,
+        predicates: list[tuple] | None = None,
     ) -> bool:
         """Merge-on-read delete: commit the matching rows' physical
         positions as a deletion vector (one parquet write, no data
         rewritten).  Reading with positions already excludes earlier
-        DVs, so vectors never name an already-deleted row twice."""
+        DVs, so vectors never name an already-deleted row twice.  With
+        `predicates`, the positional scan routes through `read_where`
+        (stats/bloom/partition pruning) — it already applies the same
+        conjunction as its residual filter, so no re-filter needed."""
         path = self._table_dir(schema, name)
         # base BEFORE the positional read (see _merge_into_mor)
         base, data_dir = self._next_data_dir(schema, name)
-        matches = (
-            self.read(spark, schema, name, with_positions=True)
-            .filter(condition)  # TRUE rows only (3-valued logic)
-            .select(
-                F.col("__dv_file").alias("file_path"),
-                F.col("__dv_pos").alias("row_index"),
+        if predicates is not None:
+            scanned = self.read_where(
+                spark, schema, name, predicates, with_positions=True
             )
+        else:
+            scanned = self.read(
+                spark, schema, name, with_positions=True
+            ).filter(condition)  # TRUE rows only (3-valued logic)
+        matches = scanned.select(
+            F.col("__dv_file").alias("file_path"),
+            F.col("__dv_pos").alias("row_index"),
         )
         if matches.limit(1).count() == 0:
             return False  # no matches → no commit (CoW parity)
@@ -2499,6 +2532,7 @@ class Lakehouse:
         name: str,
         predicates: list[tuple],
         version: int | None = None,
+        with_positions: bool = False,
     ) -> DataFrame:
         """Data-skipping read (Delta's stats-based file pruning): like
         `read`, but a conjunctive predicate — ``[(col, op, value),
@@ -2507,6 +2541,12 @@ class Lakehouse:
         files that can possibly hold a matching row are handed to
         Spark.  The same predicate is then re-applied as a real filter,
         so pruning is advisory: a stats gap costs I/O, never rows.
+
+        `with_positions=True` keeps the physical (__dv_file, __dv_pos)
+        columns, exactly as `read` does — the handle the PRUNED
+        merge-on-read DELETE path uses (`delete_where(predicates=…)`):
+        a point erasure then opens only the stats/bloom-surviving
+        files instead of scanning the table for positions.
 
         Four pruning layers compose here: superseded-partition
         exclusion (directory), footer-stats skipping (file — this),
@@ -2694,17 +2734,20 @@ class Lakehouse:
             # every file provably irrelevant: an empty frame with the
             # table's schema (Catalyst folds the FALSE filter away —
             # no file is opened)
-            return self.read(spark, schema, name, version).filter(
-                F.lit(False)
-            )
+            return self.read(
+                spark, schema, name, version, with_positions
+            ).filter(F.lit(False))
         frames = self._fill_added(frames, schema, name, version)
-        if dvs:
+        tag = bool(dvs) or with_positions
+        if tag:
             frames = [self._with_positions(f, path) for f in frames]
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        if dvs:
-            out = self._apply_dvs(spark, out, dvs)
+        if tag:
+            out = self._apply_dvs(
+                spark, out, dvs, keep_positions=with_positions
+            )
         out = self._apply_column_mapping(out, schema, name, version)
         return self._drop_hidden(out.filter(residual))
 
