@@ -96,3 +96,43 @@ def test_txn_then_plain_writes_interleave(spark, lake_and_frames):
     snaps = lake.snapshots("silver", "audit_log")
     assert [e["version"] for e in snaps] == [0, 1]
     assert lake.read(spark, "silver", "audit_log").count() == 2
+
+
+def test_txn_delete_where_forward_derives_buckets(spark, tmp_path):
+    """predicates on a hidden bucket spec's SOURCE column derive the
+    affected partitions through the transform — no discovery scan —
+    and the staged delete equals the condition path."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    for t in ("a", "b"):
+        lake.set_partition_spec("silver", t, "bucket(8, id)")
+        lake.overwrite_partitions(
+            spark.range(200).select("id", (F.col("id") * 3).alias("v")),
+            "silver", t,
+        )
+    with lake.transaction() as txn:
+        assert txn.delete_where(
+            spark, "silver", "a", predicates=[("id", "in", [7, 63])]
+        )
+    with lake.transaction() as txn:
+        assert txn.delete_where(
+            spark, "silver", "b", F.col("id").isin([7, 63])
+        )
+    rows = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in lake.read(spark, "silver", t).collect()
+    )
+    assert rows("a") == rows("b")
+    assert len(rows("a")) == 198
+    # ids absent from the table: no commit, no version churn
+    v = len(lake.snapshots("silver", "a"))
+    with lake.transaction() as txn:
+        assert not txn.delete_where(
+            spark, "silver", "a", predicates=[("id", "=", 99_999)]
+        )
+    assert len(lake.snapshots("silver", "a")) == v

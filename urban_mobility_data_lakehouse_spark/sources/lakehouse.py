@@ -3665,8 +3665,9 @@ class Transaction:
         spark: SparkSession,
         schema: str,
         name: str,
-        condition,
+        condition=None,
         partition_col: str | None = None,
+        predicates: list[tuple] | None = None,
     ) -> bool:
         """Stage a copy-on-write row-level DELETE (same semantics as
         `Lakehouse.delete_where(mode="copy_on_write")`) inside the
@@ -3674,8 +3675,55 @@ class Transaction:
         doc lengths + stats refresh) lands at one journal line and a
         reader can never observe postings for a document whose length
         row is already gone.  Returns True iff rows matched (False =
-        nothing staged for this table)."""
+        nothing staged for this table).
+
+        With `predicates` instead of `condition` (one source of truth,
+        like `Lakehouse.delete_where`), and when every triple is an
+        `=`/`in` on the table's hidden-partition SOURCE column, the
+        affected partitions are derived FORWARD through the transform
+        (`PartitionSpec.value_of`) — the discovery step costs zero
+        table scans, the shape a point erasure on a
+        bucket-partitioned key needs at 100 TB.  Other predicates fall
+        back to the scan-based discovery."""
         lake = self.lake
+        if (condition is None) == (predicates is None):
+            raise ValueError(
+                "txn delete_where: pass exactly one of condition or "
+                "predicates"
+            )
+        if predicates is not None:
+            from .skipping import predicates_to_column
+
+            condition = predicates_to_column(predicates)
+        affected: list[str] | None = None
+        spec = lake.partition_spec(schema, name)
+        if (
+            predicates is not None
+            and partition_col is None
+            and spec is not None
+            and all(
+                p[0] == spec.source and p[1] in ("=", "==", "in")
+                for p in predicates
+            )
+        ):
+            cand: set[str] = set()
+            for _, op, val in predicates:
+                vals = val if op == "in" else (val,)
+                cand.update(spec.value_of(v) for v in vals)
+            live = set(lake._manifest(schema, name)[0])
+            affected = sorted(cand & live)
+            if not affected:
+                return False
+            # the derived buckets may hold none of the ids (id absent
+            # from the table): keep the rows-matched contract with ONE
+            # pruned existence probe, not a table scan
+            if (
+                lake.read_where(spark, schema, name, predicates)
+                .limit(1)
+                .count()
+                == 0
+            ):
+                return False
         current = lake.read(spark, schema, name)
         if partition_col is None:
             current, partition_col = lake._resolve_partitioning(
@@ -3685,13 +3733,14 @@ class Transaction:
             current = lake._ensure_partition_col(
                 current, schema, name, partition_col
             )
-        affected = [
-            str(r[0])
-            for r in current.filter(condition)
-            .select(partition_col)
-            .distinct()
-            .collect()
-        ]
+        if affected is None:
+            affected = [
+                str(r[0])
+                for r in current.filter(condition)
+                .select(partition_col)
+                .distinct()
+                .collect()
+            ]
         if not affected:
             return False
         survivors = current.filter(

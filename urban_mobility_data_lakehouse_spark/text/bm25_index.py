@@ -217,13 +217,20 @@ class PersistentBM25:
 
         Cost: copy-on-write rewrite of only the bucket partitions
         holding the deleted ids' rows — at 100 TB that is
-        |touched buckets|/n_buckets of the index, not the table."""
-        ids = [int(i) for i in doc_ids]
+        |touched buckets|/n_buckets of the index, not the table.  The
+        doclen leg's affected buckets derive FORWARD through its
+        bucket(doc_id) transform (zero discovery scans); the postings
+        leg must scan for its buckets (a deleted doc's terms span
+        arbitrary term buckets)."""
+        ids = sorted(int(i) for i in doc_ids)
         cond = F.col("doc_id").isin(ids)
         lake = self.lake
         with lake.transaction() as txn:
             txn.delete_where(spark, self.schema, self.postings, cond)
-            txn.delete_where(spark, self.schema, self.doclen, cond)
+            txn.delete_where(
+                spark, self.schema, self.doclen,
+                predicates=[("doc_id", "in", ids)],
+            )
             remaining = lake.read(
                 spark, self.schema, self.doclen
             ).filter(~cond)
