@@ -136,3 +136,42 @@ def test_txn_delete_where_forward_derives_buckets(spark, tmp_path):
             spark, "silver", "a", predicates=[("id", "=", 99_999)]
         )
     assert len(lake.snapshots("silver", "a")) == v
+
+
+def test_txn_delete_where_predicates_reaches_appended_rows(
+    spark, tmp_path
+):
+    """Forward-derived bucket discovery must count buckets living only
+    in ADDITIVE (append) dirs as live — an appended row's bucket may
+    not be partition-mapped yet, and missing it would silently skip
+    the delete."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "t", "bucket(8, id)")
+    lake.overwrite_partitions(
+        spark.range(10).select("id", (F.col("id") * 3).alias("v")),
+        "silver", "t",
+    )
+    # append ids far outside the seeded range — possibly new buckets
+    lake.append(
+        spark.range(5_000, 5_020).select(
+            "id", (F.col("id") * 3).alias("v")
+        ),
+        "silver", "t",
+    )
+    with lake.transaction() as txn:
+        assert txn.delete_where(
+            spark, "silver", "t",
+            predicates=[("id", "in", [5_003, 5_011])],
+        )
+    ids = sorted(
+        r["id"] for r in lake.read(spark, "silver", "t").collect()
+    )
+    assert 5_003 not in ids and 5_011 not in ids
+    assert len(ids) == 28

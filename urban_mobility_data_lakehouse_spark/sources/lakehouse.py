@@ -3710,10 +3710,31 @@ class Transaction:
             for _, op, val in predicates:
                 vals = val if op == "in" else (val,)
                 cand.update(spec.value_of(v) for v in vals)
-            live = set(lake._manifest(schema, name)[0])
-            affected = sorted(cand & live)
-            if not affected:
-                return False
+            # live partition values: the mapped partitions PLUS any
+            # values sitting in additive (append) dirs, read off their
+            # spec subdirectory names — an appended row's bucket may
+            # not be in part_map yet.  An additive dir WITHOUT spec
+            # subdirs hides its values: fall back to scan discovery
+            # rather than risk missing a bucket.
+            part_map, extra, _dvs = lake._manifest(schema, name)
+            live = set(part_map)
+            pfx = f"{spec.hidden_col}="
+            opaque_additive = False
+            for d in extra:
+                subs = [
+                    s for s in (
+                        os.listdir(d) if os.path.isdir(d) else ()
+                    )
+                    if s.startswith(pfx)
+                ]
+                if subs:
+                    live.update(s[len(pfx):] for s in subs)
+                elif _count_data_files(d) > 0:
+                    opaque_additive = True
+            if not opaque_additive:
+                affected = sorted(cand & live)
+                if not affected:
+                    return False
             # the derived buckets may hold none of the ids (id absent
             # from the table): keep the rows-matched contract with ONE
             # pruned existence probe, not a table scan
