@@ -263,3 +263,49 @@ def test_update_mor_then_compact_materializes(spark, lake):
     assert t.filter("id = 2").collect()[0]["v"] == 42
     assert t.count() == 400
     assert lake.fsck("silver", "t")["errors"] == []
+
+
+def test_update_where_predicates_prunes_and_matches_condition(
+    spark, lake
+):
+    """update_where(predicates=…) derives its condition from the
+    triples and routes the MoR positional scan through read_where —
+    result equal to the classic condition path on twin tables."""
+    _seed(spark, lake, "ua")
+    _seed(spark, lake, "ub")
+    lake.update_where(
+        spark, "silver", "ua",
+        predicates=[("id", "in", [3, 17])],
+        set={"v": F.col("v") + 100},
+        mode="merge_on_read",
+    )
+    lake.update_where(
+        spark, "silver", "ub",
+        F.col("id").isin([3, 17]),
+        {"v": F.col("v") + 100},
+        mode="merge_on_read",
+    )
+    rows = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in lake.read(spark, "silver", t).collect()
+    )
+    assert rows("ua") == rows("ub")
+    got = {
+        r["id"]: r["v"]
+        for r in lake.read(spark, "silver", "ua")
+        .filter(F.col("id").isin([3, 17, 4]))
+        .collect()
+    }
+    assert got[3] == 3 * 2 + 100 and got[17] == 17 * 2 + 100
+    assert got[4] == 8  # untouched
+
+
+def test_update_where_requires_exactly_one_selector(spark, lake):
+    _seed(spark, lake)
+    with pytest.raises(ValueError, match="exactly one"):
+        lake.update_where(spark, "silver", "t", set={"v": F.lit(0)})
+    with pytest.raises(ValueError, match="exactly one"):
+        lake.update_where(
+            spark, "silver", "t",
+            F.col("id") == 1, {"v": F.lit(0)},
+            predicates=[("id", "=", 1)],
+        )

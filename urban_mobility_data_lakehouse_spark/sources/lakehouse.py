@@ -1351,10 +1351,11 @@ class Lakehouse:
         spark: SparkSession,
         schema: str,
         name: str,
-        condition,
-        set: dict,
+        condition=None,
+        set: dict | None = None,
         partition_col: str | None = None,
         mode: str = "copy_on_write",
+        predicates: list[tuple] | None = None,
     ) -> bool:
         """Row-level UPDATE (Delta ``UPDATE t SET ... WHERE ...``
         analog) — the third leg of the DML triad next to `merge_into`
@@ -1383,6 +1384,13 @@ class Lakehouse:
         is deleted wherever it lives).  Readers pay the DV anti-join
         until `compact()` materializes.
 
+        `predicates` (the ``read_where`` triple list) may be passed
+        INSTEAD of `condition` — same contract as `delete_where`: the
+        update condition derives from the triples, and the
+        merge-on-read position-finding scan routes through the pruned
+        read, opening only stats/bloom-surviving files (a point UPDATE
+        of k ids on a Bloom-indexed key is O(matching files) scan).
+
         Returns True iff a commit happened (False = no matching rows,
         no new version), matching `delete_where`."""
         if mode not in ("copy_on_write", "merge_on_read"):
@@ -1392,9 +1400,18 @@ class Lakehouse:
             )
         if not set:
             raise ValueError("update_where: empty SET")
+        if (condition is None) == (predicates is None):
+            raise ValueError(
+                "update_where: pass exactly one of condition or "
+                "predicates"
+            )
+        if predicates is not None:
+            from .skipping import predicates_to_column
+
+            condition = predicates_to_column(predicates)
         if mode == "merge_on_read":
             return self._update_where_mor(
-                spark, schema, name, condition, set
+                spark, schema, name, condition, set, predicates
             )
         # base BEFORE the read — see overwrite_partitions `_base`
         base = len(self.snapshots(schema, name))
@@ -1446,15 +1463,25 @@ class Lakehouse:
     def _update_where_mor(
         self, spark: SparkSession, schema: str, name: str,
         condition, assignments: dict,
+        predicates: list[tuple] | None = None,
     ) -> bool:
         """Merge-on-read UPDATE: DV over the matched positions + the
         updated row images appended, one atomic `update_mor` commit
         (same log shape as MoR MERGE, so CDC/compaction/fsck handling
-        is shared)."""
+        is shared).  With `predicates`, the positional scan routes
+        through the pruned `read_where`, which already applies the
+        same conjunction as its residual filter."""
         path = self._table_dir(schema, name)
         # base BEFORE the positional read (see _merge_into_mor)
         base, data_dir = self._next_data_dir(schema, name)
-        current = self.read(spark, schema, name, with_positions=True)
+        if predicates is not None:
+            current = self.read_where(
+                spark, schema, name, predicates, with_positions=True
+            )
+        else:
+            current = self.read(
+                spark, schema, name, with_positions=True
+            )
         unknown = sorted(
             k for k in assignments
             if k not in current.columns or k.startswith("__dv_")
@@ -1464,7 +1491,11 @@ class Lakehouse:
                 f"update_where {schema}.{name}: SET names unknown "
                 f"columns {unknown}"
             )
-        matched = current.filter(condition)
+        matched = (
+            current
+            if predicates is not None
+            else current.filter(condition)
+        )
         if matched.limit(1).count() == 0:
             return False  # no matches → no commit (CoW parity)
         updated = self._apply_set(
