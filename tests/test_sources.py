@@ -1038,3 +1038,88 @@ def test_null_partition_supersede_and_probe(spark, tmp_path):
         ).collect()
     }
     assert probed == {(7, None)}
+
+
+def test_null_partition_dml_preserves_neighbors(spark, tmp_path):
+    """Row-level DML touching a NULL-keyed partition must not take the
+    partition's OTHER rows with it: the survivor/rewrite filters were
+    NULL-blind (`isin('None')` drops NULL rows, so overwriting the
+    superseded partition erased every non-matching NULL-keyed row) —
+    r10 routes every partition-token membership test through
+    `_pvalue_match`.  Covers DELETE, UPDATE, MERGE, txn-staged DELETE,
+    txn MERGE purge, read_where, and CDC."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [(i, None if i < 5 else "a", i * 2) for i in range(10)],
+        "id long, k string, v long",
+    )
+    lake.overwrite_partitions(df, "silver", "t", partition_col="k")
+
+    def rows():
+        return {
+            (r["id"], r["k"], r["v"])
+            for r in lake.read(spark, "silver", "t").collect()
+        }
+
+    # DELETE one NULL-partition row: ids 1-4 must survive
+    v0 = len(lake.snapshots("silver", "t")) - 1
+    lake.delete_where(
+        spark, "silver", "t", F.col("id") == 0, partition_col="k",
+    )
+    assert rows() == {
+        (i, None if i < 5 else "a", i * 2) for i in range(1, 10)
+    }
+    # CDC across the delete names exactly the deleted NULL-keyed row
+    ch = lake.read_changes(spark, "silver", "t", v0, v0 + 1).collect()
+    assert [(r["id"], r["_change_type"]) for r in ch] == [(0, "delete")]
+
+    # UPDATE one NULL-partition row: only id 1 changes
+    lake.update_where(
+        spark, "silver", "t", F.col("id") == 1, {"v": F.lit(999)},
+        partition_col="k",
+    )
+    got = rows()
+    assert (1, None, 999) in got and (2, None, 4) in got
+
+    # MERGE an update keyed into the NULL partition: ids 3,4 survive
+    lake.merge_into(
+        spark, "silver", "t",
+        spark.createDataFrame([(2, None, 555)], "id long, k string, v long"),
+        key="id", partition_col="k",
+    )
+    got = rows()
+    assert (2, None, 555) in got and (3, None, 6) in got
+
+    # txn-staged DELETE + MERGE-with-purge in the NULL partition
+    with lake.transaction() as txn:
+        assert txn.delete_where(
+            spark, "silver", "t", F.col("id") == 3, partition_col="k",
+        )
+    assert (4, None, 8) in rows()
+    with lake.transaction() as txn:
+        txn.merge_into(
+            spark, "silver", "t",
+            spark.createDataFrame(
+                [(11, None, 11)], "id long, k string, v long"
+            ),
+            key="id", partition_col="k",
+            purge_condition=F.col("id") == 4,
+        )
+    got = rows()
+    assert (11, None, 11) in got and (4, None, 8) not in got
+    assert (1, None, 999) in got and (2, None, 555) in got
+
+    # read_where must return NULL-partition rows (was NULL-blind too)
+    assert {
+        r["id"]
+        for r in lake.read_where(
+            spark, "silver", "t", [("id", "<=", 2)]
+        ).collect()
+    } == {1, 2}

@@ -1192,7 +1192,7 @@ class Lakehouse:
                     self.read(spark, schema, name), schema, name,
                     partition_col,
                 )
-                .filter(~F.col(partition_col).cast("string").isin(affected))
+                .filter(~self._pvalue_match(F.col(partition_col), affected))
                 .join(updates.select(*keys).distinct(), keys, "left_semi")
                 .select(*keys, partition_col)
                 .limit(5)
@@ -1208,7 +1208,7 @@ class Lakehouse:
                 )
         current = self._ensure_partition_col(
             self.read(spark, schema, name), schema, name, partition_col
-        ).filter(F.col(partition_col).cast("string").isin(affected))
+        ).filter(self._pvalue_match(F.col(partition_col), affected))
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         )
@@ -1310,7 +1310,7 @@ class Lakehouse:
         if not affected:
             return False
         survivors = current.filter(
-            F.col(partition_col).cast("string").isin(affected)
+            self._pvalue_match(F.col(partition_col), affected)
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected,
@@ -1449,7 +1449,7 @@ class Lakehouse:
             return False
         rewritten = self._apply_set(
             current.filter(
-                F.col(partition_col).cast("string").isin(affected)
+                self._pvalue_match(F.col(partition_col), affected)
             ),
             condition,
             set,
@@ -1844,7 +1844,7 @@ class Lakehouse:
                     if partition_survives(spec, preds, v)
                 }
             df = df.filter(
-                F.col(partition_col).cast("string").isin(sorted(values))
+                self._pvalue_match(F.col(partition_col), sorted(values))
             )
         if target_file_bytes is not None:
             import math
@@ -2701,7 +2701,7 @@ class Lakehouse:
             )
             if src is not None:
                 frames.append(
-                    src.filter(F.col(pcol).cast("string").isin(values))
+                    src.filter(self._pvalue_match(F.col(pcol), values))
                 )
         hidden_pfx = (
             None if p_spec is None else f"{p_spec.hidden_col}="
@@ -3069,7 +3069,7 @@ class Lakehouse:
             frames = [
                 spark.read.option("basePath", d)
                 .parquet(d)
-                .filter(F.col(pcol).cast("string").isin(values))
+                .filter(self._pvalue_match(F.col(pcol), values))
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [
                 self._exclusion_filter(
@@ -3665,7 +3665,7 @@ class Transaction:
                 .collect()
             }
         current = current_full.filter(
-            F.col(partition_col).cast("string").isin(sorted(affected))
+            lake._pvalue_match(F.col(partition_col), sorted(affected))
         )
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
@@ -3796,7 +3796,7 @@ class Transaction:
         if not affected:
             return False
         survivors = current.filter(
-            F.col(partition_col).cast("string").isin(affected)
+            lake._pvalue_match(F.col(partition_col), affected)
         ).filter(~F.coalesce(condition, F.lit(False)))
         self._stage(
             schema, name,
