@@ -81,7 +81,15 @@ def _tree_busy_jiffies() -> int:
     1-min load_avg cannot: a 32-thread bench inflates it all by
     itself, so gating on load_avg flags a quiet box as contaminated
     the moment the bench works hard (observed: 32/34 reps flagged
-    with zero external load)."""
+    with zero external load).
+
+    cutime/cstime are INCLUDED for tree members: a Python/Arrow worker
+    reaped mid-rep moves its lifetime CPU into its parent's child
+    counters — without them that work would vanish from the tree delta
+    and reappear as phantom 'ambient' load, falsely flagging the rep.
+    (A live child is counted once via its own entry — its parent's
+    child counters only absorb it at reap time, so deltas never
+    double-count.)"""
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -92,7 +100,11 @@ def _tree_busy_jiffies() -> int:
         except OSError:
             continue
         rest = s[s.rindex(")") + 2:].split()
-        procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        procs[int(d)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12])      # utime + stime
+            + int(rest[13]) + int(rest[14]),   # cutime + cstime
+        )
     kids: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         kids.setdefault(ppid, []).append(pid)
@@ -312,12 +324,29 @@ def main() -> None:
             else:
                 contaminated_reps += 1
         # retry dirty reps (shared budget) until we have a full clean
-        # set — each retry first waits (bounded) for the box to quiet
+        # set — each retry first waits (bounded) for the box to quiet,
+        # gating on the AMBIENT estimate sampled over a short window
+        # (load_avg would deterministically see the bench's own
+        # just-finished rep and burn the whole wait budget on a quiet
+        # box)
+        def _ambient_now(window: float = 1.5) -> float:
+            b0, o0 = _total_busy_jiffies(), _tree_busy_jiffies()
+            time.sleep(window)
+            return max(
+                0.0,
+                (
+                    (_total_busy_jiffies() - b0)
+                    - (_tree_busy_jiffies() - o0)
+                )
+                / (hz * window),
+            )
+
         while len(clean_walls) < reps and retry_budget > 0:
             waited_r = 0.0
-            while os.getloadavg()[0] > max_load and waited_r < rep_quiet_budget:
-                time.sleep(2.0)
-                waited_r += 2.0
+            while waited_r < rep_quiet_budget:
+                waited_r += 1.5
+                if _ambient_now() <= max_load:
+                    break
             retry_budget -= 1
             wall, rows, amb = run_rep()
             walls.append(wall)

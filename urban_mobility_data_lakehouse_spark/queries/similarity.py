@@ -876,9 +876,14 @@ def _persistent_ivf_stream(
                 .option("maxFilesPerTrigger", 1)
                 .parquet(f"{aux}/in/slice*")
             )
-            idx.streaming_ingest(
+            # availableNow guarantees termination; the bounded wait is
+            # a hang backstop — a False return means the stream is
+            # STILL RUNNING and proceeding would race optimize/rmtree
+            # against live micro-batches (half-merged index, vanishing
+            # files), so fail loudly instead
+            assert idx.streaming_ingest(
                 spark, stream, f"{aux}/ckpt"
-            ).awaitTermination(300)
+            ).awaitTermination(600), "streaming ingest did not drain"
             idx.optimize(spark)
             out = idx.query(
                 spark, emb.filter(F.col("vec_id") < 10), k=3

@@ -86,7 +86,16 @@ class PersistentIVF:
         per index GENERATION instead of one per call, and a rebuild
         (new centroids commit) invalidates automatically.  The version
         probe is a log-file read, not a Spark job."""
-        v = self.lake.snapshots(self.schema, table)[-1]["version"]
+        snaps = self.lake.snapshots(self.schema, table)
+        if not snaps:
+            # keep the pre-memo misuse signal: a descriptive
+            # FileNotFoundError naming the table, not a bare
+            # IndexError off snapshots()[-1]
+            raise FileNotFoundError(
+                f"{self.schema}.{table} has no commits — call build() "
+                "before querying the index"
+            )
+        v = snaps[-1]["version"]
         hit = self._geom_cache.get(table)
         if hit is not None and hit[0] == v:
             return hit[1]
@@ -167,13 +176,19 @@ class PersistentIVF:
         whose changed embedding moves them to a different cell — are
         deleted first (deletion-vector commit, O(replaced rows)), so
         the index never holds a vec_id twice."""
-        assigned = assign_cells(embeddings, self.centroids(spark))
         if replace_existing:
+            # ids from the INPUT frame — collecting them off the
+            # assigned frame would run the broadcast-centroid
+            # assignment lineage twice (once for the collect, again
+            # for the append)
             ids = [
                 int(r[0])
-                for r in assigned.select("vec_id").distinct().collect()
+                for r in embeddings.select("vec_id")
+                .distinct()
+                .collect()
             ]
             self.delete_vecs(spark, ids)
+        assigned = assign_cells(embeddings, self.centroids(spark))
         self.lake.append(assigned, self.schema, self.name)
 
     def delete_vecs(
@@ -488,51 +503,28 @@ class PersistentIVFPQ:
         ``replace_existing=True`` deletes any existing rows with the
         incoming vec_ids first (deletion-vector commit) — the true
         re-add path for changed embeddings, including cell moves."""
+        if replace_existing:
+            # ids from the INPUT frame — collecting off the encoded
+            # frame would pay the PQ encode (the expensive Arrow fold)
+            # twice
+            ids = [
+                int(r[0])
+                for r in embeddings.select("vec_id")
+                .distinct()
+                .collect()
+            ]
+            self.delete_vecs(spark, ids)
         encoded = self._encode(
             embeddings, self.centroids(spark), self.codebooks(spark)
         )
-        if replace_existing:
-            ids = [
-                int(r[0])
-                for r in encoded.select("vec_id").distinct().collect()
-            ]
-            self.delete_vecs(spark, ids)
         self.lake.append(encoded, self.schema, self.name)
 
-    def delete_vecs(
-        self, spark: SparkSession, vec_ids: list[int]
-    ) -> bool:
-        """Remove vectors from the code index (see
-        `PersistentIVF.delete_vecs` — same Bloom-pruned
-        deletion-vector commit)."""
-        return self.lake.delete_where(
-            spark, self.schema, self.name,
-            predicates=[("vec_id", "in", sorted(int(i) for i in vec_ids))],
-            mode="merge_on_read",
-        )
-
-    def _moved_ids(
-        self, spark: SparkSession, encoded: DataFrame
-    ) -> list[int]:
-        """Incoming vec_ids already present in a DIFFERENT cell (see
-        `PersistentIVF._moved_ids` — same Bloom-pruned probe)."""
-        inc = {
-            int(r["vec_id"]): int(r["new_cell"])
-            for r in encoded.select(
-                "vec_id", F.col("cell").cast("int").alias("new_cell")
-            ).collect()
-        }
-        cand = self.lake.read_where(
-            spark, self.schema, self.name,
-            [("vec_id", "in", sorted(inc))],
-        ).select("vec_id", F.col("cell").cast("int").alias("old_cell"))
-        return sorted(
-            {
-                int(r["vec_id"])
-                for r in cand.collect()
-                if r["old_cell"] != inc[int(r["vec_id"])]
-            }
-        )
+    # identical bodies over self.lake/self.schema/self.name — shared
+    # with PersistentIVF the way _memo_geometry is, so a fix to the
+    # Bloom-pruned probe or the id normalization can never drift
+    # between the two index classes
+    delete_vecs = PersistentIVF.delete_vecs
+    _moved_ids = PersistentIVF._moved_ids
 
     def optimize(self, spark: SparkSession) -> dict:
         return self.lake.compact(

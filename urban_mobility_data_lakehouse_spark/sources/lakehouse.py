@@ -3766,16 +3766,18 @@ class Transaction:
                 affected = sorted(cand & live)
                 if not affected:
                     return False
-            # the derived buckets may hold none of the ids (id absent
-            # from the table): keep the rows-matched contract with ONE
-            # pruned existence probe, not a table scan
-            if (
-                lake.read_where(spark, schema, name, predicates)
-                .limit(1)
-                .count()
-                == 0
-            ):
-                return False
+                # the derived buckets may hold none of the ids (id
+                # absent from the table): keep the rows-matched
+                # contract with ONE pruned existence probe.  Only on
+                # this branch — the scan-discovery fallback below
+                # answers the same question itself
+                if (
+                    lake.read_where(spark, schema, name, predicates)
+                    .limit(1)
+                    .count()
+                    == 0
+                ):
+                    return False
         current = lake.read(spark, schema, name)
         if partition_col is None:
             current, partition_col = lake._resolve_partitioning(

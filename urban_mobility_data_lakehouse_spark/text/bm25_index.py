@@ -72,7 +72,13 @@ class PersistentBM25:
             return self.lake.read(
                 spark, self.schema, self.stats, version=version
             ).collect()[0]
-        v = self.lake.snapshots(self.schema, self.stats)[-1]["version"]
+        snaps = self.lake.snapshots(self.schema, self.stats)
+        if not snaps:
+            raise FileNotFoundError(
+                f"{self.schema}.{self.stats} has no commits — call "
+                "build() before querying the index"
+            )
+        v = snaps[-1]["version"]
         if self._stats_cache is not None and self._stats_cache[0] == v:
             return self._stats_cache[1]
         row = self.lake.read(
