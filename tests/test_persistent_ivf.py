@@ -432,3 +432,38 @@ def test_ivf_random_mutation_tape(
     assert _rows(idx.query(spark, queries, k=3)) == _rows(
         fresh.query(spark, queries, k=3)
     )
+
+
+def test_mover_plan_is_deterministic_and_cross_cell(sf_dir):
+    """`_mover_plan` (the driver-gate mover part's precondition):
+    pyarrow-only, memoized-deterministic, movers in the seed slice and
+    outside the query window, every donor in a different cell — so the
+    re-delivery is a GUARANTEED cross-cell move on both the Spark and
+    the oracle side."""
+    from urban_mobility_data_lakehouse_spark.queries.similarity import (
+        _mover_plan,
+    )
+    from urban_mobility_data_lakehouse_spark.similarity.ivf import (
+        query_probes_from_parquet,
+        train_centroids_from_parquet,
+    )
+
+    plan = _mover_plan(sf_dir)
+    assert plan == _mover_plan(sf_dir)  # memo + determinism
+    assert len(plan) == 4
+    cents = train_centroids_from_parquet(sf_dir, n_cells=16)
+    movers = [m for m, _, _ in plan]
+    donors = sorted({d for _, d, _ in plan})
+    # assignment twin: rank-1 probe == cell, reusing the bit-identical
+    # driver-side fold (probe sets are (distance, cell)-tie-broken)
+    cells = {
+        vid: probe[0]
+        for vid, _, probe in query_probes_from_parquet(
+            sf_dir, cents, n_queries=10_000, n_probe=1
+        )
+        if vid in set(movers) | set(donors)
+    }
+    for m, d, c in plan:
+        assert m % 3 == 0 and m >= 10  # seed slice, outside queries
+        assert cells[d] == c  # expected cell IS the donor's cell
+        assert cells[m] != c  # and it differs — a genuine move

@@ -583,6 +583,14 @@ def _embedding_dedup_oracle(sf_dir: str) -> str:
         -- oracle — hash equality proves streaming-merge ≡ batch build
         SELECT 'stream', query_id, neighbor_id, cosine_sim
         FROM ({_ivf_oracle(sf_dir)})
+        UNION ALL
+        -- move: streaming ingest with reassign_moved=True, movers
+        -- re-delivered with cell-changing embeddings; oracle = batch
+        -- build over the FINAL corpus state + cardinality/new-cell
+        -- audits, so hash equality proves the stale old-cell rows
+        -- died and the movers landed where the quantizer says
+        SELECT 'move', vec_a, vec_b, score
+        FROM ({_ivf_move_oracle(sf_dir)})
     )
     ORDER BY part, vec_a, vec_b
     """
@@ -613,6 +621,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_persistent_ivf_stream`) — two foreachBatch MERGE-by-vec_id
     micro-batches against the frozen quantizer; hash equality against
     the batch oracle proves streaming-merge ≡ batch build.
+    `move`: streaming ingest that RE-DELIVERS vectors with
+    cell-changing embeddings under `reassign_moved=True` (see
+    `_persistent_ivf_move`) — hash equality against a batch build
+    over the final corpus state (+ cardinality and landed-cell audit
+    rows) proves stale old-cell rows are purged and no vec_id ever
+    answers twice.
     All three oracles replay the exact geometry (inlined hyperplanes /
     bit-identical twin-trained centroids), so the driver hash-checks
     candidate sets, scores, drop decisions, and the persisted-index
@@ -651,11 +665,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("vec_b"),
         F.col("cosine_sim").alias("score"),
     )
+    move = _persistent_ivf_move(spark, sf_dir).select(
+        F.lit("move").alias("part"),
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("cosine_sim").alias("score"),
+    )
     return (
         pairs.unionByName(drops)
         .unionByName(serve)
         .unionByName(adc)
         .unionByName(stream)
+        .unionByName(move)
         .orderBy("part", "vec_a", "vec_b")
     )
 
@@ -667,6 +688,7 @@ def _ivf_oracle(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    corpus_cte: str | None = None,
 ) -> str:
     """Generate the DuckDB oracle for knn_ivf at a given sf_dir.
 
@@ -680,6 +702,11 @@ def _ivf_oracle(
     aggregate/zip_with, so ties and all), rank cells per vector
     (distance, cell id), assign = rank-1 cell, probe = first n_probe,
     candidate join on neighbor-cell ∈ query-probe, cosine re-rank.
+
+    `corpus_cte` swaps the leading corpus definition (everything up to
+    and including the `v(vec_id, e)` CTE) for a caller-supplied one —
+    the mover-reassignment part replays the SAME pipeline over a
+    corpus whose mover rows carry their donors' embeddings.
     """
     from ..similarity.ivf import train_centroids_from_parquet
 
@@ -702,12 +729,14 @@ def _ivf_oracle(
     )
     norm = ("sqrt(list_reduce(list_transform({a}, x -> x * x), "
             "(x, y) -> x + y))")
-    return f"""
-    WITH v AS (
+    if corpus_cte is None:
+        corpus_cte = """v AS (
         SELECT vec_id,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
-    ),
+    )"""
+    return f"""
+    WITH {corpus_cte},
     cents(cell, c) AS (VALUES
         {values}
     ),
@@ -891,6 +920,249 @@ def _persistent_ivf_stream(
     finally:
         shutil.rmtree(aux, ignore_errors=True)
     return out
+
+
+def _mover_plan(
+    sf_dir: str, n_movers: int = 4, n_cells: int = 16
+) -> tuple[tuple[int, int, int], ...]:
+    """Deterministic cross-cell mover plan: (mover, donor,
+    expected_new_cell) triples, derived with the pyarrow twin (zero
+    Spark jobs — the oracle generator calls this too).
+
+    Movers are the first `n_movers` seed-slice ids (vec_id % 3 == 0,
+    ≥ 10 so the query rows 0–9 keep their original embeddings); each
+    donor is the first candidate whose embedding assigns to a
+    DIFFERENT cell under the frozen quantizer, so re-delivering the
+    mover with the donor's embedding is a guaranteed cross-cell move.
+    The fold is the same sequential `acc += (x-y)*(x-y)` /
+    first-minimum argmin as `assign_cells` and the SQL replay, so all
+    three agree on every cell.  Bounded: 40 candidate rows × n_cells,
+    memoized per sf_dir."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..similarity.ivf import train_centroids_from_parquet
+
+    cached = _mover_plan_cache.get(sf_dir)
+    if cached is not None:
+        return cached
+    cents = train_centroids_from_parquet(sf_dir, n_cells=n_cells)
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    tbl = (
+        tbl.filter(pc.greater_equal(tbl.column("vec_id"), 10))
+        .sort_by("vec_id")
+        .slice(0, 40)
+    )
+    cells: dict[int, int] = {}
+    for vid, e in zip(
+        tbl.column("vec_id").to_pylist(),
+        tbl.column("embedding").to_pylist(),
+    ):
+        e = [float(x) for x in e]  # float32→float64 is exact
+        best_d, best_c = None, -1
+        for cell, c in enumerate(cents):
+            acc = 0.0
+            for x, y in zip(e, c):
+                d = x - y
+                acc += d * d
+            if best_d is None or acc < best_d:
+                best_d, best_c = acc, cell
+        cells[int(vid)] = best_c
+    movers = [v for v in sorted(cells) if v % 3 == 0][:n_movers]
+    plan = []
+    for m in movers:
+        donor = next(
+            v
+            for v in sorted(cells)
+            if v not in movers and cells[v] != cells[m]
+        )
+        plan.append((m, donor, cells[donor]))
+    assert len(plan) == n_movers, "mover plan underfilled"
+    out = tuple(plan)
+    _mover_plan_cache[sf_dir] = out
+    return out
+
+
+_mover_plan_cache: dict[str, tuple[tuple[int, int, int], ...]] = {}
+
+
+def _persistent_ivf_move(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PersistentIVF streaming ingest with CROSS-CELL MOVERS: the
+    `reassign_moved=True` path (`persistent_ivf.py` `streaming_ingest`
+    → `_moved_ids` → `delete_vecs`) driven end-to-end and hash-checked
+    against a batch-build oracle over the FINAL corpus state.
+
+    The seed build ingests vec_id % 3 == 0; micro-batch 1 delivers
+    % 3 == 1; micro-batch 2 delivers % 3 == 2 PLUS re-deliveries of
+    the `_mover_plan` movers carrying their donors' embeddings — each
+    one assigns to a different cell than the row already in the index,
+    so the plain merge would leave a stale twin in the old cell.  With
+    the flag, the batch deletes its movers (deletion-vector commit,
+    Bloom-pruned probe) before merging; after optimize() the index
+    must hold every vec_id exactly once, movers in their new cells.
+
+    Two audit rows make those invariants hash-checked, not asserted:
+      (-1, count(*), count(DISTINCT vec_id))  — a surviving stale row
+          breaks count(*) == corpus size;
+      (-2, movers-found-in-expected-cell, n_movers) — the expected
+          cells come from the pyarrow twin on the Spark side and are
+          re-derived from the SQL fold on the oracle side, so hash
+          equality also cross-checks the two assignment replicas.
+    The 10-query top-3 rows then prove the moved index ANSWERS like a
+    from-scratch build over the final state (queries 0–9 are never
+    movers, so both sides query with original embeddings)."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from ..similarity import ivf
+    from ..similarity.persistent_ivf import PersistentIVF
+    from ..sources.lakehouse import temp_lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
+    plan = _mover_plan(sf_dir)
+    pairs = spark.createDataFrame(
+        [(m, d) for m, d, _ in plan], "mid long, donor long"
+    )
+    redelivered = pairs.join(emb, pairs.donor == emb.vec_id).select(
+        F.col("mid").alias("vec_id"), "embedding"
+    )
+    aux = tempfile.mkdtemp(prefix="umdl_ivf_move_")
+    try:
+        emb.filter(F.col("vec_id") % 3 == 1).coalesce(1).write.parquet(
+            f"{aux}/in/slice1"
+        )
+        emb.filter(F.col("vec_id") % 3 == 2).unionByName(
+            redelivered
+        ).coalesce(1).write.parquet(f"{aux}/in/slice2")
+        with temp_lakehouse(prefix="umdl_ivf_midx_") as lake:
+            idx = PersistentIVF(lake, n_cells=16, n_probe=4)
+            idx.build(
+                spark, emb.filter(F.col("vec_id") % 3 == 0),
+                centroids=cents,
+            )
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{aux}/in/slice*")
+            )
+            assert idx.streaming_ingest(
+                spark, stream, f"{aux}/ckpt", reassign_moved=True
+            ).awaitTermination(600), "streaming ingest did not drain"
+            idx.optimize(spark)
+            landed = reduce(
+                lambda a, b: a | b,
+                [
+                    (F.col("vec_id") == F.lit(m))
+                    & (F.col("cell") == F.lit(c))
+                    for m, _, c in plan
+                ],
+            )
+            audit = (
+                lake.read(spark, idx.schema, idx.name)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct("vec_id").alias("nd"),
+                    F.sum(F.when(landed, 1).otherwise(0)).alias("ok"),
+                )
+                .collect()[0]  # three scalars
+            )
+            audits = spark.createDataFrame(
+                [
+                    (-1, int(audit["n"]), float(audit["nd"])),
+                    (-2, int(audit["ok"]), float(len(plan))),
+                ],
+                "query_id long, neighbor_id long, cosine_sim double",
+            )
+            out = (
+                idx.query(spark, emb.filter(F.col("vec_id") < 10), k=3)
+                .select("query_id", "neighbor_id", "cosine_sim")
+                .unionByName(audits)
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        shutil.rmtree(aux, ignore_errors=True)
+    return out
+
+
+def _ivf_move_oracle(sf_dir: str, n_cells: int = 16) -> str:
+    """Batch-build-over-final-state oracle for the mover part: the
+    standard `_ivf_oracle` pipeline over a corpus whose mover rows
+    carry their donors' embeddings (COALESCE through the inlined
+    mover→donor map), plus the two audit rows — corpus cardinality
+    recomputed from the table, mover cells re-derived from the SQL
+    fold and matched against the twin-predicted cells."""
+    from ..similarity.ivf import train_centroids_from_parquet
+
+    plan = _mover_plan(sf_dir, n_cells=n_cells)
+    pairs = ", ".join(f"({m}, {d})" for m, d, _ in plan)
+    expect = ", ".join(f"({m}, {d}, {c})" for m, d, c in plan)
+    donors = ", ".join(str(d) for d in sorted({d for _, d, _ in plan}))
+    corpus_cte = f"""base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    moved(mid, donor) AS (VALUES {pairs}),
+    v AS (
+        SELECT b.vec_id, COALESCE(d.e, b.e) AS e
+        FROM base b
+        LEFT JOIN moved m ON m.mid = b.vec_id
+        LEFT JOIN base d ON d.vec_id = m.donor
+    )"""
+    cents = train_centroids_from_parquet(sf_dir, n_cells=n_cells)
+    dim = len(cents[0])
+    values = ",\n        ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])"
+        for i, c in enumerate(cents)
+    )
+    l2 = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> (dv.e[i] - cc.c[i]) * (dv.e[i] - cc.c[i])), "
+        "(a, b) -> a + b)"
+    )
+    return f"""
+    SELECT query_id AS vec_a, neighbor_id AS vec_b,
+           cosine_sim AS score
+    FROM ({_ivf_oracle(sf_dir, n_cells=n_cells, corpus_cte=corpus_cte)})
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT vec_id) AS DOUBLE)
+    FROM embeddings
+    UNION ALL
+    SELECT CAST(-2 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST({len(plan)} AS DOUBLE)
+    FROM (
+        WITH dv AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS e
+            FROM embeddings WHERE vec_id IN ({donors})
+        ),
+        cents(cell, c) AS (VALUES
+        {values}
+        ),
+        dc AS (
+            SELECT dv.vec_id, cc.cell,
+                   row_number() OVER (PARTITION BY dv.vec_id
+                                      ORDER BY {l2} ASC, cc.cell ASC)
+                       AS r
+            FROM dv, cents cc
+        ),
+        expect(mover, donor, xcell) AS (VALUES {expect})
+        SELECT e.mover
+        FROM expect e
+        JOIN dc ON dc.vec_id = e.donor AND dc.r = 1
+               AND dc.cell = e.xcell
+    )
+    """
 
 
 def _persistent_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
