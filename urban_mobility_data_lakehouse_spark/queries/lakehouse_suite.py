@@ -39,6 +39,62 @@ from . import register
 
 _FIXTURE_ROOT = "/tmp/umdl_fixtures"
 
+
+def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
+    """Reconstruct the logical table from an exported manifest ALONE —
+    the Spark twin of `tests/test_manifest_export._duckdb_replay`, the
+    code an external engine with no commit-log reader would run.
+
+    Deliberately avoids `Lakehouse.read`: files are opened by path
+    with schema merge, hive partition values come from the file PATH
+    (`input_file_name()` regexp — external engines do exactly this),
+    physical→logical renames / dropped / hidden columns apply from the
+    manifest's metadata, NULL-default added columns materialize as
+    typed NULLs, and widened columns CAST after the read.  A missing
+    file, a superseded file the manifest failed to drop, or wrong
+    mapping metadata all change the hashed aggregate."""
+    frames = []
+    if manifest["hive_files"]:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *manifest["hive_files"]
+        )
+        for pc in manifest["hive_partition_columns"]:
+            df = df.withColumn(
+                pc,
+                F.regexp_extract(
+                    F.input_file_name(), f"/{pc}=([^/]+)/", 1
+                ),
+            )
+        frames.append(df)
+    if manifest["flat_files"]:
+        frames.append(
+            spark.read.option("mergeSchema", "true").parquet(
+                *manifest["flat_files"]
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    mapping = manifest["column_mapping"]
+    dropped = set(manifest["dropped_physical_columns"])
+    hidden = set(manifest["hidden_partition_columns"])
+    widened = manifest["widened_columns"]
+    out = out.select(
+        *[
+            F.col(c).cast(widened[c]).alias(mapping.get(c, c))
+            if c in widened
+            else F.col(c).alias(mapping.get(c, c))
+            for c in out.columns
+            if c not in dropped and c not in hidden
+        ]
+    )
+    for a in manifest["added_null_columns"]:
+        if a["column"] not in out.columns:
+            out = out.withColumn(
+                a["column"], F.lit(None).cast(a["dtype"])
+            )
+    return out
+
 # generation-2 constants, shared by the builder and the oracle: ids
 # shift clear of generation 1, and the widened column carries values
 # ABOVE int32 range — only a correctly-widened read can hold them
@@ -113,6 +169,18 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
                CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
                CAST(NULL AS VARCHAR), count(*)
         FROM cdc_rows GROUP BY ct
+        UNION ALL
+        -- man: the exported snapshot manifest, replayed by a reader
+        -- that never touches the commit log.  The engine groups a
+        -- raw-file reconstruction (manifest file list + rename /
+        -- hidden-column / widen metadata only); the oracle aggregates
+        -- the final state from first principles — hash equality
+        -- proves the manifest hands an external engine the complete,
+        -- exact table (sum(n) pins the widened column end-to-end)
+        SELECT 'man', CAST(sum(n) AS BIGINT), p,
+               CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(NULL AS VARCHAR), count(*)
+        FROM final_state GROUP BY p
     )
     ORDER BY part, coalesce(id, -1), p
     """,
@@ -164,6 +232,18 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DV delete, gen2 inserts — so hash equality proves the
     incremental windows delivered everything exactly once with the
     right images.
+
+    Part 'man' (r11): the snapshot-manifest export contract, driven
+    end-to-end.  The builder first asserts the HONESTY RULE — export
+    with live deletion vectors must raise (a plain file manifest can't
+    express row-position deletes) — then compacts, exports, and
+    reconstructs the table from the manifest ALONE with a log-blind
+    reader (`_manifest_replay`: raw file paths + the manifest's
+    rename/hidden/widen metadata, partition values regexped from hive
+    paths).  The grouped (sum(n), sum(v2), count) per p hash-checks
+    against the oracle's first-principles final state, so a missing or
+    superseded file, wrong column mapping, or a lost widen all fail
+    the row.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
@@ -247,6 +327,41 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC path
     second = mv.refresh(spark)
     assert second["strategy"] == "incremental", second
+    # part 'man': snapshot manifest export for external engines.  The
+    # honesty rule first — with live deletion vectors (the MoR update
+    # + DV delete above) a plain file manifest would be silently wrong,
+    # so export MUST refuse; a success here means the guard rotted
+    from ..sources.lakehouse import ManifestExportError
+
+    try:
+        lake.export_manifest("silver", "t", write=False)
+        raise AssertionError(
+            "export_manifest accepted a table with live deletion "
+            "vectors"
+        )
+    except ManifestExportError:
+        pass
+    lake.compact(spark, "silver", "t", partition_col="p")
+    manifest = lake.export_manifest("silver", "t", write=False)
+    man_rows = (
+        _manifest_replay(spark, manifest)
+        .groupBy("p")
+        .agg(
+            F.sum("n").cast("long").alias("id"),
+            F.expr(
+                "cast(sum(cast(v2 as decimal(25,6))) as double)"
+            ).alias("v2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("man").alias("part"),
+            "id",
+            "p",
+            "v2",
+            F.lit(None).cast("string").alias("flag"),
+            "n",
+        )
+    )
     dml_rows = (
         lake.read(spark, "silver", "t")
         .select(
@@ -279,6 +394,9 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return dml_rows.unionByName(mv_rows).unionByName(cdc_rows).orderBy(
-        "part", F.coalesce(F.col("id"), F.lit(-1)), "p"
+    return (
+        dml_rows.unionByName(mv_rows)
+        .unionByName(cdc_rows)
+        .unionByName(man_rows)
+        .orderBy("part", F.coalesce(F.col("id"), F.lit(-1)), "p")
     )
