@@ -445,3 +445,65 @@ def test_bm25_random_mutation_tape(spark, docs, tmp_path, seed):
     assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
         fresh.query(spark, TERMS, k=20)
     )
+
+
+def test_delete_docs_rewrites_only_touched_buckets(
+    spark, docs, tmp_path
+):
+    """The postings leg of delete_docs discovers its buckets through
+    the Bloom-pruned probe, not a full scan: the staged rewrite's
+    commit entry names exactly the bucket partitions holding the
+    deleted doc's postings — a strict subset of the live buckets."""
+    from urban_mobility_data_lakehouse_spark.sources.transforms import (
+        parse_spec,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    idx = PersistentBM25(lake, n_buckets=64)
+    idx.build(spark, docs)
+    victim = docs.orderBy("doc_id").limit(1).collect()[0]
+    spec = parse_spec("bucket(64, term)")
+    want = sorted(
+        {
+            spec.value_of(t)
+            for t in (victim["text"] or "").split(" ")
+        }
+    )
+    all_live = {
+        r[0]
+        for r in lake.read(spark, "gold", idx.postings)
+        .select(F.expr("term"))
+        .collect()
+    }
+    from urban_mobility_data_lakehouse_spark.sources import (
+        lakehouse as lh,
+    )
+
+    probes = []
+    orig = lh.Transaction._probe_affected_tokens
+
+    def spy(self, *a, **kw):
+        out = orig(self, *a, **kw)
+        probes.append(out)
+        return out
+
+    lh.Transaction._probe_affected_tokens = spy
+    try:
+        idx.delete_docs(spark, [victim["doc_id"]])
+    finally:
+        lh.Transaction._probe_affected_tokens = orig
+    # the probe path ran and resolved (no scan-discovery fallback);
+    # the postings leg is the bucket(term) table, the doclen leg
+    # forward-derives and never probes
+    assert probes and all(p is not None for p in probes)
+    entry = lake.snapshots("gold", idx.postings)[-1]
+    got = sorted(entry["partitions"])
+    assert got == want
+    assert len(got) < 64 and len(all_live) > len(want)
+    # and the deletion really happened
+    assert (
+        lake.read(spark, "gold", idx.postings)
+        .filter(F.col("doc_id") == victim["doc_id"])
+        .count()
+        == 0
+    )

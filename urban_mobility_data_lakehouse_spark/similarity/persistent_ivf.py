@@ -85,7 +85,13 @@ class PersistentIVF:
         applied to the lakehouse): a query loop pays one table read
         per index GENERATION instead of one per call, and a rebuild
         (new centroids commit) invalidates automatically.  The version
-        probe is a log-file read, not a Spark job."""
+        probe is a log-file read, not a Spark job.
+
+        `loader` receives the PROBED version and must read pinned to
+        it — an unpinned read could cache data from a commit that
+        landed between the probe and the read under the pre-commit
+        version key, serving stale-keyed geometry until the next
+        generation bump."""
         snaps = self.lake.snapshots(self.schema, table)
         if not snaps:
             # keep the pre-memo misuse signal: a descriptive
@@ -99,7 +105,7 @@ class PersistentIVF:
         hit = self._geom_cache.get(table)
         if hit is not None and hit[0] == v:
             return hit[1]
-        val = loader()
+        val = loader(v)
         self._geom_cache[table] = (v, val)
         return val
 
@@ -147,10 +153,11 @@ class PersistentIVF:
         )
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
-        def _load():
+        def _load(v):
             rows = (
                 self.lake.read(
-                    spark, self.schema, f"{self.name}_centroids"
+                    spark, self.schema, f"{self.name}_centroids",
+                    version=v,
                 )
                 .orderBy("cell")
                 .collect()
@@ -464,10 +471,11 @@ class PersistentIVFPQ:
         )
 
     def centroids(self, spark: SparkSession) -> list[list[float]]:
-        def _load():
+        def _load(v):
             rows = (
                 self.lake.read(
-                    spark, self.schema, f"{self.name}_centroids"
+                    spark, self.schema, f"{self.name}_centroids",
+                    version=v,
                 )
                 .orderBy("cell")
                 .collect()
@@ -477,10 +485,11 @@ class PersistentIVFPQ:
         return self._memo_geometry(f"{self.name}_centroids", _load)
 
     def codebooks(self, spark: SparkSession) -> list[list[list[float]]]:
-        def _load():
+        def _load(v):
             rows = (
                 self.lake.read(
-                    spark, self.schema, f"{self.name}_codebooks"
+                    spark, self.schema, f"{self.name}_codebooks",
+                    version=v,
                 )
                 .orderBy("j", "c")
                 .collect()

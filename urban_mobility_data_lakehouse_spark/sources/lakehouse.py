@@ -3787,6 +3787,25 @@ class Transaction:
             current = lake._ensure_partition_col(
                 current, schema, name, partition_col
             )
+        if (
+            affected is None
+            and predicates is not None
+            and spec is not None
+            and partition_col == spec.hidden_col
+        ):
+            # predicates on a NON-source column of a hidden-partitioned
+            # table (e.g. erase-by-doc_id from a bucket(term) postings
+            # table): forward derivation can't apply, but the discovery
+            # scan can still be stats/Bloom-pruned — open only the
+            # read_where-surviving files and read the touched bucket
+            # tokens off their paths.  None = a matching row lives in a
+            # flat additive file (no token in its path) → fall back to
+            # the full scan below
+            affected = self._probe_affected_tokens(
+                spark, schema, name, predicates, partition_col
+            )
+            if affected is not None and not affected:
+                return False
         if affected is None:
             affected = [
                 str(r[0])
@@ -3808,6 +3827,41 @@ class Transaction:
             ),
         )
         return True
+
+    def _probe_affected_tokens(
+        self,
+        spark: SparkSession,
+        schema: str,
+        name: str,
+        predicates: list[tuple],
+        pcol: str,
+    ) -> list[str] | None:
+        """Pruned partition discovery for a staged DELETE: instead of
+        scanning every partition for matches, read only the
+        stats/Bloom-surviving files (`read_where`) and take the
+        touched partition TOKENS from the matching rows' file paths —
+        the same `<pcol>=<token>` segments the forward-derivation
+        branch reads off directory names, so the tokens feed
+        `_pvalue_match` unchanged.  With a Bloom index on the
+        predicate column this is O(matching files), not O(table).
+
+        Returns [] when no rows match anywhere (caller commits
+        nothing), or None when any matching row sits in a file whose
+        path carries no `<pcol>=` segment (flat additive file — its
+        partition value can't be attributed from the path; caller
+        falls back to scan discovery)."""
+        probe = self.lake.read_where(
+            spark, schema, name, predicates, with_positions=True
+        )
+        pfx = f"{os.sep}{pcol}="
+        toks: set[str] = set()
+        for r in probe.select("__dv_file").distinct().collect():
+            f = r[0]
+            i = f.rfind(pfx)
+            if i < 0:
+                return None
+            toks.add(f[i + len(pfx):].split(os.sep, 1)[0])
+        return sorted(toks)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
         self._stage(

@@ -81,8 +81,11 @@ class PersistentBM25:
         v = snaps[-1]["version"]
         if self._stats_cache is not None and self._stats_cache[0] == v:
             return self._stats_cache[1]
+        # read PINNED to the probed version: a commit landing between
+        # the probe and the read must not cache post-commit data under
+        # the pre-commit version key
         row = self.lake.read(
-            spark, self.schema, self.stats
+            spark, self.schema, self.stats, version=v
         ).collect()[0]
         self._stats_cache = (v, row)
         return row
@@ -133,6 +136,11 @@ class PersistentBM25:
             self.schema, self.doclen,
             f"bucket({self.n_buckets}, doc_id)",
         )
+        # per-file Bloom filter on postings.doc_id: postings are
+        # bucketed by TERM, so an erase-by-doc_id can't derive its
+        # buckets forward — the Bloom probe is what keeps delete_docs'
+        # discovery at O(files holding the ids) instead of O(index)
+        lake.add_bloom_index(self.schema, self.postings, "doc_id")
         with lake.transaction() as txn:
             txn.overwrite_partitions(
                 self._posting_rows(docs), self.schema, self.postings
@@ -177,14 +185,28 @@ class PersistentBM25:
             for r in docs.select("doc_id").distinct().collect()
         ]
         self._merge_docs(
-            spark, docs, purge_condition=F.col("doc_id").isin(ids)
+            spark, docs,
+            purge_condition=F.col("doc_id").isin(ids),
+            ids=ids,
         )
 
     def _merge_docs(
-        self, spark: SparkSession, docs: DataFrame, purge_condition
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        purge_condition,
+        ids: list[int] | None = None,
     ) -> None:
         lake = self.lake
         new_lens = self._length_rows(docs)
+        if ids is None:
+            # batch-bounded collect (micro-batch / maintenance-sized
+            # by contract) — the price of the INCREMENTAL stats leg
+            # below, which replaces a full doclen rescan per add
+            ids = [
+                int(r[0])
+                for r in docs.select("doc_id").distinct().collect()
+            ]
         with lake.transaction() as txn:
             txn.merge_into(
                 spark, self.schema, self.postings,
@@ -195,21 +217,61 @@ class PersistentBM25:
                 spark, self.schema, self.doclen,
                 new_lens, key="doc_id",
             )
-            # stats = current doclens merged with the incoming batch
-            # (computed at stage time, consistent with the staged merge)
-            merged = (
-                lake.read(spark, self.schema, self.doclen)
-                .join(new_lens.select("doc_id"), "doc_id", "left_anti")
-                .unionByName(new_lens)
-            )
+            # stats refresh, INCREMENTALLY: new = current − (lengths
+            # the merge replaces) + (incoming lengths).  The replaced
+            # lengths read through the forward-derived bucket(doc_id)
+            # pruning (O(touched buckets)); integer arithmetic, so the
+            # result is bit-equal to the full recompute this replaced.
+            # Stage-time consistency is the same as before: the
+            # transaction is single-writer and all three tables land
+            # at one journal line.
+            inc = new_lens.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s"),
+            ).collect()[0]
             txn.overwrite(
-                merged.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("sum_dl"),
+                self._shifted_stats(
+                    spark, ids,
+                    d_docs=int(inc["n"]),
+                    d_dl=int(inc["s"] or 0),
                 ),
                 self.schema,
                 self.stats,
             )
+
+    def _shifted_stats(
+        self,
+        spark: SparkSession,
+        replaced_ids: list[int],
+        d_docs: int,
+        d_dl: int,
+    ) -> DataFrame:
+        """One-row stats frame = current stats − the doclen rows of
+        `replaced_ids` (read PRUNED through the bucket(doc_id)
+        transform) + the (d_docs, d_dl) delta.  Exact: dl is integer,
+        so subtract-then-add equals recomputing from scratch.  The
+        empty-index representation is preserved (sum_dl NULL when no
+        docs remain, matching `_stat_row` over an empty corpus)."""
+        lake = self.lake
+        cur = self._stat_values(spark, None)
+        gone = (
+            lake.read_where(
+                spark, self.schema, self.doclen,
+                [("doc_id", "in", sorted(replaced_ids))],
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("s"),
+            )
+            .collect()[0]
+            if replaced_ids
+            else {"n": 0, "s": 0}
+        )
+        n = int(cur["n_docs"]) - int(gone["n"]) + d_docs
+        s = (int(cur["sum_dl"] or 0) - int(gone["s"] or 0) + d_dl)
+        return spark.createDataFrame(
+            [(n, s if n else None)], "n_docs bigint, sum_dl bigint"
+        )
 
     def delete_docs(
         self, spark: SparkSession, doc_ids: list[int]
@@ -226,25 +288,24 @@ class PersistentBM25:
         |touched buckets|/n_buckets of the index, not the table.  The
         doclen leg's affected buckets derive FORWARD through its
         bucket(doc_id) transform (zero discovery scans); the postings
-        leg must scan for its buckets (a deleted doc's terms span
-        arbitrary term buckets)."""
+        leg can't (a deleted doc's terms span arbitrary term buckets)
+        but its discovery routes through the per-file doc_id Bloom
+        index `build` registers — O(files holding the ids), not an
+        index scan — and the stats refresh subtracts the deleted
+        lengths (read bucket-pruned) instead of rescanning doclen."""
         ids = sorted(int(i) for i in doc_ids)
-        cond = F.col("doc_id").isin(ids)
         lake = self.lake
         with lake.transaction() as txn:
-            txn.delete_where(spark, self.schema, self.postings, cond)
+            txn.delete_where(
+                spark, self.schema, self.postings,
+                predicates=[("doc_id", "in", ids)],
+            )
             txn.delete_where(
                 spark, self.schema, self.doclen,
                 predicates=[("doc_id", "in", ids)],
             )
-            remaining = lake.read(
-                spark, self.schema, self.doclen
-            ).filter(~cond)
             txn.overwrite(
-                remaining.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("dl").alias("sum_dl"),
-                ),
+                self._shifted_stats(spark, ids, d_docs=0, d_dl=0),
                 self.schema,
                 self.stats,
             )
