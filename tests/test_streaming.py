@@ -749,3 +749,36 @@ def test_tombstone_ttl_requires_close_after(spark):
     )
     with _pytest.raises(ValueError, match="requires close_after"):
         sessionize_stream(stream, tombstone_ttl_minutes=60)
+
+
+def test_tombstone_ttl_defaults_on_with_eviction(spark, monkeypatch):
+    """Once eviction is enabled the bounded-state configuration is the
+    DEFAULT: 'auto' arms the 100× close_after tombstone TTL, None is
+    the explicit opt-out, and a stream without eviction arms nothing
+    (no tombstones to bound)."""
+    from urban_mobility_data_lakehouse_spark.streaming import sessions
+
+    seen = []
+
+    def spy(gap_minutes, close_after_ms, tombstone_ttl_ms=None):
+        seen.append((close_after_ms, tombstone_ttl_ms))
+        return lambda *a, **kw: iter(())
+
+    monkeypatch.setattr(sessions, "_session_fn", spy)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value as user_id", "timestamp as ts",
+            "value as event_id", "1.0 as value",
+        )
+    )
+    sessions.sessionize_stream(stream, close_after_minutes=10)
+    sessions.sessionize_stream(
+        stream, close_after_minutes=10, tombstone_ttl_minutes=None
+    )
+    sessions.sessionize_stream(stream)
+    assert seen == [
+        (600_000, 100 * 10 * 60 * 1000),  # auto: 100× close_after
+        (600_000, None),                  # explicit opt-out
+        (None, None),                     # no eviction → no tombstones
+    ]

@@ -257,7 +257,7 @@ def sessionize_stream(
     events_stream: DataFrame,
     gap_minutes: int = 30,
     close_after_minutes: int | None = None,
-    tombstone_ttl_minutes: int | None = None,
+    tombstone_ttl_minutes: int | None | str = "auto",
 ) -> DataFrame:
     """Stateful streaming sessionization (custom operator the built-in
     windowed aggs can't express: gap-defined, per-key dynamic windows).
@@ -268,10 +268,24 @@ def sessionize_stream(
     closes + evicts idle users' open sessions — the state-boundedness
     switch for unbounded key spaces.  Eviction leaves a tombstone so a
     returning user continues session numbering; `tombstone_ttl_minutes`
-    (requires `close_after_minutes`; pick it MUCH longer, e.g.
-    10–100× — N× close_after) drops tombstones idle that long,
-    restoring the O(active)+O(recently-seen) state bound at the cost
-    of numbering restarting at 1 for users absent the whole TTL."""
+    (requires `close_after_minutes`) drops tombstones idle that long,
+    restoring the O(active)+O(recently-seen) state bound.
+
+    The TTL DEFAULTS ON (``"auto"`` = 100× close_after_minutes, a
+    horizon two orders longer than the eviction window) once eviction
+    is enabled, so the bounded-state configuration is the one you get
+    without asking and unbounded tombstones (``None``) are the
+    explicit opt-out.  The trade, and what it asks of SINKS: a user
+    absent for the whole TTL restarts numbering at session 1, and an
+    update-mode sink keyed by bare (user_id, session_no) would then
+    silently overwrite that user's ORIGINAL session-1 row.  A
+    TTL-enabled deployment must therefore key its sink with an epoch
+    marker — e.g. (user_id, session_start_date, session_no) or
+    (user_id, first-event-ts-of-session, session_no) — so restarted
+    numbering lands in new rows; `session_start` is emitted on every
+    row precisely so sinks have that epoch at hand.  Opt out
+    (``tombstone_ttl_minutes=None``) when the sink key cannot carry an
+    epoch and O(keys-ever-seen) state is acceptable."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     close_ms = (
@@ -279,6 +293,12 @@ def sessionize_stream(
         if close_after_minutes is None
         else close_after_minutes * 60 * 1000
     )
+    if tombstone_ttl_minutes == "auto":
+        tombstone_ttl_minutes = (
+            None
+            if close_after_minutes is None
+            else 100 * close_after_minutes
+        )
     if tombstone_ttl_minutes is not None and close_ms is None:
         raise ValueError(
             "tombstone_ttl_minutes requires close_after_minutes "
