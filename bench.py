@@ -289,12 +289,19 @@ def main() -> None:
     # `contaminated_reps` counts dirty reps; `queries_dirty` names
     # queries whose min had to fall back to contaminated walls.
     retry_budget = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "12"))
+    # per-query cap ON TOP of the global budget: one noisy stretch
+    # early in the run can no longer starve later queries of retries
+    retry_cap_q = int(
+        os.environ.get("SPARK_GRAFT_BENCH_RETRIES_PER_QUERY", "4")
+    )
     rep_quiet_budget = float(
         os.environ.get("SPARK_GRAFT_BENCH_REP_QUIET_SECS", "30")
     )
     hz = os.sysconf("SC_CLK_TCK")
     queries_load: dict[str, float] = {}
     queries_ambient: dict[str, float] = {}
+    queries_min_clean: dict[str, float | None] = {}
+    queries_min_any: dict[str, float] = {}
     queries_dirty: list[str] = []
     contaminated_reps = 0
     for name, spec in specs_items:
@@ -341,13 +348,19 @@ def main() -> None:
                 / (hz * window),
             )
 
-        while len(clean_walls) < reps and retry_budget > 0:
+        retries_q = 0
+        while (
+            len(clean_walls) < reps
+            and retry_budget > 0
+            and retries_q < retry_cap_q
+        ):
             waited_r = 0.0
             while waited_r < rep_quiet_budget:
                 waited_r += 1.5
                 if _ambient_now() <= max_load:
                     break
             retry_budget -= 1
+            retries_q += 1
             wall, rows, amb = run_rep()
             walls.append(wall)
             rep_ambients.append(amb)
@@ -365,6 +378,16 @@ def main() -> None:
             queries_dirty.append(name)
         best = min(clean_walls) if clean_walls else min(walls)
         timings[name] = best
+        # self-describing minimums: the canonical `queries` value is
+        # min-over-CLEAN (falling back to min-over-all only when no
+        # clean rep exists — those queries are named in queries_dirty
+        # with their ambient load in queries_ambient).  Emitting both
+        # floors makes a budget-exhausted artifact carry its own error
+        # bar instead of needing the stderr log to interpret.
+        queries_min_clean[name] = (
+            min(clean_walls) if clean_walls else None
+        )
+        queries_min_any[name] = min(walls)
         # mean/cold over the first `reps` walls — the estimator prior
         # rounds used, kept comparable regardless of retries
         timings_mean[name] = round(sum(walls[:reps]) / min(len(walls), reps), 3)
@@ -422,6 +445,26 @@ def main() -> None:
                 # clean and must not be compared across rounds
                 "queries_dirty": queries_dirty,
                 "retry_budget_left": retry_budget,
+                # both floors per query: the canonical min-over-clean
+                # (null for dirty queries) and the unconditional
+                # min-over-all-reps, so a budget-exhausted artifact is
+                # self-describing without the stderr log
+                "queries_min_clean": queries_min_clean,
+                "queries_min_any": queries_min_any,
+                # how much of the canonical total comes from DISCARDING
+                # faster-but-contaminated walls (min_clean − min_any
+                # over clean queries): the gating conservatism error
+                # bar.  Dirty queries contribute 0 here — their
+                # uncertainty is one-sided and carried by
+                # queries_ambient instead.
+                "dirty_min_inflation_sec": round(
+                    sum(
+                        (c - queries_min_any[q])
+                        for q, c in queries_min_clean.items()
+                        if c is not None
+                    ),
+                    3,
+                ),
                 "row_mismatches": row_mismatches,
                 # one-time bucketed-layout DDL, paid in warmup (0.0x if
                 # attached from a previous session's surviving files)
