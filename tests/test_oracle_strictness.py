@@ -92,4 +92,11 @@ def test_oracle_generation_runs_no_spark_jobs(spark, sf_dir):
     # every registry row with an oracle resolves — no magic count, so
     # adding a registry row can't silently rot this guard
     assert len(oracles) == sum(1 for s in REGISTRY.values() if s.oracle)
+    # …but the dynamic comparison alone would also pass if a query
+    # module silently stopped registering (both sides shrink together).
+    # Floor it at the r10 driver-gate census: the registry is capped at
+    # 50 rows and every row carried an oracle, so dipping below 50
+    # means surface was LOST, not rotated.
+    assert len(REGISTRY) >= 50, sorted(REGISTRY)
+    assert len(oracles) >= 50, sorted(oracles)
     assert list(before) == list(after), "oracle generation ran Spark jobs"

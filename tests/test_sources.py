@@ -1123,3 +1123,45 @@ def test_null_partition_dml_preserves_neighbors(spark, tmp_path):
             spark, "silver", "t", [("id", "<=", 2)]
         ).collect()
     } == {1, 2}
+
+
+def test_null_and_literal_none_partition_mix_is_refused(
+    spark, tmp_path
+):
+    """The documented token-scheme collision (a literal string 'None'
+    shares partition identity with NULL) is refused LOUDLY at the one
+    point the two forms are physically distinguishable for free — the
+    hive dir names of the write itself — instead of silently merging
+    identities in later deletes/rewrites.  Either value alone still
+    writes fine (no false positives)."""
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    mixed = spark.createDataFrame(
+        [(1, "None"), (2, None), (3, "a")], "id long, k string"
+    )
+    with _pytest.raises(ValueError, match="mixes NULL and the literal"):
+        lake.overwrite_partitions(
+            mixed, "silver", "t", partition_col="k"
+        )
+    # literal 'None' alone: allowed (it IS the 'None' token)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(1, "None")], "id long, k string"),
+        "silver", "t_lit", partition_col="k",
+    )
+    assert lake.snapshots("silver", "t_lit")[-1]["partitions"] == [
+        "None"
+    ]
+    # NULL alone: allowed (canonical token path, unchanged)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(2, None)], "id long, k string"),
+        "silver", "t_null", partition_col="k",
+    )
+    assert lake.snapshots("silver", "t_null")[-1]["partitions"] == [
+        "None"
+    ]

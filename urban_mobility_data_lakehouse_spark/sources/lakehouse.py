@@ -997,7 +997,26 @@ class Lakehouse:
             # distinct().collect() path recorded), so map it back —
             # otherwise overwrite/conflict bookkeeping for null-keyed
             # partitions diverges between old and new commits of the
-            # same table
+            # same table.
+            #
+            # Documented token-scheme limit: a LITERAL string value
+            # 'None' shares partition identity with NULL (its dir is
+            # `<pcol>=None`, its token 'None' — the same token NULL
+            # maps to), so deletes/rewrites would treat the two as one
+            # partition.  The one place the two forms are physically
+            # distinguishable for free is RIGHT HERE, in the dir names
+            # this write just produced — refuse the ambiguous mix
+            # loudly instead of silently merging identities downstream.
+            if "None" in parts and "__HIVE_DEFAULT_PARTITION__" in parts:
+                raise ValueError(
+                    f"{schema}.{name}: partition column "
+                    f"{partition_col!r} mixes NULL and the literal "
+                    "string 'None' — this catalog's token scheme gives "
+                    "both the same partition identity ('None'), so "
+                    "later deletes/rewrites would conflate them. "
+                    "Rename the literal value (e.g. map it to 'none' "
+                    "or a sentinel) before partitioning on it."
+                )
             parts = [
                 "None" if p == "__HIVE_DEFAULT_PARTITION__" else p
                 for p in parts
