@@ -130,11 +130,29 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
     # from-scratch twin, here checked engine-side)
     dml = [r for r in r1 if r["part"] == "dml"]
     mv = {r["p"]: (r["v2"], r["n"]) for r in r1 if r["part"] == "mv"}
-    assert set(r["part"] for r in r1) == {"dml", "mv", "cdc"}
+    assert set(r["part"] for r in r1) == {"dml", "mv", "cdc", "man"}
     # cdc conservation: the pipe's inserts minus deletes must equal
     # the live table the dml part reads
     cdc = {r["p"]: r["n"] for r in r1 if r["part"] == "cdc"}
     assert cdc["insert"] - cdc["delete"] == len(dml)
+    # r11: the man part (log-blind manifest replay) must equal a
+    # per-group recompute of the dml part — same engine-side twin the
+    # mv part gets; id carries sum(n) so the widened column is pinned
+    man = {
+        r["p"]: (r["id"], r["v2"], r["n"])
+        for r in r1
+        if r["part"] == "man"
+    }
+    man_groups: dict[str, list] = {}
+    for row in dml:
+        man_groups.setdefault(row["p"], []).append(row)
+    assert set(man) == set(man_groups)
+    for g, rows_g in man_groups.items():
+        sn, total, n = man[g]
+        assert n == len(rows_g)
+        assert sn == sum(r["n"] for r in rows_g)
+        want = sum(r["v2"] for r in rows_g)
+        assert abs(total - want) < 1e-6 * max(1.0, abs(want))
     by_group: dict[str, list[float]] = {}
     for row in dml:
         by_group.setdefault(row["p"], []).append(row["v2"])
