@@ -44,6 +44,14 @@ from ..sources.lakehouse import Lakehouse
 from .bm25 import K1, B, _score_sql, idf_weights  # noqa: F401 (K1/B re-export)
 
 
+# point/bulk switchover for the stats-refresh shape: a mutation
+# naming at most this many doc_ids reads its replaced lengths through
+# the pruned IN probe (O(touched buckets)); a bigger batch recomputes
+# with one anti-join scan — the IN literal list itself becomes the
+# cost before the scan does
+_POINT_BATCH = 1024
+
+
 class PersistentBM25:
     def __init__(
         self,
@@ -217,27 +225,44 @@ class PersistentBM25:
                 spark, self.schema, self.doclen,
                 new_lens, key="doc_id",
             )
-            # stats refresh, INCREMENTALLY: new = current − (lengths
-            # the merge replaces) + (incoming lengths).  The replaced
-            # lengths read through the forward-derived bucket(doc_id)
-            # pruning (O(touched buckets)); integer arithmetic, so the
-            # result is bit-equal to the full recompute this replaced.
-            # Stage-time consistency is the same as before: the
+            # stats refresh, shape-adaptive (both shapes are exact —
+            # integer arithmetic — and bit-equal to each other):
+            #  * point batches (≤ _POINT_BATCH ids): INCREMENTAL —
+            #    current − (lengths the merge replaces, read through
+            #    the forward-derived bucket(doc_id) pruning:
+            #    O(touched buckets)) + (incoming lengths).  At 100 TB
+            #    a micro-batch must not rescan the corpus-sized
+            #    doclen table.
+            #  * bulk batches: one anti-join recompute — a
+            #    thousands-literal IN probe costs more than the scan
+            #    it would save once the batch stops being a needle.
+            # Stage-time consistency is the same either way: the
             # transaction is single-writer and all three tables land
             # at one journal line.
-            inc = new_lens.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("dl").alias("s"),
-            ).collect()[0]
-            txn.overwrite(
-                self._shifted_stats(
+            if len(ids) <= _POINT_BATCH:
+                inc = new_lens.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("dl").alias("s"),
+                ).collect()[0]
+                stats_frame = self._shifted_stats(
                     spark, ids,
                     d_docs=int(inc["n"]),
                     d_dl=int(inc["s"] or 0),
-                ),
-                self.schema,
-                self.stats,
-            )
+                )
+            else:
+                merged = (
+                    lake.read(spark, self.schema, self.doclen)
+                    .join(
+                        new_lens.select("doc_id"), "doc_id",
+                        "left_anti",
+                    )
+                    .unionByName(new_lens)
+                )
+                stats_frame = merged.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                )
+            txn.overwrite(stats_frame, self.schema, self.stats)
 
     def _shifted_stats(
         self,
@@ -304,11 +329,20 @@ class PersistentBM25:
                 spark, self.schema, self.doclen,
                 predicates=[("doc_id", "in", ids)],
             )
-            txn.overwrite(
-                self._shifted_stats(spark, ids, d_docs=0, d_dl=0),
-                self.schema,
-                self.stats,
-            )
+            # same point/bulk shape switch as _merge_docs (both exact)
+            if len(ids) <= _POINT_BATCH:
+                stats_frame = self._shifted_stats(
+                    spark, ids, d_docs=0, d_dl=0
+                )
+            else:
+                remaining = lake.read(
+                    spark, self.schema, self.doclen
+                ).filter(~F.col("doc_id").isin(ids))
+                stats_frame = remaining.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("sum_dl"),
+                )
+            txn.overwrite(stats_frame, self.schema, self.stats)
 
     def streaming_ingest(
         self,
