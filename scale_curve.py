@@ -235,7 +235,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 113,
+        "embedding_near_dups": 145,
         "text_pairs_suite": 24945,
         "multimodal_suite": 1099,
         "bm25_search": 180,
@@ -247,7 +247,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 119,
+        "embedding_near_dups": 151,
         "text_pairs_suite": 24318,
         "multimodal_suite": 1097,
         "bm25_search": 180,
@@ -259,7 +259,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
-        "embedding_near_dups": 414,
+        "embedding_near_dups": 446,
         "text_pairs_suite": 168396,
         "multimodal_suite": 10952,
         "bm25_search": 180,
