@@ -220,6 +220,23 @@ def _bm25_staged(spark, sf_dir: str) -> dict[str, float]:
         timed("delete", lambda: idx.delete_docs(spark, del_ids))
         timed("query_del", lambda: idx.query(
             spark, QUERY_TERMS, k=20).collect())
+        # the POINT-erasure shape (|ids| < n_buckets): Bloom-probed
+        # bucket discovery + forward-derived doclen buckets +
+        # incremental stats — the path a GDPR needle delete takes.
+        # Runs AFTER the r10-comparable stages so their walls stay
+        # round-over-round comparable; `delete` above (≥ n_buckets
+        # ids) measures the bulk copy-on-write shape.
+        pt_ids = [
+            int(r[0])
+            for r in corpus.filter(F.col("doc_id") % DEL_MOD == 1)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(3)
+            .collect()
+        ]
+        timed("delete_point", lambda: idx.delete_docs(spark, pt_ids))
+        timed("query_delpt", lambda: idx.query(
+            spark, QUERY_TERMS, k=20).collect())
     return walls
 
 # Pinned result cardinalities per sf, same tripwire as bench.py's

@@ -507,3 +507,29 @@ def test_delete_docs_rewrites_only_touched_buckets(
         .count()
         == 0
     )
+
+
+def test_bulk_delete_matches_fresh_build_without_them(
+    spark, docs, tmp_path
+):
+    """delete_docs' BULK shape (|ids| >= n_buckets: scan discovery +
+    one-pass stats recompute — the pruned point path would only add
+    fixed jobs when every bucket is touched anyway) leaves the state
+    equal to a fresh build that never saw the docs, exactly like the
+    point shape."""
+    ids = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    idx = PersistentBM25(Lakehouse(str(tmp_path / "a")), n_buckets=64)
+    assert len(ids) >= idx.n_buckets  # really the bulk branch
+    idx.build(spark, docs)
+    idx.delete_docs(spark, ids)
+    fresh = PersistentBM25(Lakehouse(str(tmp_path / "b")))
+    fresh.build(spark, docs.filter(~F.col("doc_id").isin(ids)))
+    assert _index_state(spark, idx) == _index_state(spark, fresh)
+    assert _rows(idx.query(spark, TERMS, k=20)) == _rows(
+        fresh.query(spark, TERMS, k=20)
+    )

@@ -44,14 +44,6 @@ from ..sources.lakehouse import Lakehouse
 from .bm25 import K1, B, _score_sql, idf_weights  # noqa: F401 (K1/B re-export)
 
 
-# point/bulk switchover for the stats-refresh shape: a mutation
-# naming at most this many doc_ids reads its replaced lengths through
-# the pruned IN probe (O(touched buckets)); a bigger batch recomputes
-# with one anti-join scan — the IN literal list itself becomes the
-# cost before the scan does
-_POINT_BATCH = 1024
-
-
 class PersistentBM25:
     def __init__(
         self,
@@ -227,19 +219,19 @@ class PersistentBM25:
             )
             # stats refresh, shape-adaptive (both shapes are exact —
             # integer arithmetic — and bit-equal to each other):
-            #  * point batches (≤ _POINT_BATCH ids): INCREMENTAL —
-            #    current − (lengths the merge replaces, read through
-            #    the forward-derived bucket(doc_id) pruning:
-            #    O(touched buckets)) + (incoming lengths).  At 100 TB
-            #    a micro-batch must not rescan the corpus-sized
-            #    doclen table.
-            #  * bulk batches: one anti-join recompute — a
-            #    thousands-literal IN probe costs more than the scan
-            #    it would save once the batch stops being a needle.
+            #  * point batches (|ids| < n_buckets, same discriminator
+            #    as delete_docs): INCREMENTAL — current − (lengths the
+            #    merge replaces, read through the forward-derived
+            #    bucket(doc_id) pruning: O(touched buckets)) +
+            #    (incoming lengths).  At 100 TB a micro-batch must not
+            #    rescan the corpus-sized doclen table.
+            #  * bulk batches: the ids touch every bucket in
+            #    expectation, so the pruned IN probe only adds fixed
+            #    jobs — one anti-join recompute instead.
             # Stage-time consistency is the same either way: the
             # transaction is single-writer and all three tables land
             # at one journal line.
-            if len(ids) <= _POINT_BATCH:
+            if len(ids) < self.n_buckets:
                 inc = new_lens.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.sum("dl").alias("s"),
@@ -308,29 +300,43 @@ class PersistentBM25:
         The retention/GDPR leg the add-only lifecycle lacked; also the
         primitive `reindex` composes with.
 
-        Cost: copy-on-write rewrite of only the bucket partitions
-        holding the deleted ids' rows — at 100 TB that is
-        |touched buckets|/n_buckets of the index, not the table.  The
-        doclen leg's affected buckets derive FORWARD through its
-        bucket(doc_id) transform (zero discovery scans); the postings
-        leg can't (a deleted doc's terms span arbitrary term buckets)
-        but its discovery routes through the per-file doc_id Bloom
-        index `build` registers — O(files holding the ids), not an
-        index scan — and the stats refresh subtracts the deleted
-        lengths (read bucket-pruned) instead of rescanning doclen."""
+        Cost, shape-adaptive on |ids| vs n_buckets (both shapes exact
+        and behavior-equal):
+
+        * POINT erasure (|ids| < n_buckets — the GDPR/retention
+          needle): the postings leg discovers its buckets by reading
+          only the files surviving the per-file doc_id Bloom index
+          `build` registers (O(files holding the ids), not an index
+          scan), the doclen leg's buckets derive FORWARD through its
+          bucket(doc_id) transform (zero discovery scans), and the
+          stats refresh subtracts the deleted lengths (read
+          bucket-pruned) instead of rescanning doclen.  At 100 TB
+          nothing in this path scales with the corpus.
+        * BULK erasure (|ids| ≥ n_buckets): the ids touch every
+          bucket in expectation, so pruning cannot reduce I/O — the
+          probe and per-id stats reads would only ADD fixed jobs.
+          One scan discovers the buckets and one pass recomputes the
+          stats, exactly the copy-on-write rewrite cost a bulk
+          erasure is anyway."""
         ids = sorted(int(i) for i in doc_ids)
         lake = self.lake
+        point = len(ids) < self.n_buckets
         with lake.transaction() as txn:
-            txn.delete_where(
-                spark, self.schema, self.postings,
-                predicates=[("doc_id", "in", ids)],
-            )
+            if point:
+                txn.delete_where(
+                    spark, self.schema, self.postings,
+                    predicates=[("doc_id", "in", ids)],
+                )
+            else:
+                txn.delete_where(
+                    spark, self.schema, self.postings,
+                    F.col("doc_id").isin(ids),
+                )
             txn.delete_where(
                 spark, self.schema, self.doclen,
                 predicates=[("doc_id", "in", ids)],
             )
-            # same point/bulk shape switch as _merge_docs (both exact)
-            if len(ids) <= _POINT_BATCH:
+            if point:
                 stats_frame = self._shifted_stats(
                     spark, ids, d_docs=0, d_dl=0
                 )
