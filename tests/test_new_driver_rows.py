@@ -130,7 +130,23 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
     # from-scratch twin, here checked engine-side)
     dml = [r for r in r1 if r["part"] == "dml"]
     mv = {r["p"]: (r["v2"], r["n"]) for r in r1 if r["part"] == "mv"}
-    assert set(r["part"] for r in r1) == {"dml", "mv", "cdc", "man"}
+    assert set(r["part"] for r in r1) == {
+        "dml", "mv", "cdc", "man", "ckpt",
+    }
+    # r11: the ckpt part (checkpoint-seeded cold read) must agree with
+    # the man part (log-blind manifest replay) row-for-row modulo the
+    # label — two independent reconstructions of the same final state
+    man_set = {
+        (r["id"], r["p"], r["v2"], r["n"])
+        for r in r1
+        if r["part"] == "man"
+    }
+    ckpt_set = {
+        (r["id"], r["p"], r["v2"], r["n"])
+        for r in r1
+        if r["part"] == "ckpt"
+    }
+    assert man_set == ckpt_set and man_set
     # cdc conservation: the pipe's inserts minus deletes must equal
     # the live table the dml part reads
     cdc = {r["p"]: r["n"] for r in r1 if r["part"] == "cdc"}

@@ -181,6 +181,16 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
                CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
                CAST(NULL AS VARCHAR), count(*)
         FROM final_state GROUP BY p
+        UNION ALL
+        -- ckpt: a cold reader seeding from the newest checkpoint and
+        -- replaying only the log suffix (the builder spy-asserts the
+        -- seed version actually used); hash equality against the same
+        -- first-principles aggregate proves checkpoint-seeded
+        -- reconstruction ≡ full-history replay
+        SELECT 'ckpt', CAST(sum(n) AS BIGINT), p,
+               CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
+               CAST(NULL AS VARCHAR), count(*)
+        FROM final_state GROUP BY p
     )
     ORDER BY part, coalesce(id, -1), p
     """,
@@ -244,13 +254,24 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the oracle's first-principles final state, so a missing or
     superseded file, wrong column mapping, or a lost widen all fail
     the row.
+
+    Part 'ckpt' (r11): the Delta-checkpoint analog.  The walk runs at
+    checkpoint_interval=4, so the 8-commit history snapshots the
+    replayed manifest at v3 and v7; a COLD Lakehouse instance then
+    reads the table, a spy asserts the read actually seeded from the
+    v7 checkpoint (start_after pinned — a silent full-replay fallback
+    fails the row), and the same per-partition aggregate hash-checks
+    that checkpoint-seeded reconstruction ≡ the oracle's full
+    first-principles state.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
         _FIXTURE_ROOT, f"lakeround_{tag}_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
-    lake = Lakehouse(root)
+    # interval 4 so the 8-commit walk on silver.t writes checkpoints
+    # at v3 and v7 — part 'ckpt' reads through the v7 seed
+    lake = Lakehouse(root, checkpoint_interval=4)
     lake.create_schemas("silver", "gold")
     events = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
@@ -343,6 +364,49 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     lake.compact(spark, "silver", "t", partition_col="p")
     manifest = lake.export_manifest("silver", "t", write=False)
+    # part 'ckpt': the Delta-checkpoint analog, proven non-vacuously.
+    # A COLD Lakehouse instance (no caches) must reconstruct the table
+    # by seeding from the newest checkpoint and replaying only the log
+    # SUFFIX — the spy pins the seed version actually used, so a
+    # silent fall-back to full log replay fails the row rather than
+    # passing by accident; the hashed aggregate then proves the seeded
+    # reconstruction equals the oracle's first-principles final state.
+    cp = lake._load_checkpoint(lake._table_dir("silver", "t"), None)
+    assert cp is not None and cp["version"] >= 7, cp
+    lake_cold = Lakehouse(root, checkpoint_interval=4)
+    seeded_from: list[int | None] = []
+    orig_replay = lake_cold._replay
+
+    def spy_replay(entries, path, version, **kw):
+        if path == lake_cold._table_dir("silver", "t"):
+            seeded_from.append(kw.get("start_after"))
+        return orig_replay(entries, path, version, **kw)
+
+    lake_cold._replay = spy_replay
+    ckpt_rows = (
+        lake_cold.read(spark, "silver", "t")
+        .groupBy("p")
+        .agg(
+            F.sum("n").cast("long").alias("id"),
+            F.expr(
+                "cast(sum(cast(v2 as decimal(25,6))) as double)"
+            ).alias("v2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("ckpt").alias("part"),
+            "id",
+            "p",
+            "v2",
+            F.lit(None).cast("string").alias("flag"),
+            "n",
+        )
+        .localCheckpoint(eager=True)  # pin before the spy unwinds
+    )
+    assert seeded_from and all(
+        s == cp["version"] for s in seeded_from
+    ), f"cold read did not seed from the v{cp['version']} checkpoint: {seeded_from}"
+    lake_cold._replay = orig_replay
     man_rows = (
         _manifest_replay(spark, manifest)
         .groupBy("p")
@@ -398,5 +462,6 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dml_rows.unionByName(mv_rows)
         .unionByName(cdc_rows)
         .unionByName(man_rows)
+        .unionByName(ckpt_rows)
         .orderBy("part", F.coalesce(F.col("id"), F.lit(-1)), "p")
     )
