@@ -572,3 +572,53 @@ def test_pre_epoch_timestamps_roundtrip_and_prune(spark, tmp_path):
     dirs = {f.rsplit("/", 2)[-2] for f in pruned.inputFiles()}
     assert 0 < len(dirs) <= 3
     assert all(d.startswith("_p_days_ts=-") for d in dirs)
+
+
+def test_escaped_and_null_partition_values_read_exactly(
+    spark, tmp_path
+):
+    """Hidden-spec partitions whose directory names need hive
+    escaping ('a:b' → 'a%3Ab') or the NULL sentinel must behave
+    exactly like plain ones: read_where finds their rows under any
+    predicate shape (the r11 canonical-token fix — constructed-name
+    matching silently dropped them), transform pruning on the source
+    column keeps/kills the right dirs, and export_manifest lists
+    their files."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.set_partition_spec("silver", "t", "identity(k)")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "a:b", 20), (3, "plain", 30),
+         (4, "a:b", 40)],
+        "id long, k string, v long",
+    )
+    lake.overwrite_partitions(df, "silver", "t")
+    # non-source predicates: all rows reachable
+    assert lake.read_where(
+        spark, "silver", "t", [("id", ">=", 1)]
+    ).count() == 4
+    assert sorted(
+        r["id"]
+        for r in lake.read_where(
+            spark, "silver", "t", [("id", "in", [1, 2])]
+        ).collect()
+    ) == [1, 2]
+    # source-column predicate: transform pruning must keep the
+    # ESCAPED dir for its canonical value (and actually prune)
+    hit = lake.read_where(spark, "silver", "t", [("k", "=", "a:b")])
+    assert sorted(r["id"] for r in hit.collect()) == [2, 4]
+    assert len(hit.inputFiles()) < len(
+        lake.read(spark, "silver", "t").inputFiles()
+    )
+    # partition_values read (the IVF probe shape) on the NULL token
+    null_rows = lake.read(
+        spark, "silver", "t", partition_values=["None"]
+    ).collect()
+    assert [r["id"] for r in null_rows] == [1]
+    # the manifest must list the escaped + sentinel dirs' files
+    man = lake.export_manifest("silver", "t", write=False)
+    assert len(man["hive_files"]) == len(
+        lake.read(spark, "silver", "t").inputFiles()
+    )
+    assert any("%3A" in f or "%3a" in f for f in man["hive_files"])
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in man["hive_files"])

@@ -175,3 +175,34 @@ def test_txn_delete_where_predicates_reaches_appended_rows(
     )
     assert 5_003 not in ids and 5_011 not in ids
     assert len(ids) == 28
+
+
+def test_txn_probe_discovery_handles_null_and_escaped_tokens(
+    spark, tmp_path
+):
+    """The r11 probe branch (predicates on a NON-source column of a
+    hidden-partitioned table) must canonicalize the partition tokens
+    it reads off file paths exactly like the write path: the
+    __HIVE_DEFAULT_PARTITION__ dir maps to the catalog's 'None' token
+    and hive escaping is undone — otherwise a delete matching a row
+    in the NULL partition silently skips it (the GDPR-erasure miss)."""
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    # identity spec over a nullable string: NULL and an
+    # escape-needing value both land in sentinel/escaped dirs
+    lake.set_partition_spec("silver", "t", "identity(k)")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, "a:b", 20), (3, "plain", 30)],
+        "id long, k string, v long",
+    )
+    lake.overwrite_partitions(df, "silver", "t")
+    with lake.transaction() as txn:
+        # id is NOT the spec source → probe-discovery branch
+        assert txn.delete_where(
+            spark, "silver", "t", predicates=[("id", "in", [1, 2])]
+        )
+    got = sorted(
+        (r["id"], r["k"], r["v"])
+        for r in lake.read(spark, "silver", "t").collect()
+    )
+    assert got == [(3, "plain", 30)]

@@ -40,6 +40,32 @@ from . import register
 _FIXTURE_ROOT = "/tmp/umdl_fixtures"
 
 
+def _grouped_part(df: DataFrame, label: str) -> DataFrame:
+    """The shared aggregate shape of the reconstruction parts
+    (man/ckpt): (part, id=sum(n), p, v2=decimal-exact sum(v2),
+    flag=NULL, n=count) per partition — one place, so a convention
+    tweak (e.g. the DECIMAL(25,6) double-sum rule) can never land in
+    one part and silently unbalance the census cross-check."""
+    return (
+        df.groupBy("p")
+        .agg(
+            F.sum("n").cast("long").alias("id"),
+            F.expr(
+                "cast(sum(cast(v2 as decimal(25,6))) as double)"
+            ).alias("v2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit(label).alias("part"),
+            "id",
+            "p",
+            "v2",
+            F.lit(None).cast("string").alias("flag"),
+            "n",
+        )
+    )
+
+
 def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
     """Reconstruct the logical table from an exported manifest ALONE —
     the Spark twin of `tests/test_manifest_export._duckdb_replay`, the
@@ -71,6 +97,12 @@ def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
             spark.read.option("mergeSchema", "true").parquet(
                 *manifest["flat_files"]
             )
+        )
+    if not frames:
+        raise ValueError(
+            f"manifest for {manifest['table']}@v{manifest['version']} "
+            "lists no files — nothing to reconstruct (empty table "
+            "snapshots are not replayable as a frame)"
         )
     out = frames[0]
     for f in frames[1:]:
@@ -383,49 +415,14 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orig_replay(entries, path, version, **kw)
 
     lake_cold._replay = spy_replay
-    ckpt_rows = (
-        lake_cold.read(spark, "silver", "t")
-        .groupBy("p")
-        .agg(
-            F.sum("n").cast("long").alias("id"),
-            F.expr(
-                "cast(sum(cast(v2 as decimal(25,6))) as double)"
-            ).alias("v2"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.lit("ckpt").alias("part"),
-            "id",
-            "p",
-            "v2",
-            F.lit(None).cast("string").alias("flag"),
-            "n",
-        )
-        .localCheckpoint(eager=True)  # pin before the spy unwinds
-    )
+    ckpt_rows = _grouped_part(
+        lake_cold.read(spark, "silver", "t"), "ckpt"
+    ).localCheckpoint(eager=True)  # pin before the spy unwinds
     assert seeded_from and all(
         s == cp["version"] for s in seeded_from
     ), f"cold read did not seed from the v{cp['version']} checkpoint: {seeded_from}"
     lake_cold._replay = orig_replay
-    man_rows = (
-        _manifest_replay(spark, manifest)
-        .groupBy("p")
-        .agg(
-            F.sum("n").cast("long").alias("id"),
-            F.expr(
-                "cast(sum(cast(v2 as decimal(25,6))) as double)"
-            ).alias("v2"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            F.lit("man").alias("part"),
-            "id",
-            "p",
-            "v2",
-            F.lit(None).cast("string").alias("flag"),
-            "n",
-        )
-    )
+    man_rows = _grouped_part(_manifest_replay(spark, manifest), "man")
     dml_rows = (
         lake.read(spark, "silver", "t")
         .select(

@@ -164,6 +164,41 @@ def _commits_conflict(mine: dict, other: dict) -> bool:
     )
 
 
+def _canon_token(raw: str) -> str:
+    """Hive directory-name token → the catalog's canonical partition
+    token: the __HIVE_DEFAULT_PARTITION__ sentinel maps to 'None'
+    (str(None), what commit entries record) and hive %-escaping is
+    undone.  EVERY comparison between commit-log partition tokens and
+    on-disk `<pcol>=<raw>` names must go through this (or
+    `_pvalue_subdirs`) — matching the constructed canonical name
+    against escaped/sentinel directories silently drops those
+    partitions (found via a NULL-keyed erasure miss, r11)."""
+    from urllib.parse import unquote
+
+    return (
+        "None" if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+    )
+
+
+def _pvalue_subdirs(d: str, pcol: str, values) -> list[str]:
+    """Existing `<pcol>=<raw>` subdirectories of `d` whose CANONICAL
+    token is in `values` — one listdir, escaped and NULL-sentinel
+    names matched correctly (see `_canon_token`)."""
+    pfx = f"{pcol}="
+    want = set(values)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return []
+    return [
+        p
+        for n in sorted(names)
+        if n.startswith(pfx)
+        and _canon_token(n[len(pfx):]) in want
+        and os.path.isdir(p := os.path.join(d, n))
+    ]
+
+
 def _with_meta(entry: dict, extra_meta: dict | None) -> dict:
     """Merge caller metadata into a staged commit entry (recorded on
     the log line, atomic with the commit — how a consumer ties applied
@@ -1995,11 +2030,11 @@ class Lakehouse:
         n = 0
         seen: set[str] = set()
         for value, (d, pcol) in part_map.items():
-            sub = os.path.join(d, f"{pcol}={value}")
-            p = sub if os.path.isdir(sub) else d
-            if p not in seen:
-                seen.add(p)
-                n += _count_data_files(p)
+            subs = _pvalue_subdirs(d, pcol, [value])
+            for p in subs if subs else [d]:
+                if p not in seen:
+                    seen.add(p)
+                    n += _count_data_files(p)
         for d in extras:
             if d not in seen:
                 seen.add(d)
@@ -2498,17 +2533,11 @@ class Lakehouse:
             by_dir.setdefault(d, (pcol, []))[1].append(value)
 
         def _subdirs(d: str, pcol: str, v: str) -> list[str]:
-            # the null token 'None' may live under the hive sentinel
-            # directory (derived-write path) or under 'pcol=None'
-            # (a literal str cast) — probe both
-            names = [f"{pcol}={v}"]
-            if v == "None":
-                names.append(f"{pcol}=__HIVE_DEFAULT_PARTITION__")
-            return [
-                p
-                for n in names
-                if os.path.isdir(p := os.path.join(d, n))
-            ]
+            # canonical matching (_canon_token): the null token 'None'
+            # matches both the hive sentinel directory (derived-write
+            # path) and a literal 'pcol=None' dir, and hive-escaped
+            # names (e.g. 'a%3Ab' for 'a:b') match their canonical form
+            return _pvalue_subdirs(d, pcol, [v])
 
         def _partitioned(d: str, pcol: str, values: list[str]) -> DataFrame:
             paths = [d]
@@ -2690,26 +2719,31 @@ class Lakehouse:
                 and keep is None
             ):
                 # no footer stats: still prune at the DIRECTORY level —
-                # hand Spark only the surviving value subdirs
-                keep = [
-                    sd
-                    for v in sorted(values)
-                    if os.path.isdir(
-                        sd := os.path.join(d, f"{pcol}={v}")
-                    )
-                ]
+                # hand Spark only the surviving value subdirs (matched
+                # canonically: escaped / NULL-sentinel dir names count)
+                keep = _pvalue_subdirs(d, pcol, values)
             elif (
                 p_spec is not None
                 and pcol == p_spec.hidden_col
                 and keep
             ):
-                # intersect file-stats survivors with partition pruning
-                allowed = {f"{pcol}={v}" for v in values}
+                # intersect file-stats survivors with partition
+                # pruning — the file's dir segment is matched through
+                # _canon_token, never by constructing the name (an
+                # escaped or NULL-sentinel directory would not match
+                # its canonical token and its rows would silently drop)
+                want = set(values)
+                pfx = f"{pcol}="
                 keep = [
                     p
                     for p in keep
-                    if allowed
-                    & set(os.path.relpath(p, d).split(os.sep)[:-1])
+                    if any(
+                        seg.startswith(pfx)
+                        and _canon_token(seg[len(pfx):]) in want
+                        for seg in os.path.relpath(p, d).split(
+                            os.sep
+                        )[:-1]
+                    )
                 ]
             src = (
                 spark.read.option("basePath", d).parquet(d)
@@ -2734,18 +2768,24 @@ class Lakehouse:
             ):
                 # spec-partitioned ADDITIVE dir (append/overwrite on a
                 # hidden-spec table): transform-prune its value subdirs
-                # exactly like the part_map dirs above
+                # exactly like the part_map dirs above.  `live` keeps
+                # the RAW directory tokens (that is what the file
+                # paths carry) but every decision — transform pruning,
+                # supersede exclusion — runs on the CANONICAL token,
+                # so escaped / NULL-sentinel dirs are neither wrongly
+                # pruned (value_of(lit) is canonical) nor wrongly kept
+                excl = set(extra[d].get(p_spec.hidden_col, ()))
                 live = {
-                    v
+                    raw
                     for s in os.listdir(d)
                     if s.startswith(hidden_pfx)
                     and partition_survives(
-                        p_spec, p_preds, (v := s[len(hidden_pfx):])
+                        p_spec,
+                        p_preds,
+                        _canon_token(raw := s[len(hidden_pfx):]),
                     )
+                    and _canon_token(raw) not in excl
                 }
-                # superseded-partition exclusions prune at the
-                # directory level too (the row filter still re-applies)
-                live -= set(extra[d].get(p_spec.hidden_col, ()))
                 if keep is None:
                     keep = [
                         os.path.join(d, f"{hidden_pfx}{v}")
@@ -3203,8 +3243,18 @@ class Lakehouse:
                 return None  # pre-stats commit: unknown
             if values is None:
                 return files
-            prefixes = tuple(f"{pcol}={v}{os.sep}" for v in values)
-            return [f for f in files if f["path"].startswith(prefixes)]
+            # canonical match on the leading dir segment (escaped /
+            # NULL-sentinel names must count toward their partition)
+            want = set(values)
+            pfx = f"{pcol}="
+            out = []
+            for f in files:
+                seg = f["path"].split(os.sep, 1)[0]
+                if seg.startswith(pfx) and _canon_token(
+                    seg[len(pfx):]
+                ) in want:
+                    out.append(f)
+            return out
 
         by_dir: dict[str, tuple[str, list[str]]] = {}
         for value, (d, pcol) in part_map.items():
@@ -3307,13 +3357,11 @@ class Lakehouse:
                 row["small"] += 1
 
         def scan(d: str, value: str, pcol: str) -> None:
-            base = os.path.join(d, f"{pcol}={value}")
-            if not os.path.isdir(base):
-                return
-            for root, _dirs, fnames in os.walk(base):
-                for fn in fnames:
-                    if fn.endswith(".parquet"):
-                        account(value, os.path.join(root, fn))
+            for base in _pvalue_subdirs(d, pcol, [value]):
+                for root, _dirs, fnames in os.walk(base):
+                    for fn in fnames:
+                        if fn.endswith(".parquet"):
+                            account(value, os.path.join(root, fn))
 
         for value, (d, pcol) in part_map.items():
             scan(d, value, pcol)
@@ -3441,15 +3489,17 @@ class Lakehouse:
         partition_cols: set[str] = set()
         for value, (d, pcol) in sorted(part_map.items()):
             partition_cols.add(pcol)
-            sub = os.path.join(d, f"{pcol}={value}")
-            if not os.path.isdir(sub):
-                continue  # partition superseded to empty in this dir
-            for root, _dirs, fnames in os.walk(sub):
-                hive_files.extend(
-                    os.path.join(root, fn)
-                    for fn in fnames
-                    if fn.endswith(".parquet")
-                )
+            # canonical subdir match: an escaped or NULL-sentinel
+            # partition directory must land in the manifest too —
+            # a constructed-name isdir() would skip it and export a
+            # silently incomplete file list
+            for sub in _pvalue_subdirs(d, pcol, [value]):
+                for root, _dirs, fnames in os.walk(sub):
+                    hive_files.extend(
+                        os.path.join(root, fn)
+                        for fn in fnames
+                        if fn.endswith(".parquet")
+                    )
         for d in sorted(extra):
             for root, _dirs, fnames in os.walk(d):
                 for fn in fnames:
@@ -3869,6 +3919,8 @@ class Transaction:
         path carries no `<pcol>=` segment (flat additive file — its
         partition value can't be attributed from the path; caller
         falls back to scan discovery)."""
+        from urllib.parse import unquote
+
         probe = self.lake.read_where(
             spark, schema, name, predicates, with_positions=True
         )
@@ -3879,7 +3931,16 @@ class Transaction:
             i = f.rfind(pfx)
             if i < 0:
                 return None
-            toks.add(f[i + len(pfx):].split(os.sep, 1)[0])
+            seg = f[i + len(pfx):].split(os.sep, 1)[0]
+            # two encoding layers peel off here: `__dv_file` comes from
+            # `_metadata.file_path`, a URI (the on-disk '%' of a
+            # hive-escaped name arrives as '%25'), so unquote once to
+            # the on-disk directory name, then _canon_token undoes the
+            # hive escaping / NULL sentinel to the catalog's canonical
+            # token — the form _pvalue_match and the commit log speak.
+            # Anything less and a NULL/escaped partition records a
+            # token no reader matches, silently skipping the partition.
+            toks.add(_canon_token(unquote(seg)))
         return sorted(toks)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:

@@ -299,6 +299,14 @@ def sessionize_stream(
             if close_after_minutes is None
             else 100 * close_after_minutes
         )
+    elif isinstance(tombstone_ttl_minutes, str):
+        # misuse error at the knob, not an opaque per-executor failure
+        # deep inside the stateful operator ('60' * 60000 is a
+        # 120000-char string handed to setTimeoutDuration)
+        raise ValueError(
+            "tombstone_ttl_minutes must be an int, None, or the "
+            f"string 'auto' — got {tombstone_ttl_minutes!r}"
+        )
     if tombstone_ttl_minutes is not None and close_ms is None:
         raise ValueError(
             "tombstone_ttl_minutes requires close_after_minutes "

@@ -200,12 +200,19 @@ class PersistentBM25:
         lake = self.lake
         new_lens = self._length_rows(docs)
         if ids is None:
-            # batch-bounded collect (micro-batch / maintenance-sized
-            # by contract) — the price of the INCREMENTAL stats leg
-            # below, which replaces a full doclen rescan per add
+            # bounded probe, never a full-batch collect: n_buckets
+            # distinct ids suffice to pick the shape — FEWER than
+            # n_buckets returned means this IS the complete id list
+            # (the point path needs it); exactly n_buckets means bulk,
+            # where the list is unused.  A bulk add at 100 TB must not
+            # pull its whole id set to the driver just to be told it's
+            # bulk.
             ids = [
                 int(r[0])
-                for r in docs.select("doc_id").distinct().collect()
+                for r in docs.select("doc_id")
+                .distinct()
+                .limit(self.n_buckets)
+                .collect()
             ]
         with lake.transaction() as txn:
             txn.merge_into(
