@@ -751,11 +751,11 @@ def test_tombstone_ttl_requires_close_after(spark):
         sessionize_stream(stream, tombstone_ttl_minutes=60)
 
 
-def test_tombstone_ttl_defaults_on_with_eviction(spark, monkeypatch):
-    """Once eviction is enabled the bounded-state configuration is the
-    DEFAULT: 'auto' arms the 100× close_after tombstone TTL, None is
-    the explicit opt-out, and a stream without eviction arms nothing
-    (no tombstones to bound)."""
+def test_tombstone_ttl_opt_in(spark, monkeypatch):
+    """The TTL is opt-in: the default (None) keeps unbounded tombstones
+    — monotonic numbering, the original public contract — even with
+    eviction on; 'auto' arms the 100× close_after TTL explicitly, and
+    a stream without eviction arms nothing (no tombstones to bound)."""
     from urban_mobility_data_lakehouse_spark.streaming import sessions
 
     seen = []
@@ -774,11 +774,13 @@ def test_tombstone_ttl_defaults_on_with_eviction(spark, monkeypatch):
     )
     sessions.sessionize_stream(stream, close_after_minutes=10)
     sessions.sessionize_stream(
-        stream, close_after_minutes=10, tombstone_ttl_minutes=None
+        stream, close_after_minutes=10, tombstone_ttl_minutes="auto"
     )
+    sessions.sessionize_stream(stream, tombstone_ttl_minutes="auto")
     sessions.sessionize_stream(stream)
     assert seen == [
-        (600_000, 100 * 10 * 60 * 1000),  # auto: 100× close_after
-        (600_000, None),                  # explicit opt-out
+        (600_000, None),                  # default: unbounded tombstones
+        (600_000, 100 * 10 * 60 * 1000),  # explicit 'auto' opt-in
+        (None, None),                     # auto without eviction = noop
         (None, None),                     # no eviction → no tombstones
     ]

@@ -85,11 +85,25 @@ def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
             *manifest["hive_files"]
         )
         for pc in manifest["hive_partition_columns"]:
-            df = df.withColumn(
-                pc,
+            # the extracted segment carries TWO encoding layers (the
+            # r11 canonical-token rule, `lakehouse._canon_token`):
+            # input_file_name() is a URI (the on-disk '%' of a
+            # hive-escaped name arrives as '%25'), so one url_decode
+            # yields the on-disk directory token; the hive layer then
+            # maps the __HIVE_DEFAULT_PARTITION__ sentinel to a real
+            # NULL and a second url_decode undoes hive %-escaping
+            # ('a%3Ab' → 'a:b').  Plain tokens pass through unchanged.
+            seg = F.url_decode(
                 F.regexp_extract(
                     F.input_file_name(), f"/{pc}=([^/]+)/", 1
-                ),
+                )
+            )
+            df = df.withColumn(
+                pc,
+                F.when(
+                    seg == "__HIVE_DEFAULT_PARTITION__",
+                    F.lit(None).cast("string"),
+                ).otherwise(F.url_decode(seg)),
             )
         frames.append(df)
     if manifest["flat_files"]:

@@ -257,7 +257,7 @@ def sessionize_stream(
     events_stream: DataFrame,
     gap_minutes: int = 30,
     close_after_minutes: int | None = None,
-    tombstone_ttl_minutes: int | None | str = "auto",
+    tombstone_ttl_minutes: int | None | str = None,
 ) -> DataFrame:
     """Stateful streaming sessionization (custom operator the built-in
     windowed aggs can't express: gap-defined, per-key dynamic windows).
@@ -271,21 +271,22 @@ def sessionize_stream(
     (requires `close_after_minutes`) drops tombstones idle that long,
     restoring the O(active)+O(recently-seen) state bound.
 
-    The TTL DEFAULTS ON (``"auto"`` = 100× close_after_minutes, a
-    horizon two orders longer than the eviction window) once eviction
-    is enabled, so the bounded-state configuration is the one you get
-    without asking and unbounded tombstones (``None``) are the
-    explicit opt-out.  The trade, and what it asks of SINKS: a user
-    absent for the whole TTL restarts numbering at session 1, and an
+    The TTL is OPT-IN (default ``None`` = tombstones live forever and
+    numbering never restarts — the original public contract; existing
+    deployments keep it without code changes).  Pass ``"auto"`` (100×
+    close_after_minutes, a horizon two orders longer than the eviction
+    window) or an explicit minute count to bound tombstone state.  The
+    trade a TTL buys into, and what it asks of SINKS: a user absent
+    for the whole TTL restarts numbering at session 1, and an
     update-mode sink keyed by bare (user_id, session_no) would then
     silently overwrite that user's ORIGINAL session-1 row.  A
     TTL-enabled deployment must therefore key its sink with an epoch
     marker — e.g. (user_id, session_start_date, session_no) or
     (user_id, first-event-ts-of-session, session_no) — so restarted
     numbering lands in new rows; `session_start` is emitted on every
-    row precisely so sinks have that epoch at hand.  Opt out
-    (``tombstone_ttl_minutes=None``) when the sink key cannot carry an
-    epoch and O(keys-ever-seen) state is acceptable."""
+    row precisely so sinks have that epoch at hand.  Leave the TTL off
+    when the sink key cannot carry an epoch and O(keys-ever-seen)
+    state is acceptable."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     close_ms = (
