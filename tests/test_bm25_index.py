@@ -447,60 +447,62 @@ def test_bm25_random_mutation_tape(spark, docs, tmp_path, seed):
     )
 
 
-def test_delete_docs_rewrites_only_touched_buckets(
-    spark, docs, tmp_path
-):
-    """The postings leg of delete_docs discovers its buckets through
-    the Bloom-pruned probe, not a full scan: the staged rewrite's
-    commit entry names exactly the bucket partitions holding the
-    deleted doc's postings — a strict subset of the live buckets."""
-    from urban_mobility_data_lakehouse_spark.sources.transforms import (
-        parse_spec,
-    )
+def test_delete_docs_commits_deletion_vectors(spark, docs, tmp_path):
+    """delete_docs is merge-on-read: both erasure legs land as
+    deletion-vector commits whose payload is O(deleted rows) — the
+    postings DV holds exactly the victim's postings positions, the
+    doclen DV exactly one row, and NO bucket partition is rewritten
+    (the r11 copy-on-write path rewrote every affected bucket wholly).
+    `optimize()` then materializes the deletes: vectors reset, results
+    identical."""
+    import os
 
     lake = Lakehouse(str(tmp_path / "lake"))
     idx = PersistentBM25(lake, n_buckets=64)
     idx.build(spark, docs)
     victim = docs.orderBy("doc_id").limit(1).collect()[0]
-    spec = parse_spec("bucket(64, term)")
-    want = sorted(
-        {
-            spec.value_of(t)
-            for t in (victim["text"] or "").split(" ")
-        }
+    n_postings = (
+        lake.read(spark, "gold", idx.postings)
+        .filter(F.col("doc_id") == victim["doc_id"])
+        .count()
     )
-    all_live = {
-        r[0]
-        for r in lake.read(spark, "gold", idx.postings)
-        .select(F.expr("term"))
-        .collect()
-    }
-    from urban_mobility_data_lakehouse_spark.sources import (
-        lakehouse as lh,
+    assert n_postings > 0
+    before_q = _rows(
+        idx.query(spark, TERMS, k=20)
+    )  # warm plan; also pins pre-delete state exists
+    assert before_q
+    idx.delete_docs(spark, [victim["doc_id"]])
+
+    def dv_entry(name):
+        e = lake.snapshots("gold", name)[-1]
+        assert e["operation"] == "delete_dv"
+        d = os.path.join(lake._table_dir("gold", name), e["data_dir"])
+        return spark.read.parquet(d)
+
+    assert dv_entry(idx.postings).count() == n_postings
+    assert dv_entry(idx.doclen).count() == 1
+    # readers anti-join the vector out
+    assert (
+        lake.read(spark, "gold", idx.postings)
+        .filter(F.col("doc_id") == victim["doc_id"])
+        .count()
+        == 0
     )
-
-    probes = []
-    orig = lh.Transaction._probe_affected_tokens
-
-    def spy(self, *a, **kw):
-        out = orig(self, *a, **kw)
-        probes.append(out)
-        return out
-
-    lh.Transaction._probe_affected_tokens = spy
-    try:
-        idx.delete_docs(spark, [victim["doc_id"]])
-    finally:
-        lh.Transaction._probe_affected_tokens = orig
-    # the probe path ran and resolved (no scan-discovery fallback);
-    # the postings leg is the bucket(term) table, the doclen leg
-    # forward-derives and never probes
-    assert probes and all(p is not None for p in probes)
-    entry = lake.snapshots("gold", idx.postings)[-1]
-    got = sorted(entry["partitions"])
-    assert got == want
-    assert len(got) < 64 and len(all_live) > len(want)
-    # and the deletion really happened
+    after_dv = _rows(idx.query(spark, TERMS, k=20))
+    # optimize() materializes: post-compact results bit-equal, and the
+    # compacted state carries no live vectors
+    idx.optimize(spark)
+    assert _rows(idx.query(spark, TERMS, k=20)) == after_dv
+    for name in (idx.postings, idx.doclen):
+        assert lake.snapshots("gold", name)[-1]["operation"] in (
+            "compact", "compact_partitioned",
+        )
+        assert (
+            lake.describe_detail("gold", name)[
+                "num_deletion_vectors"
+            ]
+            == 0
+        )
     assert (
         lake.read(spark, "gold", idx.postings)
         .filter(F.col("doc_id") == victim["doc_id"])

@@ -3768,14 +3768,15 @@ class Transaction:
         condition=None,
         partition_col: str | None = None,
         predicates: list[tuple] | None = None,
+        mode: str = "copy_on_write",
     ) -> bool:
-        """Stage a copy-on-write row-level DELETE (same semantics as
-        `Lakehouse.delete_where(mode="copy_on_write")`) inside the
-        transaction — so a multi-table erasure (an index's postings +
-        doc lengths + stats refresh) lands at one journal line and a
-        reader can never observe postings for a document whose length
-        row is already gone.  Returns True iff rows matched (False =
-        nothing staged for this table).
+        """Stage a row-level DELETE (same semantics as
+        `Lakehouse.delete_where`) inside the transaction — so a
+        multi-table erasure (an index's postings + doc lengths + stats
+        refresh) lands at one journal line and a reader can never
+        observe postings for a document whose length row is already
+        gone.  Returns True iff rows matched (False = nothing staged
+        for this table).
 
         With `predicates` instead of `condition` (one source of truth,
         like `Lakehouse.delete_where`), and when every triple is an
@@ -3784,12 +3785,57 @@ class Transaction:
         (`PartitionSpec.value_of`) — the discovery step costs zero
         table scans, the shape a point erasure on a
         bucket-partitioned key needs at 100 TB.  Other predicates fall
-        back to the scan-based discovery."""
+        back to the scan-based discovery.
+
+        ``mode="merge_on_read"`` stages the Delta deletion-vector
+        shape instead (`Lakehouse.delete_where` MoR twin): ONE small
+        parquet of the matching rows' physical positions, no data
+        rewritten — write cost O(deleted rows) where copy-on-write
+        rewrites every affected partition wholly (a bucket-partitioned
+        postings table can see a single document's erasure touch most
+        buckets).  With `predicates`, the position-finding scan routes
+        through `read_where` (stats/Bloom pruning).  Readers anti-join
+        the vector out until `compact()` materializes; the journal
+        line stays the atomic point for every staged table at once."""
         lake = self.lake
         if (condition is None) == (predicates is None):
             raise ValueError(
                 "txn delete_where: pass exactly one of condition or "
                 "predicates"
+            )
+        if mode == "merge_on_read":
+            if predicates is not None:
+                scanned = lake.read_where(
+                    spark, schema, name, predicates,
+                    with_positions=True,
+                )
+            else:
+                # TRUE rows only (SQL three-valued logic)
+                scanned = lake.read(
+                    spark, schema, name, with_positions=True
+                ).filter(condition)
+            matches = scanned.select(
+                F.col("__dv_file").alias("file_path"),
+                F.col("__dv_pos").alias("row_index"),
+            )
+            if matches.limit(1).count() == 0:
+                return False  # no matches → nothing staged (CoW parity)
+            data_dir = self._data_dir(schema, name)
+            matches.coalesce(1).write.mode("overwrite").parquet(data_dir)
+            self._stage(
+                schema, name,
+                dict(
+                    op="delete_dv",
+                    data_dir=os.path.relpath(
+                        data_dir, lake._table_dir(schema, name)
+                    ),
+                ),
+            )
+            return True
+        if mode != "copy_on_write":
+            raise ValueError(
+                f"txn delete_where: unknown mode {mode!r} "
+                "(copy_on_write | merge_on_read)"
             )
         if predicates is not None:
             from .skipping import predicates_to_column

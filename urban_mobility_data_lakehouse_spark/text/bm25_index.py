@@ -307,24 +307,38 @@ class PersistentBM25:
         The retention/GDPR leg the add-only lifecycle lacked; also the
         primitive `reindex` composes with.
 
-        Cost, shape-adaptive on |ids| vs n_buckets (both shapes exact
-        and behavior-equal):
+        Both erasure legs commit DELETION VECTORS
+        (`delete_where(mode="merge_on_read")`, the `PersistentIVF.
+        delete_vecs` shape): the matching rows' physical positions
+        land as one small parquet per table, write cost O(deleted
+        postings), and NO bucket is rewritten — copy-on-write here
+        rewrote every affected bucket wholly, which for postings
+        (bucketed by TERM) meant even a single document's erasure
+        could rewrite most of the index, and a bulk erasure rewrote
+        the corpus.  Readers anti-join the vectors out (a broadcast
+        ∝ deleted rows) until `optimize()` materializes the deletes
+        and resets them — the rewrite is DEFERRED to compaction, not
+        paid per delete.
+
+        Position discovery is shape-adaptive on |ids| vs n_buckets,
+        as is the stats refresh (both shapes exact and
+        behavior-equal):
 
         * POINT erasure (|ids| < n_buckets — the GDPR/retention
-          needle): the postings leg discovers its buckets by reading
-          only the files surviving the per-file doc_id Bloom index
-          `build` registers (O(files holding the ids), not an index
-          scan), the doclen leg's buckets derive FORWARD through its
-          bucket(doc_id) transform (zero discovery scans), and the
-          stats refresh subtracts the deleted lengths (read
-          bucket-pruned) instead of rescanning doclen.  At 100 TB
-          nothing in this path scales with the corpus.
+          needle): the postings positions come from reading only the
+          files surviving the per-file doc_id Bloom index `build`
+          registers (O(files holding the ids), not an index scan),
+          the doclen positions read through its bucket(doc_id)
+          transform pruning, and the stats refresh subtracts the
+          deleted lengths (read bucket-pruned) instead of rescanning
+          doclen.  At 100 TB nothing in this path scales with the
+          corpus.
         * BULK erasure (|ids| ≥ n_buckets): the ids touch every
-          bucket in expectation, so pruning cannot reduce I/O — the
-          probe and per-id stats reads would only ADD fixed jobs.
-          One scan discovers the buckets and one pass recomputes the
-          stats, exactly the copy-on-write rewrite cost a bulk
-          erasure is anyway."""
+          bucket in expectation, so pruning cannot reduce the
+          position scan — one pass finds the positions and one pass
+          recomputes the stats; the deferred-rewrite saving is what
+          MoR buys over the old copy-on-write bulk path (ladder
+          slope 1.49/decade, r11)."""
         ids = sorted(int(i) for i in doc_ids)
         lake = self.lake
         point = len(ids) < self.n_buckets
@@ -333,15 +347,18 @@ class PersistentBM25:
                 txn.delete_where(
                     spark, self.schema, self.postings,
                     predicates=[("doc_id", "in", ids)],
+                    mode="merge_on_read",
                 )
             else:
                 txn.delete_where(
                     spark, self.schema, self.postings,
                     F.col("doc_id").isin(ids),
+                    mode="merge_on_read",
                 )
             txn.delete_where(
                 spark, self.schema, self.doclen,
                 predicates=[("doc_id", "in", ids)],
+                mode="merge_on_read",
             )
             if point:
                 stats_frame = self._shifted_stats(
@@ -356,6 +373,22 @@ class PersistentBM25:
                     F.sum("dl").alias("sum_dl"),
                 )
             txn.overwrite(stats_frame, self.schema, self.stats)
+
+    def optimize(self, spark: SparkSession) -> dict:
+        """Materialize accumulated deletion vectors and re-cluster
+        postings/doclen into one file per bucket (the `PersistentIVF.
+        optimize` twin): `delete_docs` defers its rewrite here, so a
+        maintenance window pays it once instead of every erasure
+        paying it inline.  Two commits (one per table) — the stats row
+        is untouched, since compaction preserves rows exactly."""
+        return {
+            self.postings: self.lake.compact(
+                spark, self.schema, self.postings
+            ),
+            self.doclen: self.lake.compact(
+                spark, self.schema, self.doclen
+            ),
+        }
 
     def streaming_ingest(
         self,
