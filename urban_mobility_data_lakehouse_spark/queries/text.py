@@ -1127,6 +1127,51 @@ _REIDX_CASE = (
     f"THEN '{REIDX_TEXT}' ELSE text END"
 )
 
+# r12 COMPOSED mutation tape: the per-mutation parts prove each
+# contract alone; the tape proves their INTERLEAVING — the state a
+# real index actually lives in.  Continuing from the 'del' state
+# (REIDX-mapped corpus minus the DEL docs), a fixed four-step walk:
+#   1. bulk add of DERIVED documents (orig %7==3 → doc_id+TAPE_OFF,
+#      'tape '-prefixed text) — a merge over an index carrying live
+#      deletion vectors,
+#   2. point delete of orig ids %131==17 (some already gone — a
+#      delete overlapping prior deletes must be a no-op there),
+#   3. reindex of surviving orig ids %89==7 to TAPE_RX_TEXT — an
+#      upsert over rows some of which the FIRST reindex already
+#      rewrote,
+#   4. point delete of added ids (orig %7==3 AND %151==6) + TAPE_OFF.
+# The oracle folds the identical tape in SQL (_TAPE_CORPUS) and
+# rescans it from scratch: hash equality proves the composed walk
+# leaves the index ≡ a fresh build over the folded corpus.
+TAPE_OFF = 1_000_000
+TAPE_ADD_MOD, TAPE_ADD_REM = 7, 3
+TAPE_DEL2_MOD, TAPE_DEL2_REM = 131, 17
+TAPE_RX_MOD, TAPE_RX_REM = 89, 7
+TAPE_RX_TEXT = "vector table customer"
+TAPE_DEL3_MOD, TAPE_DEL3_REM = 151, 6
+# the folded final corpus, one {docs} hole (bm25_oracle_sql
+# corpus_sql contract).  CASE order matters: step-3's reindex lands
+# AFTER the first one, so %89 wins over %113 where both match; the
+# WHERE legs fold both delete steps; the UNION leg folds the derived
+# additions minus step-4's erasure.
+_TAPE_CORPUS = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % {TAPE_RX_MOD} = {TAPE_RX_REM}
+                         THEN '{TAPE_RX_TEXT}'
+                    WHEN doc_id % {REIDX_MOD} = {REIDX_REM}
+                         THEN '{REIDX_TEXT}'
+                    ELSE text END AS text
+        FROM {{docs}}
+        WHERE doc_id % {DEL_MOD} != 0
+          AND doc_id % {TAPE_DEL2_MOD} != {TAPE_DEL2_REM}
+        UNION ALL
+        SELECT doc_id + {TAPE_OFF} AS doc_id,
+               'tape ' || text AS text
+        FROM {{docs}}
+        WHERE doc_id % {TAPE_ADD_MOD} = {TAPE_ADD_REM}
+          AND doc_id % {TAPE_DEL3_MOD} != {TAPE_DEL3_REM}
+"""
+
 
 def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     """DuckDB twin of `bm25_search`'s five-part retrieval row.
@@ -1154,6 +1199,11 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
         where=f"doc_id % {DEL_MOD} != 0",
         text_expr=_REIDX_CASE,
     )
+    # r12 tape twin: a fresh scan-scorer over the SQL-folded final
+    # corpus (stats, IDF literals and all recomputed for it)
+    bmtape_body = bm25.bm25_oracle_sql(
+        sf_dir, k=k, corpus_sql=_TAPE_CORPUS
+    )
     return f"""
     WITH bm AS (
         SELECT doc_id, score,
@@ -1178,6 +1228,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
                row_number() OVER (ORDER BY score DESC, doc_id ASC)
                    AS rank
         FROM ({bmdel_body})
+    ),
+    bmtape AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bmtape_body})
     ),
     v AS (
         SELECT vec_id,
@@ -1299,6 +1355,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     -- post-delete generation: mapped corpus minus the deleted ids
     SELECT 'del' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM bmdel
+    UNION ALL
+    -- composed mutation tape: the interleaved add/delete/reindex walk
+    -- must leave the index equal to a fresh build over the folded
+    -- final corpus
+    SELECT 'tape' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bmtape
     ORDER BY part, rank
     """
 
@@ -1326,8 +1388,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutation parts: 'reidx' queries the index after reindex()
     replaced the REIDX docs' texts (stale dropped-term postings must
     be purged — oracle rescans the CASE-mapped corpus), 'del' after
-    delete_docs() erased the DEL docs (oracle filters them out) —
-    nine parts, one hash.
+    delete_docs() erased the DEL docs (oracle filters them out), and
+    the r12 'tape' part: a COMPOSED four-step walk (bulk add of
+    derived docs over live deletion vectors → overlapping point
+    delete → second reindex upserting over first-reindex rows →
+    point delete of additions) whose final index must hash-equal a
+    fresh scan-scorer build over the SQL-folded final corpus
+    (_TAPE_CORPUS) — ten parts, one hash.
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
@@ -1448,6 +1515,54 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rank", "score")
             .localCheckpoint(eager=True)
         )
+        # -- r12 composed mutation tape (constants block above): four
+        # more interleaved steps over the post-'del' index — a bulk
+        # add merging over live deletion vectors, a point delete
+        # overlapping prior deletes, a second reindex upserting over
+        # first-reindex rows, a point delete of derived additions —
+        # then one query whose oracle rescans the SQL-folded final
+        # corpus from scratch.  TAPE_OFF keeps derived ids clear of
+        # the base id space (documents doc_ids are corpus-row-scaled,
+        # far below 1e6 at every test SF).
+        added = corpus.filter(
+            F.col("doc_id") % TAPE_ADD_MOD == TAPE_ADD_REM
+        ).select(
+            (F.col("doc_id") + TAPE_OFF).alias("doc_id"),
+            F.concat(F.lit("tape "), F.col("text")).alias("text"),
+        )
+        idx.add(spark, added)
+        del2_ids = [
+            int(r[0])
+            for r in corpus.filter(
+                F.col("doc_id") % TAPE_DEL2_MOD == TAPE_DEL2_REM
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        idx.delete_docs(spark, del2_ids)
+        changed2 = corpus.filter(
+            (F.col("doc_id") % TAPE_RX_MOD == TAPE_RX_REM)
+            & (F.col("doc_id") % DEL_MOD != 0)
+            & (F.col("doc_id") % TAPE_DEL2_MOD != TAPE_DEL2_REM)
+        ).withColumn("text", F.lit(TAPE_RX_TEXT))
+        idx.reindex(spark, changed2)
+        del3_ids = [
+            int(r[0]) + TAPE_OFF
+            for r in corpus.filter(
+                (F.col("doc_id") % TAPE_ADD_MOD == TAPE_ADD_REM)
+                & (F.col("doc_id") % TAPE_DEL3_MOD == TAPE_DEL3_REM)
+            )
+            .select("doc_id")
+            .collect()
+        ]
+        if del3_ids:
+            idx.delete_docs(spark, del3_ids)
+        tape_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
 
     part = lambda df, p: df.select(  # noqa: E731
         F.lit(p).alias("part"), "doc_id", "rank", "score"
@@ -1462,5 +1577,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(near_part, "near"))
         .unionByName(part(reidx_part, "reidx"))
         .unionByName(part(del_part, "del"))
+        .unionByName(part(tape_part, "tape"))
         .orderBy("part", "rank")
     )

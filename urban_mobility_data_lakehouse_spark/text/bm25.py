@@ -175,6 +175,7 @@ def bm25_oracle_sql(
     k: int = TOP_K,
     where: str = "",
     text_expr: str = "text",
+    corpus_sql: str | None = None,
 ) -> str:
     """Generate the DuckDB twin for `bm25_topk` at this sf_dir:
     identical integers → identical Python-side IDF → identical literal
@@ -184,10 +185,30 @@ def bm25_oracle_sql(
     `text_expr` substitutes a SQL expression for the raw text column
     in BOTH passes — the twin of scoring an index whose documents were
     REINDEXED with changed content (e.g. a CASE mapping specific
-    doc_ids to their new text)."""
+    doc_ids to their new text).
+
+    `corpus_sql` replaces the corpus SOURCE entirely: a SELECT body
+    yielding (doc_id, text) with one ``{docs}`` hole for the documents
+    relation (filled with the parquet path for the generator's stats
+    probe, the registered view name in the emitted SQL) — the twin of
+    an index whose final state FOLDS a whole mutation tape (deletes +
+    reindexes + derived additions) rather than filtering/mapping the
+    base table in place.  Exclusive with `where`/`text_expr`."""
     import duckdb
 
+    if corpus_sql is not None and (where or text_expr != "text"):
+        raise ValueError(
+            "bm25_oracle_sql: corpus_sql already defines the corpus — "
+            "where/text_expr don't compose with it"
+        )
     cond = f"WHERE {where}" if where else ""
+    stats_src = (
+        f"'{sf_dir}/documents.parquet' {cond}"
+        if corpus_sql is None
+        else "("
+        + corpus_sql.format(docs=f"'{sf_dir}/documents.parquet'")
+        + ")"
+    )
     con = duckdb.connect()
     cols = ", ".join(
         f"sum(CAST(list_contains(string_split({text_expr}, ' '), "
@@ -197,7 +218,7 @@ def bm25_oracle_sql(
     n, sum_dl, *dfs = con.execute(
         f"SELECT count(*), sum(len(string_split({text_expr}, ' '))), "
         f"{cols} "
-        f"FROM '{sf_dir}/documents.parquet' {cond}"
+        f"FROM {stats_src}"
     ).fetchone()
     con.close()
     stats = {
@@ -211,12 +232,17 @@ def bm25_oracle_sql(
         terms, idf, avgdl, "len(list_filter(toks, x -> x = '{t}'))"
     )
     terms_arr = ", ".join(f"'{_q(t)}'" for t in terms)
+    emit_src = (
+        f"documents {cond}"
+        if corpus_sql is None
+        else "(" + corpus_sql.format(docs="documents") + ")"
+    )
     return f"""
     SELECT doc_id, CAST(dl AS BIGINT) AS dl, round({score}, 4) AS score
     FROM (
         SELECT doc_id, string_split({text_expr}, ' ') AS toks,
                CAST(len(string_split({text_expr}, ' ')) AS DOUBLE) AS dl
-        FROM documents {cond}
+        FROM {emit_src}
     )
     WHERE len(list_intersect(toks, [{terms_arr}])) > 0
     ORDER BY score DESC, doc_id ASC
