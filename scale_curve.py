@@ -277,7 +277,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
         "embedding_near_dups": 145,
-        "text_pairs_suite": 24945,
+        "text_pairs_suite": 25035,
         "multimodal_suite": 1099,
         "bm25_search": 200,
     },
@@ -289,7 +289,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
         "embedding_near_dups": 151,
-        "text_pairs_suite": 24318,
+        "text_pairs_suite": 24412,
         "multimodal_suite": 1097,
         "bm25_search": 200,
     },
@@ -301,7 +301,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
         "embedding_near_dups": 446,
-        "text_pairs_suite": 168396,
+        "text_pairs_suite": 169394,
         "multimodal_suite": 10952,
         "bm25_search": 200,
     },

@@ -249,6 +249,83 @@ _WINNOW_SQL = f"""
 """
 
 
+# ExactSubstr span-dedup parts (text/spans.py, r12): L-gram Karp-Rabin
+# hashes → ≥2-doc repeat set → gaps-and-islands span merge → row-local
+# removal.  'span' emits every maximal repeated span's (doc, start,
+# end) boundaries; 'spancut' emits, for each affected doc, the md5 +
+# char length of the text rebuilt with its spans cut out — the oracle
+# re-derives both from the raw corpus with the same portable word-hash
+# arithmetic the winnow part already replays.
+_SPAN_L = 8  # == text.spans.MIN_TOKENS (import-asserted in the suite)
+
+
+def _span_gram() -> str:
+    """DuckDB twin of spans._gram_hashes' Horner fold: mod after every
+    multiply, exact int64 (h < 2^31, B < 2^20 ⇒ products < 2^51)."""
+    h = "wh[i]"
+    for j in range(1, _SPAN_L):
+        h = f"(({h}) * {winnow.B} % {winnow.P} + wh[i+{j}]) % {winnow.P}"
+    return h
+
+
+_SPAN_SQL = f"""
+span_pos AS (
+    SELECT doc_id, g.pos AS pos, g.gh AS gh
+    FROM (
+        SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(wh) - {_SPAN_L - 1}),
+                   i -> struct_pack(pos := i, gh := {_span_gram()}))) AS g
+        FROM (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       t -> {_WINNOW_HASH.format(x='t')}) AS wh
+            FROM documents
+        )
+        WHERE len(wh) >= {_SPAN_L}
+    )
+),
+span_hits AS (
+    SELECT doc_id, pos FROM span_pos
+    WHERE gh IN (SELECT gh FROM span_pos
+                 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2)
+),
+span_isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL
+                     OR pos - lag(pos) OVER w > {_SPAN_L}
+                THEN 1 ELSE 0 END AS ni
+    FROM span_hits
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+span_spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + {_SPAN_L - 1} AS e
+    FROM (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+        FROM span_isl
+    )
+    GROUP BY doc_id, island
+),
+span_cut AS (
+    -- COALESCE: DuckDB's array_to_string maps the empty list to NULL
+    -- (a fully-covered doc rebuilds to ''), Spark's array_join to ''
+    SELECT d.doc_id,
+           COALESCE(array_to_string(
+               list_transform(
+                   list_filter(
+                       generate_series(1, len(d.t)),
+                       i -> len(list_filter(c.cuts,
+                               x -> i >= x.s AND i <= x.e)) = 0),
+                   i -> d.t[i]),
+               ' '), '') AS cleaned
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+    JOIN (SELECT doc_id, list(struct_pack(s := s, e := e)) AS cuts
+          FROM span_spans GROUP BY doc_id) c USING (doc_id)
+)
+"""
+
+
 # decontamination part: docs with doc_id % 97 == 0 play the "eval
 # benchmark"; every doc reports how many distinct eval 8-grams it
 # contains (text/contamination.py semantics, same portable md5-31bit
@@ -658,8 +735,8 @@ def _lm_band_sql(col: str) -> str:
 def _text_pairs_oracle(sf_dir: str) -> str:
     return f"""
     WITH RECURSIVE {_PACK_SQL}, {_CONTAM_SQL}, {_CMS_SQL},
-    {_HIST_SQL}, {_STRIP_SQL}, {_lm_sql(sf_dir)}, {_bpe_sql(sf_dir)},
-    {_clf_sql(sf_dir)}, {_mix_sql(sf_dir)}
+    {_HIST_SQL}, {_STRIP_SQL}, {_SPAN_SQL}, {_lm_sql(sf_dir)},
+    {_bpe_sql(sf_dir)}, {_clf_sql(sf_dir)}, {_mix_sql(sf_dir)}
     SELECT 'levenshtein' AS part,
            CAST(a.n_nationkey AS BIGINT) AS k1,
            CAST(b.n_nationkey AS BIGINT) AS k2,
@@ -778,6 +855,14 @@ def _text_pairs_oracle(sf_dir: str) -> str:
     SELECT 'mix', CAST(doc_id AS BIGINT), CAST(copy_no AS BIGINT),
            source, ntok
     FROM mix_out
+    UNION ALL
+    SELECT 'span', CAST(doc_id AS BIGINT), CAST(s AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(e AS BIGINT)
+    FROM span_spans
+    UNION ALL
+    SELECT 'spancut', CAST(doc_id AS BIGINT), CAST(NULL AS BIGINT),
+           md5(cleaned), CAST(length(cleaned) AS BIGINT)
+    FROM span_cut
     ORDER BY part, k1, k2, n
     """
 
@@ -823,7 +908,15 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow mapInPandas BPE encoder's positional token stream for
     doc_id<50 under pyarrow-twin-trained merges — k1=doc_id,
     k2=position, token=subword, n=doc token count; the oracle replays
-    the merges as a rank-ordered boundary-exact replace() fold."""
+    the merges as a rank-ordered boundary-exact replace() fold.
+    `span`/`spancut` (r12): ExactSubstr span dedup (text/spans.py, Lee
+    et al. ACL 2022 re-derived relationally) — 'span' emits every
+    maximal ≥2-doc repeated span's (doc_id=k1, start=k2, end=n) token
+    boundaries, 'spancut' the md5 (token) + char length (n) of each
+    affected doc's text rebuilt with its spans removed; the oracle
+    re-derives Karp-Rabin grams, the repeat census, the
+    gaps-and-islands merge and the positional cut from the raw corpus.
+    """
     import pyspark.sql.functions as F
 
     nation = load_table(spark, sf_dir, "nation")
@@ -932,6 +1025,37 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("k2"),
         F.lit(None).cast("string").alias("token"),
         F.col("n_docs").alias("n"),
+    )
+    # span/spancut: ExactSubstr dedup (text/spans.py) driven through
+    # the hash gate — maximal repeated-span boundaries, then the
+    # row-local removal witnessed by md5 + length of each affected
+    # doc's rebuilt text (only affected docs: the untouched rest is
+    # identity by construction)
+    from ..text import spans as spans_mod
+
+    assert spans_mod.MIN_TOKENS == _SPAN_L  # oracle literal pin
+    span_frame = spans_mod.repeated_spans(docs_all, l_tokens=_SPAN_L)
+    span_part = span_frame.select(
+        F.lit("span").alias("part"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("start_pos").cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("token"),
+        F.col("end_pos").cast("long").alias("n"),
+    )
+    spancut_part = (
+        spans_mod.remove_spans(docs_all, span_frame)
+        .join(
+            span_frame.select("doc_id").distinct(),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            F.lit("spancut").alias("part"),
+            F.col("doc_id").cast("long").alias("k1"),
+            F.lit(None).cast("long").alias("k2"),
+            F.md5("text").alias("token"),
+            F.length("text").cast("long").alias("n"),
+        )
     )
     from ..text.chunking import chunk_documents
 
@@ -1101,6 +1225,8 @@ def text_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(strip_part)
         .unionByName(clf_part)
         .unionByName(mix_part)
+        .unionByName(span_part)
+        .unionByName(spancut_part)
         .orderBy("part", "k1", "k2", "n")
     )
 
