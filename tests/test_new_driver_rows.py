@@ -131,8 +131,17 @@ def test_lakehouse_roundtrip_rerun_stable(spark):
     dml = [r for r in r1 if r["part"] == "dml"]
     mv = {r["p"]: (r["v2"], r["n"]) for r in r1 if r["part"] == "mv"}
     assert set(r["part"] for r in r1) == {
-        "dml", "mv", "cdc", "man", "ckpt",
+        "dml", "mv", "cdc", "man", "ckpt", "adv",
     }
+    # r12: the advisor part — exactly one 'pre' recommendation (the
+    # deliberately fragmented partition, a live dml group) and a
+    # 'post' row pinning the post-remediation recommendation count 0
+    adv = [r for r in r1 if r["part"] == "adv"]
+    pre = [r for r in adv if r["flag"] == "pre"]
+    post = [r for r in adv if r["flag"] == "post"]
+    assert len(pre) == 1 and len(post) == 1
+    assert post[0]["n"] == 0
+    assert pre[0]["p"] in {r["p"] for r in dml}
     # r11: the ckpt part (checkpoint-seeded cold read) must agree with
     # the man part (log-blind manifest replay) row-for-row modulo the
     # label — two independent reconstructions of the same final state

@@ -237,6 +237,18 @@ _G2_N_OFFSET = 3_000_000_000  # > 2^31: needs the widened bigint
                CAST(sum(CAST(v2 AS DECIMAL(25,6))) AS DOUBLE),
                CAST(NULL AS VARCHAR), count(*)
         FROM final_state GROUP BY p
+        UNION ALL
+        -- adv: the compaction advisor.  The builder fragments exactly
+        -- one partition (the smallest event_type) after the full
+        -- compact, so the deterministic recommendation is that single
+        -- value ('pre'); compacting the recommendation must leave an
+        -- empty set ('post' pins 0)
+        SELECT 'adv', CAST(NULL AS BIGINT), min(event_type),
+               CAST(NULL AS DOUBLE), 'pre', CAST(NULL AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'adv', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE), 'post', CAST(0 AS BIGINT)
     )
     ORDER BY part, coalesce(id, -1), p
     """,
@@ -308,7 +320,19 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     v7 checkpoint (start_after pinned — a silent full-replay fallback
     fails the row), and the same per-partition aggregate hash-checks
     that checkpoint-seeded reconstruction ≡ the oracle's full
-    first-principles state.
+    first-principles state (the cold read now also replays the two
+    post-checkpoint 'adv' compaction commits as log suffix).
+
+    Part 'adv' (r12): the OPTIMIZE advisor
+    (`Lakehouse.recommend_compaction`) hash-gated.  After the full
+    compact the builder fragments exactly one partition (the smallest
+    event_type, via the scoped files-per-partition knob); the 'pre'
+    row carries the advisor's own recommendation set — which the
+    oracle predicts from first principles as that single value — and
+    after compacting the recommendation the 'post' row carries the
+    advisor's new count, pinned to 0.  A sensor that over- or
+    under-recommends, or a remediation that doesn't clear it, fails
+    the hash.
     """
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = os.path.join(
@@ -410,6 +434,44 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     lake.compact(spark, "silver", "t", partition_col="p")
     manifest = lake.export_manifest("silver", "t", write=False)
+    # part 'adv' (r12): the compaction advisor driven through the hash
+    # gate.  The full compact above left a clean layout (one file per
+    # partition, no additive dirs, vectors materialized), so
+    # fragmentation is manufactured in exactly ONE partition — the
+    # lexicographically smallest event_type — with the scoped
+    # files-per-partition knob.  The advisor must then recommend
+    # exactly that partition (the 'pre' row carries the engine's own
+    # recommendation, which the oracle predicts from first principles
+    # as min(event_type)), and compacting the advisor's OWN output
+    # must empty the recommendation (the 'post' row pins 0).
+    frag_p = min(
+        str(r[0]) for r in events.select("p").distinct().collect()
+    )
+    lake.compact(
+        spark, "silver", "t", partition_col="p",
+        partitions=[frag_p], target_files_per_partition=6,
+    )
+    rec = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    assert rec["unpartitioned_dirs"] == 0, rec
+    lake.compact(
+        spark, "silver", "t", partition_col="p",
+        partitions=rec["partitions"],
+    )
+    rec_after = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+    )
+    adv_rows = spark.createDataFrame(
+        [("adv", None, p, None, "pre", None) for p in rec["partitions"]]
+        + [
+            (
+                "adv", None, None, None, "post",
+                len(rec_after["partitions"]),
+            )
+        ],
+        "part string, id long, p string, v2 double, flag string, n long",
+    )
     # part 'ckpt': the Delta-checkpoint analog, proven non-vacuously.
     # A COLD Lakehouse instance (no caches) must reconstruct the table
     # by seeding from the newest checkpoint and replaying only the log
@@ -474,5 +536,6 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cdc_rows)
         .unionByName(man_rows)
         .unionByName(ckpt_rows)
+        .unionByName(adv_rows)
         .orderBy("part", F.coalesce(F.col("id"), F.lit(-1)), "p")
     )
