@@ -611,8 +611,13 @@ def test_escaped_and_null_partition_values_read_exactly(
         lake.read(spark, "silver", "t").inputFiles()
     )
     # partition_values read (the IVF probe shape) on the NULL token
+    # (the sentinel on this format-v2 table)
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
+    )
+
     null_rows = lake.read(
-        spark, "silver", "t", partition_values=["None"]
+        spark, "silver", "t", partition_values=[NULL_SENTINEL]
     ).collect()
     assert [r["id"] for r in null_rows] == [1]
     # the manifest must list the escaped + sentinel dirs' files

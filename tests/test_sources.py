@@ -969,14 +969,30 @@ def test_overwrite_partitions_layout_knobs(spark, tmp_path):
         assert first_page_min == want, (path, first_page_min)
 
 
+def _make_legacy(lake, schema: str, name: str) -> None:
+    """Pin a table to the pre-r12 token scheme (NULL token 'None') the
+    way a table created before the format flag existed behaves — the
+    format file must exist BEFORE the first write or _ensure_format
+    stamps the v2 sentinel."""
+    import json
+    import os
+
+    path = lake._table_dir(schema, name)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, lake.FORMAT_FILE), "w") as f:
+        json.dump({"null_token": "None"}, f)
+
+
 def test_null_partition_value_records_canonical_token(spark, tmp_path):
     """A NULL partition value lands in the __HIVE_DEFAULT_PARTITION__
-    directory; the commit log must record the catalog's canonical
-    null token 'None' (what the explicit-`partitions` path and the
-    old distinct().collect() path record), so overwrite/conflict
-    bookkeeping for null-keyed partitions stays stable across both
-    code paths and across commits of the same table."""
+    directory; on a format-v2 table (every table this code creates)
+    the sentinel IS the canonical null token recorded on the commit
+    line, so overwrite/conflict bookkeeping for null-keyed partitions
+    stays stable across code paths and commits — and a literal string
+    'None' is a DISTINCT identity.  A legacy table (format file
+    predating the flag) keeps the documented 'None' token."""
     from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
         Lakehouse,
     )
 
@@ -987,19 +1003,34 @@ def test_null_partition_value_records_canonical_token(spark, tmp_path):
     )
     lake.overwrite_partitions(df, "silver", "t", partition_col="k")
     recorded = lake.snapshots("silver", "t")[-1]["partitions"]
-    assert sorted(recorded) == ["None", "a"]
-    assert "__HIVE_DEFAULT_PARTITION__" not in recorded
+    assert sorted(recorded) == [NULL_SENTINEL, "a"]
+    assert lake.null_token("silver", "t") == NULL_SENTINEL
 
     # second commit touching only the null partition: derived token
     # matches the first commit's, so supersede actually replaces it
     df2 = spark.createDataFrame([(9, None)], "id long, k string")
     lake.overwrite_partitions(df2, "silver", "t", partition_col="k")
-    assert lake.snapshots("silver", "t")[-1]["partitions"] == ["None"]
+    assert lake.snapshots("silver", "t")[-1]["partitions"] == [
+        NULL_SENTINEL
+    ]
     got = {
         (r["id"], r["k"])
         for r in lake.read(spark, "silver", "t").collect()
     }
     assert got == {(1, "a"), (3, "a"), (9, None)}
+
+    # legacy table: the old token scheme, unchanged
+    _make_legacy(lake, "silver", "t_old")
+    lake.overwrite_partitions(df, "silver", "t_old", partition_col="k")
+    assert sorted(
+        lake.snapshots("silver", "t_old")[-1]["partitions"]
+    ) == ["None", "a"]
+    assert lake.null_token("silver", "t_old") == "None"
+    got_old = {
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t_old").collect()
+    }
+    assert got_old == {(1, "a"), (2, None), (3, "a")}
 
 
 def test_null_partition_supersede_and_probe(spark, tmp_path):
@@ -1030,11 +1061,16 @@ def test_null_partition_supersede_and_probe(spark, tmp_path):
     }
     assert got == {(2, "a"), (7, None)}
 
-    # directory probe by the canonical null token
+    # directory probe by the canonical null token (the sentinel on
+    # this format-v2 table)
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
+    )
+
     probed = {
         (r["id"], r["k"])
         for r in lake.read(
-            spark, "silver", "t", partition_values=["None"]
+            spark, "silver", "t", partition_values=[NULL_SENTINEL]
         ).collect()
     }
     assert probed == {(7, None)}
@@ -1125,14 +1161,74 @@ def test_null_partition_dml_preserves_neighbors(spark, tmp_path):
     } == {1, 2}
 
 
-def test_null_and_literal_none_partition_mix_is_refused(
+def test_null_and_literal_none_are_distinct_on_v2_tables(
     spark, tmp_path
 ):
-    """The documented token-scheme collision (a literal string 'None'
-    shares partition identity with NULL) is refused LOUDLY at the one
-    point the two forms are physically distinguishable for free — the
-    hive dir names of the write itself — instead of silently merging
-    identities in later deletes/rewrites.  Either value alone still
+    """Format-v2 tables (every table this code creates) retire the
+    NULL/'None' identity collision: the sentinel is the canonical NULL
+    token, so NULL-keyed and literal-string-'None'-keyed rows land in
+    DISTINCT partitions — written in the same or separate commits —
+    and a delete scoped to one never touches the other."""
+    import pyspark.sql.functions as F
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    # the same-commit mix, refused on legacy tables, just works here
+    mixed = spark.createDataFrame(
+        [(1, "None"), (2, None), (3, "a")], "id long, k string"
+    )
+    lake.overwrite_partitions(mixed, "silver", "t", partition_col="k")
+    assert sorted(lake.snapshots("silver", "t")[-1]["partitions"]) == [
+        "None", NULL_SENTINEL, "a",
+    ]
+    # separate commits: supersede keys on distinct tokens
+    lake.overwrite_partitions(
+        spark.createDataFrame([(9, None)], "id long, k string"),
+        "silver", "t", partition_col="k",
+    )
+    lake.overwrite_partitions(
+        spark.createDataFrame([(8, "None")], "id long, k string"),
+        "silver", "t", partition_col="k",
+    )
+    rows = {
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert rows == {(3, "a"), (8, "None"), (9, None)}
+    # a delete of the NULL partition leaves the literal-'None' row
+    lake.delete_where(
+        spark, "silver", "t", F.col("k").isNull(), partition_col="k",
+    )
+    rows = {
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert rows == {(3, "a"), (8, "None")}
+    # and a delete of the literal partition leaves everything else
+    lake.delete_where(
+        spark, "silver", "t", F.col("k") == "None", partition_col="k",
+    )
+    rows = {
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert rows == {(3, "a")}
+
+
+def test_null_and_literal_none_partition_mix_is_refused_on_legacy(
+    spark, tmp_path
+):
+    """LEGACY tables keep the documented collision (a literal string
+    'None' shares partition identity with NULL), refused LOUDLY at the
+    one point the two forms are physically distinguishable for free —
+    the hive dir names — both when one write produces both forms and
+    (r12) when the incoming write carries one form while the table's
+    live directories already hold the other.  Either value alone still
     writes fine (no false positives)."""
     import pytest as _pytest
 
@@ -1142,6 +1238,8 @@ def test_null_and_literal_none_partition_mix_is_refused(
 
     lake = Lakehouse(str(tmp_path / "lake"))
     lake.create_schemas("silver")
+    for t in ("t", "t_lit", "t_null", "t_x1", "t_x2"):
+        _make_legacy(lake, "silver", t)
     mixed = spark.createDataFrame(
         [(1, "None"), (2, None), (3, "a")], "id long, k string"
     )
@@ -1165,3 +1263,33 @@ def test_null_and_literal_none_partition_mix_is_refused(
     assert lake.snapshots("silver", "t_null")[-1]["partitions"] == [
         "None"
     ]
+    # cross-commit mix, both directions: NULL-keyed first, literal
+    # 'None' second — and vice versa — both refused (the r11 guard
+    # only saw a single write's dir listing)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(2, None)], "id long, k string"),
+        "silver", "t_x1", partition_col="k",
+    )
+    with _pytest.raises(ValueError, match="cross-commit"):
+        lake.overwrite_partitions(
+            spark.createDataFrame([(1, "None")], "id long, k string"),
+            "silver", "t_x1", partition_col="k",
+        )
+    lake.overwrite_partitions(
+        spark.createDataFrame([(1, "None")], "id long, k string"),
+        "silver", "t_x2", partition_col="k",
+    )
+    with _pytest.raises(ValueError, match="cross-commit"):
+        lake.overwrite_partitions(
+            spark.createDataFrame([(2, None)], "id long, k string"),
+            "silver", "t_x2", partition_col="k",
+        )
+    # same-token rewrites still pass the guard (no false positives)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(7, None)], "id long, k string"),
+        "silver", "t_x1", partition_col="k",
+    )
+    assert [
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t_x1").collect()
+    ] == [(7, None)]

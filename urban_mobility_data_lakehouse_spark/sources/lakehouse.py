@@ -164,23 +164,38 @@ def _commits_conflict(mine: dict, other: dict) -> bool:
     )
 
 
-def _canon_token(raw: str) -> str:
+# Hive's NULL-partition directory name.  For tables created at format
+# v2 (see Lakehouse.null_token) it is ALSO the catalog's canonical
+# NULL partition token, which retires the NULL/'None' identity
+# collision: a literal string 'None' tokenizes as 'None', NULL as the
+# sentinel — two distinct partitions.  Legacy tables (created before
+# the format file existed) keep the documented 'None' token.
+NULL_SENTINEL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _canon_token(raw: str, null_token: str = "None") -> str:
     """Hive directory-name token → the catalog's canonical partition
-    token: the __HIVE_DEFAULT_PARTITION__ sentinel maps to 'None'
-    (str(None), what commit entries record) and hive %-escaping is
-    undone.  EVERY comparison between commit-log partition tokens and
-    on-disk `<pcol>=<raw>` names must go through this (or
-    `_pvalue_subdirs`) — matching the constructed canonical name
-    against escaped/sentinel directories silently drops those
-    partitions (found via a NULL-keyed erasure miss, r11)."""
+    token: the __HIVE_DEFAULT_PARTITION__ sentinel maps to the table's
+    NULL token (`Lakehouse.null_token` — 'None' on legacy tables, the
+    sentinel itself on format-v2 tables, where this mapping is the
+    identity) and hive %-escaping is undone.  EVERY comparison between
+    commit-log partition tokens and on-disk `<pcol>=<raw>` names must
+    go through this (or `_pvalue_subdirs`) — matching the constructed
+    canonical name against escaped/sentinel directories silently drops
+    those partitions (found via a NULL-keyed erasure miss, r11)."""
     from urllib.parse import unquote
 
-    return (
-        "None" if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-    )
+    return null_token if raw == NULL_SENTINEL else unquote(raw)
 
 
-def _pvalue_subdirs(d: str, pcol: str, values) -> list[str]:
+def _token_of(value, null_token: str = "None") -> str:
+    """Partition VALUE (off a collected row) → canonical token."""
+    return null_token if value is None else str(value)
+
+
+def _pvalue_subdirs(
+    d: str, pcol: str, values, null_token: str = "None"
+) -> list[str]:
     """Existing `<pcol>=<raw>` subdirectories of `d` whose CANONICAL
     token is in `values` — one listdir, escaped and NULL-sentinel
     names matched correctly (see `_canon_token`)."""
@@ -194,7 +209,7 @@ def _pvalue_subdirs(d: str, pcol: str, values) -> list[str]:
         p
         for n in sorted(names)
         if n.startswith(pfx)
-        and _canon_token(n[len(pfx):]) in want
+        and _canon_token(n[len(pfx):], null_token) in want
         and os.path.isdir(p := os.path.join(d, n))
     ]
 
@@ -283,11 +298,51 @@ class Lakehouse:
             finally:
                 fcntl.flock(lf, fcntl.LOCK_UN)
 
+    # -- table format (the NULL-partition-token flag) ----------------------
+
+    FORMAT_FILE = "_format.json"
+
+    def null_token(self, schema: str, name: str) -> str:
+        """The table's canonical NULL-partition token.  Tables created
+        at format v2 (every table this code creates: `_ensure_format`
+        stamps `_format.json` before the first commit) use the
+        dedicated hive sentinel, so a NULL partition key and a literal
+        string 'None' are DISTINCT partition identities.  Tables
+        without the format file — created before the flag existed —
+        keep the documented legacy token 'None' (str(None)), where the
+        two forms share identity; `_stage_overwrite_partitions` refuses
+        writes that would mix them, same-commit or cross-commit."""
+        p = os.path.join(self._table_dir(schema, name), self.FORMAT_FILE)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f).get("null_token", "None")
+        return "None"
+
+    def _ensure_format(self, schema: str, name: str) -> None:
+        """Stamp the format file on a genuinely NEW table (no commits,
+        no format file yet) — called from every write entry point
+        BEFORE data is staged, so the token scheme is fixed for the
+        table's whole life.  Existing tables are never upgraded in
+        place: their committed log lines and directory names already
+        speak the legacy token."""
+        path = self._table_dir(schema, name)
+        p = os.path.join(path, self.FORMAT_FILE)
+        if os.path.exists(p):
+            return
+        with self._table_lock(path):
+            if os.path.exists(p) or self._raw_snapshots(schema, name):
+                return
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"null_token": NULL_SENTINEL}, f)
+            os.replace(tmp, p)
+
     def _next_data_dir(self, schema: str, name: str) -> tuple[int, str]:
         """(base version, unique staging dir).  The dir name embeds a
         writer-unique suffix so concurrent stagers never clobber each
         other's files; which staged dir becomes live is decided later,
         at the serialized log append (`_commit`)."""
+        self._ensure_format(schema, name)
         version = len(self.snapshots(schema, name))
         uniq = f"{time.time_ns():x}-{os.getpid():x}"
         return version, os.path.join(
@@ -766,6 +821,7 @@ class Lakehouse:
         from .transforms import parse_spec
 
         parsed = parse_spec(spec)  # validate before persisting
+        self._ensure_format(schema, name)  # before the lock: not reentrant
         path = self._table_dir(schema, name)
         with self._table_lock(path):
             if self.snapshots(schema, name) and self.partition_spec(
@@ -1027,35 +1083,60 @@ class Lakehouse:
                 and os.path.isdir(os.path.join(data_dir, d))
             ]
             # a NULL partition value writes the sentinel directory
-            # __HIVE_DEFAULT_PARTITION__; the catalog's canonical
-            # null-partition token is 'None' (str(None), what the old
-            # distinct().collect() path recorded), so map it back —
-            # otherwise overwrite/conflict bookkeeping for null-keyed
-            # partitions diverges between old and new commits of the
-            # same table.
+            # __HIVE_DEFAULT_PARTITION__.  On format-v2 tables (every
+            # table this code creates) the sentinel IS the canonical
+            # NULL token, so it stays as-is and a literal string
+            # 'None' is just an ordinary value — two distinct
+            # partition identities, nothing to guard.
             #
-            # Documented token-scheme limit: a LITERAL string value
-            # 'None' shares partition identity with NULL (its dir is
-            # `<pcol>=None`, its token 'None' — the same token NULL
-            # maps to), so deletes/rewrites would treat the two as one
-            # partition.  The one place the two forms are physically
-            # distinguishable for free is RIGHT HERE, in the dir names
-            # this write just produced — refuse the ambiguous mix
-            # loudly instead of silently merging identities downstream.
-            if "None" in parts and "__HIVE_DEFAULT_PARTITION__" in parts:
-                raise ValueError(
-                    f"{schema}.{name}: partition column "
-                    f"{partition_col!r} mixes NULL and the literal "
-                    "string 'None' — this catalog's token scheme gives "
-                    "both the same partition identity ('None'), so "
-                    "later deletes/rewrites would conflate them. "
-                    "Rename the literal value (e.g. map it to 'none' "
-                    "or a sentinel) before partitioning on it."
-                )
-            parts = [
-                "None" if p == "__HIVE_DEFAULT_PARTITION__" else p
-                for p in parts
-            ]
+            # LEGACY tables (no format file) keep the documented token
+            # 'None' (str(None), what the old distinct().collect()
+            # path recorded), where a literal string value 'None'
+            # SHARES partition identity with NULL — so the ambiguous
+            # mix is refused loudly instead of silently merging
+            # identities downstream: both when one write produces both
+            # directory forms, and (r12, the cross-commit case) when
+            # the incoming write carries one form while the table's
+            # live directories already hold the other.
+            nt = self.null_token(schema, name)
+            if nt == "None":
+                incoming = {
+                    p for p in parts if p in ("None", NULL_SENTINEL)
+                }
+                if len(incoming) == 2:
+                    raise ValueError(
+                        f"{schema}.{name}: partition column "
+                        f"{partition_col!r} mixes NULL and the literal "
+                        "string 'None' — this legacy table's token "
+                        "scheme gives both the same partition identity "
+                        "('None'), so later deletes/rewrites would "
+                        "conflate them. Rename the literal value (e.g. "
+                        "map it to 'none' or a sentinel) before "
+                        "partitioning on it."
+                    )
+                if incoming:
+                    other = (
+                        NULL_SENTINEL
+                        if incoming == {"None"}
+                        else "None"
+                    )
+                    if other in self._live_raw_tokens(
+                        schema, name, partition_col
+                    ):
+                        raise ValueError(
+                            f"{schema}.{name}: this write's partition "
+                            f"column {partition_col!r} carries "
+                            f"{'NULL' if other == 'None' else 'a literal string None'} "
+                            "while the table already holds "
+                            f"{'a literal string None' if other == 'None' else 'NULL-keyed'} "
+                            "rows — on this legacy table both forms "
+                            "share partition identity ('None'), so the "
+                            "cross-commit mix is refused the same way "
+                            "the same-commit mix is."
+                        )
+                parts = [
+                    "None" if p == NULL_SENTINEL else p for p in parts
+                ]
         return self._attach_stats(
             dict(
                 op="overwrite_partitions",
@@ -1066,6 +1147,30 @@ class Lakehouse:
             schema,
             name,
         )
+
+    def _live_raw_tokens(
+        self, schema: str, name: str, pcol: str
+    ) -> set[str]:
+        """RAW `<pcol>=<token>` directory names across every live data
+        dir — the one vantage point where NULL (sentinel dir) and a
+        literal string 'None' are physically distinguishable.  Used
+        only by the legacy-table mix guard, and only when the incoming
+        write actually carries one of the two forms (never on the hot
+        path)."""
+        part_map, extra, _dvs = self._manifest(schema, name)
+        dirs = {d for d, pc in part_map.values() if pc == pcol}
+        dirs |= set(extra)
+        pfx = f"{pcol}="
+        out: set[str] = set()
+        for d in dirs:
+            try:
+                names = os.listdir(d)
+            except OSError:
+                continue
+            out.update(
+                n[len(pfx):] for n in names if n.startswith(pfx)
+            )
+        return out
 
     def _stage_full_write(
         self, df: DataFrame, schema: str, name: str, op: str, data_dir: str
@@ -1236,8 +1341,9 @@ class Lakehouse:
         # table state: every commit that lands after what this merge
         # reads must fall in the conflict scan's [base:] range
         base = len(self.snapshots(schema, name))
+        nt = self.null_token(schema, name)
         affected = [
-            str(r[0])
+            _token_of(r[0], nt)
             for r in updates.select(partition_col).distinct().collect()
         ]
         if validate_cross_partition:
@@ -1246,7 +1352,11 @@ class Lakehouse:
                     self.read(spark, schema, name), schema, name,
                     partition_col,
                 )
-                .filter(~self._pvalue_match(F.col(partition_col), affected))
+                .filter(
+                    ~self._pvalue_match(
+                        F.col(partition_col), affected, nt
+                    )
+                )
                 .join(updates.select(*keys).distinct(), keys, "left_semi")
                 .select(*keys, partition_col)
                 .limit(5)
@@ -1262,7 +1372,7 @@ class Lakehouse:
                 )
         current = self._ensure_partition_col(
             self.read(spark, schema, name), schema, name, partition_col
-        ).filter(self._pvalue_match(F.col(partition_col), affected))
+        ).filter(self._pvalue_match(F.col(partition_col), affected, nt))
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
         )
@@ -1345,6 +1455,7 @@ class Lakehouse:
             )
         # base BEFORE the read — see overwrite_partitions `_base`
         base = len(self.snapshots(schema, name))
+        nt = self.null_token(schema, name)
         current = self.read(spark, schema, name)
         if partition_col is None:
             current, partition_col = self._resolve_partitioning(
@@ -1355,7 +1466,7 @@ class Lakehouse:
                 current, schema, name, partition_col
             )
         affected = [
-            str(r[0])
+            _token_of(r[0], nt)
             for r in current.filter(condition)
             .select(partition_col)
             .distinct()
@@ -1364,7 +1475,7 @@ class Lakehouse:
         if not affected:
             return False
         survivors = current.filter(
-            self._pvalue_match(F.col(partition_col), affected)
+            self._pvalue_match(F.col(partition_col), affected, nt)
         ).filter(~F.coalesce(condition, F.lit(False)))
         self.overwrite_partitions(
             survivors, schema, name, partition_col, partitions=affected,
@@ -1492,8 +1603,9 @@ class Lakehouse:
             current = self._ensure_partition_col(
                 current, schema, name, partition_col
             )
+        nt = self.null_token(schema, name)
         affected = [
-            str(r[0])
+            _token_of(r[0], nt)
             for r in current.filter(condition)
             .select(partition_col)
             .distinct()
@@ -1503,7 +1615,7 @@ class Lakehouse:
             return False
         rewritten = self._apply_set(
             current.filter(
-                self._pvalue_match(F.col(partition_col), affected)
+                self._pvalue_match(F.col(partition_col), affected, nt)
             ),
             condition,
             set,
@@ -1898,7 +2010,10 @@ class Lakehouse:
                     if partition_survives(spec, preds, v)
                 }
             df = df.filter(
-                self._pvalue_match(F.col(partition_col), sorted(values))
+                self._pvalue_match(
+                    F.col(partition_col), sorted(values),
+                    self.null_token(schema, name),
+                )
             )
         if target_file_bytes is not None:
             import math
@@ -1956,7 +2071,7 @@ class Lakehouse:
                 .parquet(data_dir)
             )
             parts = sorted(
-                str(r[0])
+                _token_of(r[0], self.null_token(schema, name))
                 for r in df.select(partition_col).distinct().collect()
             )
             self._commit(
@@ -2027,10 +2142,11 @@ class Lakehouse:
         are not layout; counting them made OPTIMIZE metrics depend on
         reclamation timing."""
         part_map, extras, _dvs = self._manifest(schema, name)
+        nt = self.null_token(schema, name)
         n = 0
         seen: set[str] = set()
         for value, (d, pcol) in part_map.items():
-            subs = _pvalue_subdirs(d, pcol, [value])
+            subs = _pvalue_subdirs(d, pcol, [value], nt)
             for p in subs if subs else [d]:
                 if p not in seen:
                     seen.add(p)
@@ -2439,20 +2555,22 @@ class Lakehouse:
         return out if keep_positions else out.drop(*self._POS_COLS)
 
     @staticmethod
-    def _pvalue_match(c, values) -> "F.Column":
+    def _pvalue_match(c, values, null_token: str = "None") -> "F.Column":
         """Membership test of a partition COLUMN against the catalog's
-        canonical string tokens.  The null partition's token is 'None'
-        (str(None), shared by the explicit-`partitions` path and the
-        directory-derived path, which maps __HIVE_DEFAULT_PARTITION__
-        back); plain isin() is NULL-blind (NULL isin → NULL, silently
-        dropped/kept depending on polarity), so the 'None' token must
-        match NULL rows explicitly.  Documented identity collision: a
-        LITERAL string value 'None' shares partition identity with
-        NULL under this token scheme (same as str(None) did in the old
-        collect() path)."""
+        canonical string tokens.  The null partition's token is the
+        table's `null_token` ('None' on legacy tables, the hive
+        sentinel on format-v2 tables — shared by the explicit-
+        `partitions` path and the directory-derived path); plain
+        isin() is NULL-blind (NULL isin → NULL, silently dropped/kept
+        depending on polarity), so the null token must match NULL rows
+        explicitly.  On legacy tables a LITERAL string value 'None'
+        shares partition identity with NULL (documented, write-guarded);
+        on format-v2 tables the two are distinct — only a literal
+        string equal to the sentinel itself would collide (hive's own
+        universal ambiguity, undetectable from directory names)."""
         vals = list(values)
         cond = c.cast("string").isin(vals)
-        if "None" in vals:
+        if null_token in vals:
             cond = cond | c.isNull()
         return F.coalesce(cond, F.lit(False))
 
@@ -2469,6 +2587,7 @@ class Lakehouse:
         (pre-evolution append) passes through — unless it's a
         hidden-spec column, which is re-derived from its source."""
         spec = self.partition_spec(schema, name)
+        nt = self.null_token(schema, name)
         for pcol, vals in excl.items():
             if not vals:
                 continue
@@ -2482,7 +2601,7 @@ class Lakehouse:
                 c = spec.derive(f)
             else:
                 continue
-            f = f.filter(~self._pvalue_match(c, vals))
+            f = f.filter(~self._pvalue_match(c, vals, nt))
         return f
 
     def read(
@@ -2515,6 +2634,7 @@ class Lakehouse:
             schema, name, version,
             {d for d, _ in part_map.values()} | set(extra) | set(dvs),
         )
+        nt = self.null_token(schema, name)
         tag = with_positions or bool(dvs)
         wanted = (
             None if partition_values is None else set(partition_values)
@@ -2533,11 +2653,12 @@ class Lakehouse:
             by_dir.setdefault(d, (pcol, []))[1].append(value)
 
         def _subdirs(d: str, pcol: str, v: str) -> list[str]:
-            # canonical matching (_canon_token): the null token 'None'
-            # matches both the hive sentinel directory (derived-write
-            # path) and a literal 'pcol=None' dir, and hive-escaped
-            # names (e.g. 'a%3Ab' for 'a:b') match their canonical form
-            return _pvalue_subdirs(d, pcol, [v])
+            # canonical matching (_canon_token): the table's null
+            # token matches the hive sentinel directory (and, on
+            # legacy tables, a literal 'pcol=None' dir), and
+            # hive-escaped names (e.g. 'a%3Ab' for 'a:b') match their
+            # canonical form
+            return _pvalue_subdirs(d, pcol, [v], nt)
 
         def _partitioned(d: str, pcol: str, values: list[str]) -> DataFrame:
             paths = [d]
@@ -2555,7 +2676,7 @@ class Lakehouse:
             return (
                 spark.read.option("basePath", d)
                 .parquet(*paths)
-                .filter(self._pvalue_match(F.col(pcol), values))
+                .filter(self._pvalue_match(F.col(pcol), values, nt))
             )
 
         frames = [
@@ -2574,7 +2695,9 @@ class Lakehouse:
             )
             if wanted is not None and pcol_any is not None:
                 f = f.filter(
-                    self._pvalue_match(F.col(pcol_any), sorted(wanted))
+                    self._pvalue_match(
+                        F.col(pcol_any), sorted(wanted), nt
+                    )
                 )
             frames.append(f)
         if not frames and wanted is not None:
@@ -2641,6 +2764,7 @@ class Lakehouse:
 
         part_map, extra, dvs = self._manifest(schema, name, version)
         path = self._table_dir(schema, name)
+        nt = self.null_token(schema, name)
         stats_by_dir: dict[str, list[dict]] = {
             os.path.join(path, e["data_dir"]): e["files"]
             for e in self.snapshots(schema, name)
@@ -2721,7 +2845,7 @@ class Lakehouse:
                 # no footer stats: still prune at the DIRECTORY level —
                 # hand Spark only the surviving value subdirs (matched
                 # canonically: escaped / NULL-sentinel dir names count)
-                keep = _pvalue_subdirs(d, pcol, values)
+                keep = _pvalue_subdirs(d, pcol, values, nt)
             elif (
                 p_spec is not None
                 and pcol == p_spec.hidden_col
@@ -2739,7 +2863,7 @@ class Lakehouse:
                     for p in keep
                     if any(
                         seg.startswith(pfx)
-                        and _canon_token(seg[len(pfx):]) in want
+                        and _canon_token(seg[len(pfx):], nt) in want
                         for seg in os.path.relpath(p, d).split(
                             os.sep
                         )[:-1]
@@ -2754,7 +2878,9 @@ class Lakehouse:
             )
             if src is not None:
                 frames.append(
-                    src.filter(self._pvalue_match(F.col(pcol), values))
+                    src.filter(
+                        self._pvalue_match(F.col(pcol), values, nt)
+                    )
                 )
         hidden_pfx = (
             None if p_spec is None else f"{p_spec.hidden_col}="
@@ -2782,9 +2908,9 @@ class Lakehouse:
                     and partition_survives(
                         p_spec,
                         p_preds,
-                        _canon_token(raw := s[len(hidden_pfx):]),
+                        _canon_token(raw := s[len(hidden_pfx):], nt),
                     )
-                    and _canon_token(raw) not in excl
+                    and _canon_token(raw, nt) not in excl
                 }
                 if keep is None:
                     keep = [
@@ -3128,7 +3254,12 @@ class Lakehouse:
             frames = [
                 spark.read.option("basePath", d)
                 .parquet(d)
-                .filter(self._pvalue_match(F.col(pcol), values))
+                .filter(
+                    self._pvalue_match(
+                        F.col(pcol), values,
+                        self.null_token(schema, name),
+                    )
+                )
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [
                 self._exclusion_filter(
@@ -3229,6 +3360,7 @@ class Lakehouse:
         """
         part_map, extra, dvs = self._manifest(schema, name)
         path = self._table_dir(schema, name)
+        nt = self.null_token(schema, name)
         entries = self.snapshots(schema, name)
         stats_by_dir = {
             os.path.join(path, e["data_dir"]): e["files"]
@@ -3251,7 +3383,7 @@ class Lakehouse:
             for f in files:
                 seg = f["path"].split(os.sep, 1)[0]
                 if seg.startswith(pfx) and _canon_token(
-                    seg[len(pfx):]
+                    seg[len(pfx):], nt
                 ) in want:
                     out.append(f)
             return out
@@ -3344,6 +3476,7 @@ class Lakehouse:
         regardless).
         """
         part_map, extra, _dvs = self._manifest(schema, name)
+        nt = self.null_token(schema, name)
         detail: dict[str, dict] = {}
 
         def account(key: str, path: str) -> None:
@@ -3357,7 +3490,7 @@ class Lakehouse:
                 row["small"] += 1
 
         def scan(d: str, value: str, pcol: str) -> None:
-            for base in _pvalue_subdirs(d, pcol, [value]):
+            for base in _pvalue_subdirs(d, pcol, [value], nt):
                 for root, _dirs, fnames in os.walk(base):
                     for fn in fnames:
                         if fn.endswith(".parquet"):
@@ -3376,10 +3509,17 @@ class Lakehouse:
             for root, dirs, fnames in os.walk(d):
                 if root == d and pcol_any is not None:
                     # peel attributed <pcol>=<value> subdirs out of the
-                    # walk; they count toward their partitions
+                    # walk; they count toward their partitions — keyed
+                    # by CANONICAL token (an escaped or NULL-sentinel
+                    # dir name would otherwise self-miss in scan's
+                    # _pvalue_subdirs match and detail under a raw key)
                     for sub in sorted(dirs):
                         if sub.startswith(f"{pcol_any}="):
-                            scan(d, sub.split("=", 1)[1], pcol_any)
+                            scan(
+                                d,
+                                _canon_token(sub.split("=", 1)[1], nt),
+                                pcol_any,
+                            )
                     dirs[:] = [
                         s for s in dirs
                         if not s.startswith(f"{pcol_any}=")
@@ -3487,13 +3627,14 @@ class Lakehouse:
         hive_files: list[str] = []
         flat_files: list[str] = []
         partition_cols: set[str] = set()
+        nt = self.null_token(schema, name)
         for value, (d, pcol) in sorted(part_map.items()):
             partition_cols.add(pcol)
             # canonical subdir match: an escaped or NULL-sentinel
             # partition directory must land in the manifest too —
             # a constructed-name isdir() would skip it and export a
             # silently incomplete file list
-            for sub in _pvalue_subdirs(d, pcol, [value]):
+            for sub in _pvalue_subdirs(d, pcol, [value], nt):
                 for root, _dirs, fnames in os.walk(sub):
                     hive_files.extend(
                         os.path.join(root, fn)
@@ -3641,6 +3782,7 @@ class Transaction:
     # -- staged write ops (same signatures as Lakehouse's) -----------------
 
     def _data_dir(self, schema: str, name: str) -> str:
+        self.lake._ensure_format(schema, name)
         return os.path.join(
             self.lake._table_dir(schema, name), "_data", f"t{self.txn_id}"
         )
@@ -3718,8 +3860,9 @@ class Transaction:
         updates, partition_col = lake._resolve_partitioning(
             updates, schema, name, partition_col
         )
+        nt = lake.null_token(schema, name)
         affected = {
-            str(r[0])
+            _token_of(r[0], nt)
             for r in updates.select(partition_col).distinct().collect()
         }
         current_full = lake._ensure_partition_col(
@@ -3727,14 +3870,16 @@ class Transaction:
         )
         if purge_condition is not None:
             affected |= {
-                str(r[0])
+                _token_of(r[0], nt)
                 for r in current_full.filter(purge_condition)
                 .select(partition_col)
                 .distinct()
                 .collect()
             }
         current = current_full.filter(
-            lake._pvalue_match(F.col(partition_col), sorted(affected))
+            lake._pvalue_match(
+                F.col(partition_col), sorted(affected), nt
+            )
         )
         survivors = current.join(
             updates.select(*keys).distinct(), keys, "left_anti"
@@ -3865,6 +4010,7 @@ class Transaction:
             part_map, extra, _dvs = lake._manifest(schema, name)
             live = set(part_map)
             pfx = f"{spec.hidden_col}="
+            nt = lake.null_token(schema, name)
             opaque_additive = False
             for d in extra:
                 subs = [
@@ -3874,7 +4020,12 @@ class Transaction:
                     if s.startswith(pfx)
                 ]
                 if subs:
-                    live.update(s[len(pfx):] for s in subs)
+                    # CANONICAL tokens (escaped / NULL-sentinel dir
+                    # names must intersect with value_of's canonical
+                    # output, not their raw spelling)
+                    live.update(
+                        _canon_token(s[len(pfx):], nt) for s in subs
+                    )
                 elif _count_data_files(d) > 0:
                     opaque_additive = True
             if not opaque_additive:
@@ -3923,7 +4074,7 @@ class Transaction:
                 return False
         if affected is None:
             affected = [
-                str(r[0])
+                _token_of(r[0], lake.null_token(schema, name))
                 for r in current.filter(condition)
                 .select(partition_col)
                 .distinct()
@@ -3932,7 +4083,10 @@ class Transaction:
         if not affected:
             return False
         survivors = current.filter(
-            lake._pvalue_match(F.col(partition_col), affected)
+            lake._pvalue_match(
+                F.col(partition_col), affected,
+                lake.null_token(schema, name),
+            )
         ).filter(~F.coalesce(condition, F.lit(False)))
         self._stage(
             schema, name,
@@ -3971,6 +4125,7 @@ class Transaction:
             spark, schema, name, predicates, with_positions=True
         )
         pfx = f"{os.sep}{pcol}="
+        nt = self.lake.null_token(schema, name)
         toks: set[str] = set()
         for r in probe.select("__dv_file").distinct().collect():
             f = r[0]
@@ -3986,7 +4141,7 @@ class Transaction:
             # token — the form _pvalue_match and the commit log speak.
             # Anything less and a NULL/escaped partition records a
             # token no reader matches, silently skipping the partition.
-            toks.add(_canon_token(unquote(seg)))
+            toks.add(_canon_token(unquote(seg), nt))
         return sorted(toks)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
