@@ -276,7 +276,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 573,
         "simhash_candidates": 205,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 145,
+        "embedding_near_dups": 176,
         "text_pairs_suite": 25035,
         "multimodal_suite": 1099,
         "bm25_search": 200,
@@ -288,7 +288,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 572,
         "simhash_candidates": 186,
         "exact_dup_groups": 500,
-        "embedding_near_dups": 151,
+        "embedding_near_dups": 182,
         "text_pairs_suite": 24412,
         "multimodal_suite": 1097,
         "bm25_search": 200,
@@ -300,7 +300,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "near_dup_pairs": 5733,
         "simhash_candidates": 2508,
         "exact_dup_groups": 4992,
-        "embedding_near_dups": 446,
+        "embedding_near_dups": 477,
         "text_pairs_suite": 169394,
         "multimodal_suite": 10952,
         "bm25_search": 200,

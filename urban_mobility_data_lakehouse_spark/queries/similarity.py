@@ -591,6 +591,14 @@ def _embedding_dedup_oracle(sf_dir: str) -> str:
         -- died and the movers landed where the quantizer says
         SELECT 'move', vec_a, vec_b, score
         FROM ({_ivf_move_oracle(sf_dir)})
+        UNION ALL
+        -- tape (r12): the COMPOSED mutation walk — build, add, DV
+        -- delete, re-add-with-changed-embeddings over live vectors,
+        -- derived additions, second delete, optimize — hash-equal to
+        -- a fresh batch build over the SQL-folded final corpus plus a
+        -- cardinality audit
+        SELECT 'tape', vec_a, vec_b, score
+        FROM ({_ivf_tape_oracle(sf_dir)})
     )
     ORDER BY part, vec_a, vec_b
     """
@@ -627,6 +635,12 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the final corpus state (+ cardinality and landed-cell audit
     rows) proves stale old-cell rows are purged and no vec_id ever
     answers twice.
+    `tape` (r12): the COMPOSED mutation walk (see
+    `_persistent_ivf_tape`) — build → add → DV delete →
+    re-add-with-donor-embeddings over live vectors → derived
+    additions → second DV delete → optimize — hash-equal to a fresh
+    batch build over the SQL-folded final corpus plus a cardinality
+    audit; the interleaving the per-mutation parts can't see.
     All three oracles replay the exact geometry (inlined hyperplanes /
     bit-identical twin-trained centroids), so the driver hash-checks
     candidate sets, scores, drop decisions, and the persisted-index
@@ -671,12 +685,19 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("vec_b"),
         F.col("cosine_sim").alias("score"),
     )
+    tape = _persistent_ivf_tape(spark, sf_dir).select(
+        F.lit("tape").alias("part"),
+        F.col("query_id").alias("vec_a"),
+        F.col("neighbor_id").alias("vec_b"),
+        F.col("cosine_sim").alias("score"),
+    )
     return (
         pairs.unionByName(drops)
         .unionByName(serve)
         .unionByName(adc)
         .unionByName(stream)
         .unionByName(move)
+        .unionByName(tape)
         .orderBy("part", "vec_a", "vec_b")
     )
 
@@ -1162,6 +1183,162 @@ def _ivf_move_oracle(sf_dir: str, n_cells: int = 16) -> str:
         JOIN dc ON dc.vec_id = e.donor AND dc.r = 1
                AND dc.cell = e.xcell
     )
+    """
+
+
+# r12 composed-tape constants (the IVF twin of bm25_search's 'tape'):
+# deletes keep query rows 0-9 intact, derived additions land clear of
+# the base id space, and every modulus is mirrored in the SQL fold.
+_TAPE_DEL_MOD, _TAPE_DEL_REM = 23, 7
+_TAPE_ADD_MOD, _TAPE_ADD_REM = 17, 3
+_TAPE_DEL2_MOD, _TAPE_DEL2_REM = 5, 1
+_TAPE_VOFF = 1_000_000
+
+
+def _persistent_ivf_tape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSED PersistentIVF mutation tape: the per-mutation parts
+    (serve/stream/move) each prove one contract alone; this part
+    proves their INTERLEAVING — the state a production index actually
+    lives in.  Fixed six-step walk against the frozen quantizer:
+
+      1. build(evens)               — cell-partitioned base
+      2. add(odds)                  — additive commit, full corpus
+      3. delete_vecs(%23==7, ≥10)   — DV erasure over both generations
+      4. add(movers, replace_existing=True) — re-adds with DONOR
+         embeddings; some movers were just deleted (re-add-after-
+         delete), all change cells (DV-delete-then-append over live
+         deletion vectors)
+      5. add(derived: vec_id+1e6 for %17==3, minus the %5==1 subset
+         deleted right after as a second DV commit)
+      6. optimize()                 — materializes every vector,
+         re-clusters one file per cell
+
+    then the 10-query top-3 plus a cardinality audit row (-1,
+    count(*), count(DISTINCT vec_id)) must hash-equal a fresh batch
+    build over the SQL-folded final corpus — a stale old-cell twin, a
+    resurrected deleted row, or a lost derived addition all break the
+    hash.  Queries 0-9 never mutate, so both sides query with
+    original embeddings."""
+    from ..similarity import ivf
+    from ..similarity.persistent_ivf import PersistentIVF
+    from ..sources.lakehouse import temp_lakehouse
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
+    plan = _mover_plan(sf_dir)
+    pairs = spark.createDataFrame(
+        [(m, d) for m, d, _ in plan], "mid long, donor long"
+    )
+    redelivered = pairs.join(emb, pairs.donor == emb.vec_id).select(
+        F.col("mid").alias("vec_id"), "embedding"
+    )
+    with temp_lakehouse(prefix="umdl_ivf_tape_") as lake:
+        idx = PersistentIVF(lake, n_cells=16, n_probe=4)
+        idx.build(
+            spark, emb.filter(F.col("vec_id") % 2 == 0),
+            centroids=cents,
+        )
+        idx.add(spark, emb.filter(F.col("vec_id") % 2 == 1))
+        del_ids = [
+            int(r[0])
+            for r in emb.filter(
+                (F.col("vec_id") % _TAPE_DEL_MOD == _TAPE_DEL_REM)
+                & (F.col("vec_id") >= 10)
+            )
+            .select("vec_id")
+            .collect()
+        ]
+        idx.delete_vecs(spark, del_ids)
+        idx.add(spark, redelivered, replace_existing=True)
+        derived = emb.filter(
+            F.col("vec_id") % _TAPE_ADD_MOD == _TAPE_ADD_REM
+        ).select(
+            (F.col("vec_id") + _TAPE_VOFF).alias("vec_id"),
+            "embedding",
+        )
+        idx.add(spark, derived)
+        del2_ids = [
+            int(r[0]) + _TAPE_VOFF
+            for r in emb.filter(
+                (F.col("vec_id") % _TAPE_ADD_MOD == _TAPE_ADD_REM)
+                & (F.col("vec_id") % _TAPE_DEL2_MOD == _TAPE_DEL2_REM)
+            )
+            .select("vec_id")
+            .collect()
+        ]
+        if del2_ids:
+            idx.delete_vecs(spark, del2_ids)
+        idx.optimize(spark)
+        audit = (
+            lake.read(spark, idx.schema, idx.name)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("vec_id").alias("nd"),
+            )
+            .collect()[0]  # two scalars
+        )
+        audits = spark.createDataFrame(
+            [(-1, int(audit["n"]), float(audit["nd"]))],
+            "query_id long, neighbor_id long, cosine_sim double",
+        )
+        out = (
+            idx.query(spark, emb.filter(F.col("vec_id") < 10), k=3)
+            .select("query_id", "neighbor_id", "cosine_sim")
+            .unionByName(audits)
+            .localCheckpoint(eager=True)
+        )
+    return out
+
+
+def _ivf_tape_corpus_cte(sf_dir: str) -> str:
+    """The tape's folded final corpus as the `_ivf_oracle` corpus_cte:
+    movers carry donor embeddings and survive (step 4 re-adds them
+    after any step-3 deletion); other %23==7 ids ≥ 10 are gone;
+    derived +1e6 copies of the %17==3 rows exist minus the %5==1
+    subset."""
+    plan = _mover_plan(sf_dir)
+    pairs = ", ".join(f"({m}, {d})" for m, d, _ in plan)
+    return f"""base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    moved(mid, donor) AS (VALUES {pairs}),
+    v AS (
+        SELECT vec_id, e FROM (
+            SELECT b.vec_id, COALESCE(d.e, b.e) AS e,
+                   m.mid IS NOT NULL AS is_mover
+            FROM base b
+            LEFT JOIN moved m ON m.mid = b.vec_id
+            LEFT JOIN base d ON d.vec_id = m.donor
+        )
+        WHERE is_mover
+           OR NOT (vec_id % {_TAPE_DEL_MOD} = {_TAPE_DEL_REM}
+                   AND vec_id >= 10)
+        UNION ALL
+        SELECT vec_id + {_TAPE_VOFF}, e FROM base
+        WHERE vec_id % {_TAPE_ADD_MOD} = {_TAPE_ADD_REM}
+          AND vec_id % {_TAPE_DEL2_MOD} != {_TAPE_DEL2_REM}
+    )"""
+
+
+def _ivf_tape_oracle(sf_dir: str) -> str:
+    """Fresh-batch-build oracle over the folded tape corpus, plus the
+    cardinality audit recomputed from the same fold (count ==
+    distinct-count pins no-vector-answers-twice AND nothing lost)."""
+    cte = _ivf_tape_corpus_cte(sf_dir)
+    return f"""
+    SELECT query_id AS vec_a, neighbor_id AS vec_b,
+           cosine_sim AS score
+    FROM ({_ivf_oracle(sf_dir, corpus_cte=cte)})
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT vec_id) AS DOUBLE)
+    FROM (WITH {cte} SELECT vec_id FROM v)
     """
 
 
