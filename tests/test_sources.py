@@ -1293,3 +1293,64 @@ def test_null_and_literal_none_partition_mix_is_refused_on_legacy(
         (r["id"], r["k"])
         for r in lake.read(spark, "silver", "t_x1").collect()
     ] == [(7, None)]
+
+
+def test_legacy_mix_guard_covers_explicit_partitions_writes(
+    spark, tmp_path
+):
+    """r13 (ADVICE): the legacy NULL/'None' mix guard must also fire
+    on the EXPLICIT `partitions=[...]` write path (delete_where /
+    update rewrites, direct callers) — the caller's canonical tokens
+    conflate the two forms, but the staged directory names don't.
+    Same-token rewrites through the same path stay allowed."""
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    for t in ("t_null", "t_lit"):
+        _make_legacy(lake, "silver", t)
+    # table holds NULL-keyed rows; an explicit-partitions write
+    # carrying literal 'None' is the cross-commit mix
+    lake.overwrite_partitions(
+        spark.createDataFrame([(1, None)], "id long, k string"),
+        "silver", "t_null", partition_col="k",
+    )
+    with _pytest.raises(ValueError, match="cross-commit"):
+        lake.overwrite_partitions(
+            spark.createDataFrame([(2, "None")], "id long, k string"),
+            "silver", "t_null", partition_col="k",
+            partitions=["None"],
+        )
+    # ...and the other direction
+    lake.overwrite_partitions(
+        spark.createDataFrame([(1, "None")], "id long, k string"),
+        "silver", "t_lit", partition_col="k",
+    )
+    with _pytest.raises(ValueError, match="cross-commit"):
+        lake.overwrite_partitions(
+            spark.createDataFrame([(2, None)], "id long, k string"),
+            "silver", "t_lit", partition_col="k",
+            partitions=["None"],
+        )
+    # a same-commit mix staged through the explicit path is refused too
+    with _pytest.raises(ValueError, match="mixes NULL and the literal"):
+        lake.overwrite_partitions(
+            spark.createDataFrame(
+                [(3, None), (4, "None")], "id long, k string"
+            ),
+            "silver", "t_lit", partition_col="k",
+            partitions=["None"],
+        )
+    # same-token rewrite via the explicit path: no false positive
+    lake.overwrite_partitions(
+        spark.createDataFrame([(9, None)], "id long, k string"),
+        "silver", "t_null", partition_col="k", partitions=["None"],
+    )
+    assert [
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t_null").collect()
+    ] == [(9, None)]

@@ -206,3 +206,118 @@ def test_txn_probe_discovery_handles_null_and_escaped_tokens(
         for r in lake.read(spark, "silver", "t").collect()
     )
     assert got == [(3, "plain", 30)]
+
+
+def test_txn_mor_delete_conflicts_with_interleaved_compact(
+    spark, tmp_path
+):
+    """r13 (ADVICE): a compact landing between a txn's staged MoR
+    delete and its journal commit invalidates the staged deletion
+    vector's (file_path, row_index) keys.  The commit must REFUSE —
+    atomically, before anything becomes visible — instead of silently
+    resurrecting the deleted rows."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    lake.overwrite_partitions(
+        spark.range(100).select(
+            "id", (F.col("id") % 4).cast("string").alias("p")
+        ),
+        "silver", "t", partition_col="p",
+    )
+    txn = lake.transaction()
+    assert txn.delete_where(
+        spark, "silver", "t", condition=F.col("id") < 10,
+        mode="merge_on_read",
+    )
+    # interleaved full-table rewrite → staged DV positions are garbage
+    lake.compact(spark, "silver", "t", partition_col="p")
+    with pytest.raises(ConcurrentWriteError, match="re-stage"):
+        txn._commit()
+    # nothing visible: no rows vanished, no journal/table-log line
+    assert lake.read(spark, "silver", "t").count() == 100
+    assert all(
+        e["operation"] != "delete_dv"
+        for e in lake.snapshots("silver", "t")
+    )
+
+
+def test_txn_cow_conflicts_with_interleaved_same_partition_write(
+    spark, tmp_path
+):
+    """A staged copy-on-write partition rewrite loses an interleaved
+    same-partition write if it commits blindly — the journal commit
+    now runs the same conflict matrix as direct-path commits."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        ConcurrentWriteError,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double"
+    )
+    lake.overwrite_partitions(df, "silver", "t", partition_col="p")
+    txn = lake.transaction()
+    txn.overwrite_partitions(
+        df.filter("p = 'a'").withColumn("v", F.col("v") * 10),
+        "silver", "t", "p",
+    )
+    lake.overwrite_partitions(
+        spark.createDataFrame([(9, "a", 99.0)], "id long, p string, v double"),
+        "silver", "t", partition_col="p",
+    )
+    with pytest.raises(ConcurrentWriteError):
+        txn._commit()
+    # the interleaved write survives (no lost update)
+    rows = {
+        (r["id"], r["v"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert rows == {(9, 99.0), (2, 2.0)}
+
+
+def test_txn_disjoint_interleaves_still_commit(spark, tmp_path):
+    """No false positives: an interleaved write on a DIFFERENT
+    partition (and a concurrent append vs a staged append) merge
+    cleanly, exactly like direct-path optimistic concurrency."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, p string, v double"
+    )
+    lake.overwrite_partitions(df, "silver", "t", partition_col="p")
+    txn = lake.transaction()
+    txn.overwrite_partitions(
+        df.filter("p = 'a'").withColumn("v", F.lit(10.0)),
+        "silver", "t", "p",
+    )
+    txn.append(
+        spark.createDataFrame([("x", 1.0)], "k string, v double"),
+        "silver", "audit",
+    )
+    # disjoint partition + an append on the other staged table
+    lake.overwrite_partitions(
+        spark.createDataFrame([(5, "b", 5.0)], "id long, p string, v double"),
+        "silver", "t", partition_col="p",
+    )
+    lake.append(
+        spark.createDataFrame([("y", 2.0)], "k string, v double"),
+        "silver", "audit",
+    )
+    txn._commit()
+    rows = {
+        (r["id"], r["v"])
+        for r in lake.read(spark, "silver", "t").collect()
+    }
+    assert rows == {(1, 10.0), (5, 5.0)}
+    assert lake.read(spark, "silver", "audit").count() == 2

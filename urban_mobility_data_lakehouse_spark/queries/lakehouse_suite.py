@@ -93,7 +93,17 @@ def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
             # maps the __HIVE_DEFAULT_PARTITION__ sentinel to a real
             # NULL and a second url_decode undoes hive %-escaping
             # ('a%3Ab' → 'a:b').  Plain tokens pass through unchanged.
-            seg = F.url_decode(
+            # NB: both decodes must be PERCENT-ONLY (the engine's
+            # `_canon_token` uses urllib.parse.unquote, which leaves a
+            # literal '+' alone), but F.url_decode applies
+            # x-www-form-urlencoded semantics and would turn '+' into
+            # a space.  Pre-escaping '+' to %2B makes that rule
+            # unreachable, so url_decode degenerates to pure
+            # %XX-decoding and matches unquote exactly.
+            def _pct_decode(col):
+                return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+            seg = _pct_decode(
                 F.regexp_extract(
                     F.input_file_name(), f"/{pc}=([^/]+)/", 1
                 )
@@ -103,7 +113,7 @@ def _manifest_replay(spark: SparkSession, manifest: dict) -> DataFrame:
                 F.when(
                     seg == "__HIVE_DEFAULT_PARTITION__",
                     F.lit(None).cast("string"),
-                ).otherwise(F.url_decode(seg)),
+                ).otherwise(_pct_decode(seg)),
             )
         frames.append(df)
     if manifest["flat_files"]:
@@ -451,8 +461,19 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "silver", "t", partition_col="p",
         partitions=[frag_p], target_files_per_partition=6,
     )
+    # Scale-invariant threshold (r13): derive small_file_bytes from
+    # the fragmented partition's ACTUAL live size instead of a fixed
+    # 1 MiB, so the part keeps working at scale factors where the six
+    # fragments outgrow any constant.  half-the-partition means every
+    # even-ish fragment (~size/6) is "small" while the post-compaction
+    # single file (~size) is not; the other partitions hold one file
+    # each, under min_small_files=4 either way.
+    frag_bytes = lake.recommend_compaction(
+        "silver", "t", small_file_bytes=1, min_small_files=1 << 30
+    )["detail"][frag_p]["bytes"]
+    thr = max(1, frag_bytes // 2)
     rec = lake.recommend_compaction(
-        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+        "silver", "t", small_file_bytes=thr, min_small_files=4
     )
     assert rec["unpartitioned_dirs"] == 0, rec
     lake.compact(
@@ -460,7 +481,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         partitions=rec["partitions"],
     )
     rec_after = lake.recommend_compaction(
-        "silver", "t", small_file_bytes=1 << 20, min_small_files=4
+        "silver", "t", small_file_bytes=thr, min_small_files=4
     )
     adv_rows = spark.createDataFrame(
         [("adv", None, p, None, "pre", None) for p in rec["partitions"]]

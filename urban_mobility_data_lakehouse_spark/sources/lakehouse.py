@@ -1067,6 +1067,25 @@ class Lakehouse:
         )
         if partitions is not None:
             parts = [str(p) for p in partitions]
+            # r13 (ADVICE): the legacy NULL/'None' mix guard must also
+            # cover explicit-partitions writes (delete_where/update
+            # rewrites, direct callers).  The caller's tokens are
+            # CANONICAL — on a legacy table NULL and literal-'None'
+            # both arrive as 'None' — so the two physical forms are
+            # recovered from the directory names partitionBy just
+            # produced, exactly as the directory-derived branch does.
+            if self.null_token(schema, name) == "None":
+                prefix = f"{partition_col}="
+                raw = {
+                    d[len(prefix):]
+                    for d in os.listdir(data_dir)
+                    if d.startswith(prefix)
+                    and os.path.isdir(os.path.join(data_dir, d))
+                }
+                self._guard_legacy_null_mix(
+                    schema, name, partition_col,
+                    {t for t in ("None", NULL_SENTINEL) if t in raw},
+                )
         else:
             # read the partition set off the directory names the write
             # just produced — the old distinct().collect() recomputed
@@ -1100,40 +1119,10 @@ class Lakehouse:
             # live directories already hold the other.
             nt = self.null_token(schema, name)
             if nt == "None":
-                incoming = {
-                    p for p in parts if p in ("None", NULL_SENTINEL)
-                }
-                if len(incoming) == 2:
-                    raise ValueError(
-                        f"{schema}.{name}: partition column "
-                        f"{partition_col!r} mixes NULL and the literal "
-                        "string 'None' — this legacy table's token "
-                        "scheme gives both the same partition identity "
-                        "('None'), so later deletes/rewrites would "
-                        "conflate them. Rename the literal value (e.g. "
-                        "map it to 'none' or a sentinel) before "
-                        "partitioning on it."
-                    )
-                if incoming:
-                    other = (
-                        NULL_SENTINEL
-                        if incoming == {"None"}
-                        else "None"
-                    )
-                    if other in self._live_raw_tokens(
-                        schema, name, partition_col
-                    ):
-                        raise ValueError(
-                            f"{schema}.{name}: this write's partition "
-                            f"column {partition_col!r} carries "
-                            f"{'NULL' if other == 'None' else 'a literal string None'} "
-                            "while the table already holds "
-                            f"{'a literal string None' if other == 'None' else 'NULL-keyed'} "
-                            "rows — on this legacy table both forms "
-                            "share partition identity ('None'), so the "
-                            "cross-commit mix is refused the same way "
-                            "the same-commit mix is."
-                        )
+                self._guard_legacy_null_mix(
+                    schema, name, partition_col,
+                    {p for p in parts if p in ("None", NULL_SENTINEL)},
+                )
                 parts = [
                     "None" if p == NULL_SENTINEL else p for p in parts
                 ]
@@ -1147,6 +1136,51 @@ class Lakehouse:
             schema,
             name,
         )
+
+    def _guard_legacy_null_mix(
+        self,
+        schema: str,
+        name: str,
+        partition_col: str,
+        incoming: set[str],
+    ) -> None:
+        """Refuse the NULL / literal-'None' identity mix on a LEGACY
+        (no `_format.json`) table, where both physical forms share the
+        canonical token 'None'.  `incoming` holds the RAW forms this
+        write carries (subset of {'None', NULL_SENTINEL}) — derived
+        from staged directory names by both the directory-derived and
+        the explicit-partitions write paths.  Raises on a same-commit
+        mix (both forms staged) and on a cross-commit mix (one form
+        staged while the table's live dirs hold the other)."""
+        if len(incoming) == 2:
+            raise ValueError(
+                f"{schema}.{name}: partition column "
+                f"{partition_col!r} mixes NULL and the literal "
+                "string 'None' — this legacy table's token "
+                "scheme gives both the same partition identity "
+                "('None'), so later deletes/rewrites would "
+                "conflate them. Rename the literal value (e.g. "
+                "map it to 'none' or a sentinel) before "
+                "partitioning on it."
+            )
+        if incoming:
+            other = (
+                NULL_SENTINEL if incoming == {"None"} else "None"
+            )
+            if other in self._live_raw_tokens(
+                schema, name, partition_col
+            ):
+                raise ValueError(
+                    f"{schema}.{name}: this write's partition "
+                    f"column {partition_col!r} carries "
+                    f"{'NULL' if other == 'None' else 'a literal string None'} "
+                    "while the table already holds "
+                    f"{'a literal string None' if other == 'None' else 'NULL-keyed'} "
+                    "rows — on this legacy table both forms "
+                    "share partition identity ('None'), so the "
+                    "cross-commit mix is refused the same way "
+                    "the same-commit mix is."
+                )
 
     def _live_raw_tokens(
         self, schema: str, name: str, pcol: str
@@ -3778,6 +3812,20 @@ class Transaction:
         self.lake = lake
         self.txn_id = f"{time.time_ns():x}-{os.getpid():x}"
         self.pending: list[tuple[str, str, dict]] = []
+        # per-table snapshot version captured when the txn FIRST reads
+        # that table (top of each staging method, before any scan) —
+        # the commit point replays every line that landed after it
+        # through `_commits_conflict`, same optimistic-concurrency
+        # matrix as the direct-path `_commit`.  Without this, an
+        # interleaved compact/overwrite silently invalidated a staged
+        # MoR deletion vector's (file_path, row_index) keys and
+        # silently lost staged CoW rewrites (r13, ADVICE).
+        self.base_versions: dict[tuple[str, str], int] = {}
+
+    def _record_base(self, schema: str, name: str) -> None:
+        self.base_versions.setdefault(
+            (schema, name), len(self.lake.snapshots(schema, name))
+        )
 
     # -- staged write ops (same signatures as Lakehouse's) -----------------
 
@@ -3799,6 +3847,7 @@ class Transaction:
         self, df: DataFrame, schema: str, name: str,
         partition_col: str | None = None,
     ) -> None:
+        self._record_base(schema, name)
         df, partition_col = self.lake._resolve_partitioning(
             df, schema, name, partition_col
         )
@@ -3811,6 +3860,7 @@ class Transaction:
         )
 
     def overwrite(self, df: DataFrame, schema: str, name: str) -> None:
+        self._record_base(schema, name)
         self._stage(
             schema, name,
             self.lake._stage_full_write(
@@ -3843,6 +3893,7 @@ class Transaction:
         remove rows for terms the new text no longer contains, which
         live under keys (and partitions) the update frame never
         mentions."""
+        self._record_base(schema, name)
         keys = [key] if isinstance(key, str) else list(key)
         dup = (
             updates.groupBy(*keys)
@@ -3943,6 +3994,7 @@ class Transaction:
         the vector out until `compact()` materializes; the journal
         line stays the atomic point for every staged table at once."""
         lake = self.lake
+        self._record_base(schema, name)
         if (condition is None) == (predicates is None):
             raise ValueError(
                 "txn delete_where: pass exactly one of condition or "
@@ -4145,6 +4197,7 @@ class Transaction:
         return sorted(toks)
 
     def append(self, df: DataFrame, schema: str, name: str) -> None:
+        self._record_base(schema, name)
         self._stage(
             schema, name,
             self.lake._stage_full_write(
@@ -4167,6 +4220,34 @@ class Transaction:
         # journal appends serialize on a lakehouse-level lock so
         # concurrent transactions each land as one intact line
         with self.lake._table_lock(self.lake.root):
+            # optimistic-concurrency scan (r13): every log line that
+            # landed after this txn's first read of each table runs
+            # through the SAME conflict matrix as direct-path commits.
+            # Raising here (before the journal append) aborts the
+            # whole txn atomically — nothing became visible.  This is
+            # what makes a staged MoR deletion vector safe: a
+            # compact/overwrite landing between stage and commit would
+            # otherwise leave DV (file_path, row_index) keys matching
+            # nothing, silently resurrecting the deleted rows.
+            for schema, name, entry in self.pending:
+                base = self.base_versions.get((schema, name))
+                if base is None:
+                    continue
+                # snapshots() (not _raw_snapshots): heal first, so a
+                # concurrent txn that crashed after ITS journal append
+                # still counts as landed.  Healing takes per-table
+                # locks — distinct flock files from the root journal
+                # lock held here, so no self-deadlock.
+                for other in self.lake.snapshots(schema, name)[base:]:
+                    if _commits_conflict(entry, other):
+                        raise ConcurrentWriteError(
+                            f"{schema}.{name}: txn {self.txn_id} "
+                            f"staged {entry['op']!r} against version "
+                            f"{base}, but interleaved version "
+                            f"{other['version']} "
+                            f"({other['operation']!r}) landed before "
+                            "the journal commit; re-stage and retry"
+                        )
             with open(self.lake._journal_path(), "a") as f:
                 f.write(json.dumps(line) + "\n")
 

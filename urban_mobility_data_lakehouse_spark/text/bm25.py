@@ -206,7 +206,10 @@ def bm25_oracle_sql(
         f"'{sf_dir}/documents.parquet' {cond}"
         if corpus_sql is None
         else "("
-        + corpus_sql.format(docs=f"'{sf_dir}/documents.parquet'")
+        # .replace, not .format: only the documented {docs} hole is
+        # substituted, so literal braces elsewhere in the caller's SQL
+        # (struct literals, quoted '{') can never raise Key/ValueError.
+        + corpus_sql.replace("{docs}", f"'{sf_dir}/documents.parquet'")
         + ")"
     )
     con = duckdb.connect()
@@ -235,7 +238,7 @@ def bm25_oracle_sql(
     emit_src = (
         f"documents {cond}"
         if corpus_sql is None
-        else "(" + corpus_sql.format(docs="documents") + ")"
+        else "(" + corpus_sql.replace("{docs}", "documents") + ")"
     )
     return f"""
     SELECT doc_id, CAST(dl AS BIGINT) AS dl, round({score}, 4) AS score
