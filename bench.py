@@ -42,7 +42,7 @@ EXPECTED_ROWS: dict[float, dict[str, int]] = {
         "sessionize_events": 9549,
         "silver_batch_audit": 1,
         "simhash_candidates": 186,
-        "typical_day_clusters": 72,
+        "typical_day_clusters": 144,
     },
     0.1: {
         "ann_suite": 90,
@@ -61,7 +61,7 @@ EXPECTED_ROWS: dict[float, dict[str, int]] = {
         "sessionize_events": 95465,
         "silver_batch_audit": 1,
         "simhash_candidates": 2508,
-        "typical_day_clusters": 72,
+        "typical_day_clusters": 144,
     },
 }
 

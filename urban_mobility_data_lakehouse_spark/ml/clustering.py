@@ -163,6 +163,18 @@ def typical_day_clustering(
     return assignments, gold
 
 
+def deterministic_kmeans_assignments(
+    events: DataFrame, k: int = 3, iters: int = 5
+) -> DataFrame:
+    """Per-day relabeled cluster assignment (event_date, cluster_id,
+    n_days) — the replayable core `deterministic_kmeans` aggregates
+    into the gold profile, exposed separately for the polygon
+    consultation (mobility_consultations.py:27-124 joins gold
+    assignments to polygon-filtered activity)."""
+    _hourly, assignments = _kmeans_hourly_assignments(events, k, iters)
+    return assignments.select("event_date", "cluster_id", "n_days")
+
+
 def deterministic_kmeans(
     events: DataFrame, k: int = 3, iters: int = 5
 ) -> DataFrame:
@@ -187,6 +199,48 @@ def deterministic_kmeans(
     with the (1 × k·24) centroid row broadcast — no driver-side
     clustering loop over data.
     """
+    hourly, assignments = _kmeans_hourly_assignments(events, k, iters)
+
+    # Final 2-dp rounding happens in exact integer micro-units: double
+    # round() diverges between engines on boundary-adjacent values
+    # (342.03/6 = 57.005 → Spark 57.00, DuckDB 57.01), but
+    # floor((200·S + 10⁶·n) / (2·10⁶·n)) is pure BIGINT math — i.e.
+    # round-half-up of the exact rational — identical everywhere.
+    su = F.sum(
+        F.round(F.col("total_trips") * 1000000, 0).cast("long")
+    ).alias("su")
+    return (
+        hourly.join(F.broadcast(assignments), "event_date")
+        .groupBy("cluster_id", F.col("hour").cast("long").alias("hour"))
+        .agg(
+            su,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_days").alias("n_days"),
+        )
+        .select(
+            "cluster_id",
+            "hour",
+            (
+                F.expr(
+                    "(200 * su + 1000000 * n_rows)"
+                    " div (2000000 * n_rows)"
+                ).cast("double")
+                / 100
+            ).alias("avg_trips"),
+            (
+                F.expr("(su + 5000) div 10000").cast("double") / 100
+            ).alias("total_trips_sample"),
+            "n_days",
+        )
+        .orderBy("cluster_id", "hour")
+    )
+
+
+def _kmeans_hourly_assignments(
+    events: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """(hourly totals, relabeled per-day assignments) — the shared body
+    of the deterministic-Lloyd's replay."""
     hourly = hourly_totals_exact(events).localCheckpoint(eager=False)
 
     # pivot + normalize, quantized
@@ -277,40 +331,7 @@ def deterministic_kmeans(
         "n_days",
     )
     assignments = final.join(F.broadcast(relabel), "asg")
-
-    # Final 2-dp rounding happens in exact integer micro-units: double
-    # round() diverges between engines on boundary-adjacent values
-    # (342.03/6 = 57.005 → Spark 57.00, DuckDB 57.01), but
-    # floor((200·S + 10⁶·n) / (2·10⁶·n)) is pure BIGINT math — i.e.
-    # round-half-up of the exact rational — identical everywhere.
-    su = F.sum(
-        F.round(F.col("total_trips") * 1000000, 0).cast("long")
-    ).alias("su")
-    return (
-        hourly.join(F.broadcast(assignments), "event_date")
-        .groupBy("cluster_id", F.col("hour").cast("long").alias("hour"))
-        .agg(
-            su,
-            F.count(F.lit(1)).alias("n_rows"),
-            F.max("n_days").alias("n_days"),
-        )
-        .select(
-            "cluster_id",
-            "hour",
-            (
-                F.expr(
-                    "(200 * su + 1000000 * n_rows)"
-                    " div (2000000 * n_rows)"
-                ).cast("double")
-                / 100
-            ).alias("avg_trips"),
-            (
-                F.expr("(su + 5000) div 10000").cast("double") / 100
-            ).alias("total_trips_sample"),
-            "n_days",
-        )
-        .orderBy("cluster_id", "hour")
-    )
+    return hourly, assignments
 
 
 def hourly_totals_exact(events: DataFrame) -> DataFrame:

@@ -32,7 +32,13 @@ def _assign_case(k: int) -> str:
     return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
 
 
-def kmeans_gold_oracle(k: int = 3, iters: int = 5) -> str:
+def kmeans_with_body(k: int = 3, iters: int = 5) -> str:
+    """The shared WITH-body (hourly … relabel CTEs, no `WITH` keyword)
+    of the clustering replay: `kmeans_gold_oracle` appends the gold
+    profile select, the polygon consultation (queries/domain.py)
+    appends its own activity join.  The relabeled per-day assignment is
+    `SELECT a.event_date, r.cluster_id FROM a{iters} a JOIN relabel r
+    ON a.asg = r.asg`."""
     pivots = ",\n           ".join(
         f"coalesce(max(total) FILTER (WHERE hour = {h}), 0.0) AS p{h}"
         for h in HOURS
@@ -72,8 +78,7 @@ def kmeans_gold_oracle(k: int = 3, iters: int = 5) -> str:
             prev_c = f"cent{t}"
 
     iters_sql = ",\n    ".join(iter_ctes)
-    return f"""
-    WITH hourly AS (
+    return f"""hourly AS (
         SELECT CAST(ts AS DATE) AS event_date, hour(ts) AS hour,
                CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
         FROM events GROUP BY 1, 2
@@ -109,7 +114,12 @@ def kmeans_gold_oracle(k: int = 3, iters: int = 5) -> str:
                    AS cluster_id,
                n_days
         FROM sizes
-    )
+    )"""
+
+
+def kmeans_gold_oracle(k: int = 3, iters: int = 5) -> str:
+    return f"""
+    WITH {kmeans_with_body(k, iters)}
     SELECT cluster_id, hour,
            CAST((200 * su + 1000000 * n_rows)
                 // (2000000 * n_rows) AS DOUBLE) / 100 AS avg_trips,

@@ -463,24 +463,164 @@ def spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .clustering_oracle import kmeans_gold_oracle  # noqa: E402
+from .clustering_oracle import kmeans_with_body  # noqa: E402
+
+# the consultation's date-range parameter (a strict subset of the
+# fixtures' 2024-01-01..2024-01-30 span, so the BETWEEN actually cuts)
+_CONSULT_START, _CONSULT_END = "2024-01-03", "2024-01-27"
+
+
+def _clusters_with_consult_oracle(k: int = 3, iters: int = 5) -> str:
+    """Gold profile + polygon consultation over ONE clustering replay:
+    the `consult` part joins polygon-filtered activity (zones = user_id
+    % 25 with synthetic centroids, same membership math as
+    spatial_suite's centroid_inside) to the per-day assignments and
+    re-aggregates to an hourly per-cluster profile — the reference's
+    flagship serving entry point (mobility_consultations.py:27-124)."""
+    zone_values = ", ".join(f"({z})" for z in range(25))
+    return f"""
+    WITH {kmeans_with_body(k, iters)},
+    assignments AS (
+        SELECT a.event_date, r.cluster_id
+        FROM a{iters} a JOIN relabel r ON a.asg = r.asg
+    ),
+    zones(zone_key) AS (VALUES {zone_values}),
+    zones_in AS (
+        SELECT CAST(zone_key AS BIGINT) AS zone_key FROM zones
+        WHERE {_point_in_const_sql()}
+    ),
+    activity AS (
+        SELECT CAST(ts AS DATE) AS event_date,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               CAST(value AS DECIMAL(25,6)) AS v,
+               user_id % 25 AS zone_key
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '{_CONSULT_START}'
+                                   AND DATE '{_CONSULT_END}'
+    ),
+    consult AS (
+        SELECT s.cluster_id, act.hour,
+               CAST(sum(act.v) * 1000000 AS BIGINT) AS su,
+               count(DISTINCT act.event_date) AS nd
+        FROM activity act
+        JOIN zones_in z ON act.zone_key = z.zone_key
+        JOIN assignments s ON act.event_date = s.event_date
+        GROUP BY 1, 2
+    )
+    SELECT part, cluster_id, hour, avg_trips, total_trips_sample,
+           n_days
+    FROM (
+        SELECT 'gold' AS part, cluster_id, hour,
+               CAST((200 * su + 1000000 * n_rows)
+                    // (2000000 * n_rows) AS DOUBLE) / 100
+                   AS avg_trips,
+               CAST((su + 5000) // 10000 AS DOUBLE) / 100
+                   AS total_trips_sample,
+               n_days
+        FROM (
+            SELECT r.cluster_id,
+                   CAST(h.hour AS BIGINT) AS hour,
+                   CAST(sum(CAST(round(h.total * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS su,
+                   count(*) AS n_rows,
+                   max(r.n_days) AS n_days
+            FROM hourly h
+            JOIN a{iters} a ON h.event_date = a.event_date
+            JOIN relabel r ON a.asg = r.asg
+            GROUP BY 1, 2
+        )
+        UNION ALL
+        SELECT 'consult', cluster_id, hour,
+               CAST((200 * su + 1000000 * nd)
+                    // (2000000 * nd) AS DOUBLE) / 100,
+               CAST(NULL AS DOUBLE),
+               nd
+        FROM consult
+    )
+    ORDER BY part, cluster_id, hour
+    """
 
 
 @register(
     "typical_day_clusters",
-    oracle=kmeans_gold_oracle(k=3, iters=5),
-    tags=("U1", "U2", "U3", "U4", "gold"),
+    oracle=_clusters_with_consult_oracle(k=3, iters=5),
+    tags=("U1", "U2", "U3", "U4", "J9", "consultation", "gold"),
     bench=True,
 )
 def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gold.typical_day_by_cluster, fully oracle-checked: deterministic
-    Lloyd's k-means (fixed earliest-dates init, 5 unrolled iterations,
-    DECIMAL centroid sums, quantized profiles) — every arithmetic step
-    bit-aligned with the generated DuckDB oracle, so the driver hashes
-    assignments and gold values, not just row counts.  The seeded
-    best-of-n-init sklearn-parity variant stays in the pipeline
-    (ml/clustering.typical_day_clustering, semantic pytest)."""
-    from ..ml.clustering import deterministic_kmeans
+    """gold.typical_day_by_cluster PLUS the polygon-consultation
+    serving query, both fully oracle-checked in one labeled union.
+
+    `gold`: deterministic Lloyd's k-means (fixed earliest-dates init, 5
+    unrolled iterations, DECIMAL centroid sums, quantized profiles) —
+    every arithmetic step bit-aligned with the generated DuckDB oracle,
+    so the driver hashes assignments and gold values, not just row
+    counts.  The seeded best-of-n-init sklearn-parity variant stays in
+    the pipeline (ml/clustering.typical_day_clustering, semantic
+    pytest).
+
+    `consult` (r13): consult_clustering_by_polygon
+    (mobility_consultations.py:27-124; pipeline/mobility.py twin) —
+    date-ranged activity, zones polygon-filtered by synthetic centroid
+    (broadcast semi-join), per-day cluster assignments joined in, then
+    re-aggregated to avg trips per (cluster, hour) with the exact
+    integer-micro-unit rounding the gold part uses.  avg divides by the
+    group's ACTIVE distinct days, as the reference does."""
+    from ..ml.clustering import (
+        deterministic_kmeans,
+        deterministic_kmeans_assignments,
+    )
 
     events = load_table(spark, sf_dir, "events")
-    return deterministic_kmeans(events, k=3, iters=5)
+    gold = deterministic_kmeans(events, k=3, iters=5).select(
+        F.lit("gold").alias("part"), "cluster_id", "hour",
+        "avg_trips", "total_trips_sample", "n_days",
+    )
+    assignments = deterministic_kmeans_assignments(
+        events, k=3, iters=5
+    ).select("event_date", "cluster_id")
+    zkey = F.col("id").cast("int")
+    zones_in = (
+        spark.range(25)
+        .filter(
+            point_in_polygon(
+                synthetic_centroid_lon(zkey),
+                synthetic_centroid_lat(zkey),
+                _QUERY_POLY,
+            )
+        )
+        .select(F.col("id").cast("long").alias("zone_key"))
+    )
+    activity = events.filter(
+        F.to_date("ts").between(_CONSULT_START, _CONSULT_END)
+    ).select(
+        F.to_date("ts").alias("event_date"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.col("value").cast("decimal(25,6)").alias("v"),
+        (F.col("user_id") % 25).alias("zone_key"),
+    )
+    consult = (
+        activity.join(broadcast(zones_in), "zone_key")
+        .join(broadcast(assignments), "event_date")
+        .groupBy("cluster_id", "hour")
+        .agg(
+            (F.sum("v") * 1000000).cast("long").alias("su"),
+            F.countDistinct("event_date").alias("nd"),
+        )
+        .select(
+            F.lit("consult").alias("part"),
+            "cluster_id",
+            "hour",
+            (
+                F.expr(
+                    "(200 * su + 1000000 * nd) div (2000000 * nd)"
+                ).cast("double")
+                / 100
+            ).alias("avg_trips"),
+            F.lit(None).cast("double").alias("total_trips_sample"),
+            F.col("nd").alias("n_days"),
+        )
+    )
+    return gold.unionByName(consult).orderBy(
+        "part", "cluster_id", "hour"
+    )
