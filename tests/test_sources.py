@@ -1,11 +1,13 @@
 """Source-layer tests: pandas ingest (S5), HTTP prefetch with encoding
-repair (S7, driven offline via file:// URLs), bronze CSV contract."""
+repair (S7: file:// plus a real http:// loopback server), bronze CSV
+contract."""
 
 from __future__ import annotations
 
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from urban_mobility_data_lakehouse_spark.sources.csv import (
     fetch_url,
@@ -1354,3 +1356,98 @@ def test_legacy_mix_guard_covers_explicit_partitions_writes(
         (r["id"], r["k"])
         for r in lake.read(spark, "silver", "t_null").collect()
     ] == [(9, None)]
+
+
+@pytest.fixture()
+def loopback_http(tmp_path):
+    """A stdlib http.server on 127.0.0.1 serving `tmp_path/www` plus a
+    /redirect/<name> route (302 → /<name>) — exercises fetch_url's REAL
+    http:// branch (urllib opener chain, redirect following, binary
+    payloads) with zero external network."""
+    import http.server
+    import threading
+
+    www = tmp_path / "www"
+    www.mkdir()
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(www), **kw)
+
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            if self.path.startswith("/redirect/"):
+                self.send_response(302)
+                self.send_header(
+                    "Location", "/" + self.path[len("/redirect/"):]
+                )
+                self.end_headers()
+                return
+            super().do_GET()
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield www, f"http://127.0.0.1:{srv.server_address[1]}"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_fetch_url_http_branch(tmp_path, loopback_http):
+    """S7 over real http:// — encoding repair, BOM strip, a 302
+    redirect, and gzip payload handling (raw passthrough to a .gz dest;
+    decompress + repair to a plain dest)."""
+    import gzip
+
+    www, base = loopback_http
+    (www / "latin.csv").write_bytes(
+        "Municipio;Año\nCastellón;2023\n".encode("ISO-8859-1")
+    )
+    (www / "bom.csv").write_bytes("﻿ID|name\n01001|Zona\n".encode("utf-8"))
+    (www / "day.csv.gz").write_bytes(
+        gzip.compress("fecha,viajes\n2024-01-05,1234\n".encode("utf-8"))
+    )
+
+    out = fetch_url(f"{base}/latin.csv", str(tmp_path / "latin.csv"))
+    text = open(out, encoding="utf-8").read()
+    assert "Castellón" in text and "Año" in text
+
+    out = fetch_url(
+        f"{base}/redirect/bom.csv", str(tmp_path / "bom.csv")
+    )
+    assert open(out, encoding="utf-8").read().startswith("ID|name")
+
+    gz = fetch_url(f"{base}/day.csv.gz", str(tmp_path / "day.csv.gz"))
+    with gzip.open(gz, "rt", encoding="utf-8") as f:
+        assert f.read().startswith("fecha,viajes")
+
+    plain = fetch_url(f"{base}/day.csv.gz", str(tmp_path / "day.csv"))
+    assert open(plain, encoding="utf-8").read().startswith("fecha,viajes")
+
+
+def test_bronze_e2e_over_http(spark, tmp_path, loopback_http):
+    """The full bronze lane over the http branch: redirected gz CSV →
+    fetch_url → read_bronze_csv (native .gz scan) → all-varchar rows +
+    audit columns carrying the ORIGINAL url."""
+    import gzip
+
+    www, base = loopback_http
+    (www / "trips.csv.gz").write_bytes(
+        gzip.compress(
+            "fecha,origen,viajes\n"
+            "2024-01-05,01001,10\n"
+            "2024-01-05,01002,20\n".encode("utf-8")
+        )
+    )
+    url = f"{base}/redirect/trips.csv.gz"
+    local = fetch_url(url, str(tmp_path / "trips.csv.gz"))
+    df = read_bronze_csv(spark, local, source_url=url)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert dict(df.dtypes)["viajes"] == "string"
+    assert all(r["source_url"] == url for r in rows)
+    assert all(r["filename"].endswith("trips.csv.gz") for r in rows)

@@ -72,11 +72,27 @@ def read_bronze_csv(
 def fetch_url(url: str, dest: str, encoding_fallbacks: tuple[str, ...] = ("utf-8-sig", "ISO-8859-1")) -> str:
     """Driver-side HTTP prefetch with BOM/encoding repair (the INE path,
     mobility_ingestion_pipeline.py:133-179).  Returns the local path for
-    the distributed scan.  Network-gated: raises cleanly when offline."""
+    the distributed scan.  Redirects are followed (urllib's default
+    handler chain).  Network-gated: raises cleanly when offline.
+
+    Gzip payloads (the CRTM daily-CSV layout,
+    mobility_ingestion_pipeline.py:522-533) are detected by magic
+    bytes, not URL suffix: when `dest` ends in ``.gz`` the compressed
+    bytes are written untouched — Spark's CSV reader consumes .gz
+    natively and re-encoding would only burn driver CPU — otherwise
+    the payload is decompressed first and takes the same
+    encoding-repair lane as plain text."""
+    import gzip
     import urllib.request
 
     with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310
         raw = resp.read()
+    if raw[:2] == b"\x1f\x8b":
+        if dest.endswith(".gz"):
+            with open(dest, "wb") as fb:
+                fb.write(raw)
+            return dest
+        raw = gzip.decompress(raw)
     for enc in encoding_fallbacks:
         try:
             text = raw.decode(enc)
