@@ -1298,6 +1298,29 @@ _TAPE_CORPUS = f"""
           AND doc_id % {TAPE_DEL3_MOD} != {TAPE_DEL3_REM}
 """
 
+# r13 'ttdv' part: the MID-TAPE state (after tape steps 1-2, before
+# 3-4) — a generation whose snapshot carries LIVE deletion vectors
+# (the 'del' erasure plus step-2's overlap-delete, all unmaterialized)
+# while LATER generations add more mutations on top.  Time-traveling
+# back to it must re-apply exactly the vectors live AT that version:
+# a reader that ignores them resurrects deleted docs; one that
+# over-applies later vectors (or the later reindex/delete commits)
+# loses live ones.  The oracle rescans this fold point from scratch.
+_TAPE_MID_CORPUS = f"""
+        SELECT doc_id,
+               CASE WHEN doc_id % {REIDX_MOD} = {REIDX_REM}
+                         THEN '{REIDX_TEXT}'
+                    ELSE text END AS text
+        FROM {{docs}}
+        WHERE doc_id % {DEL_MOD} != 0
+          AND doc_id % {TAPE_DEL2_MOD} != {TAPE_DEL2_REM}
+        UNION ALL
+        SELECT doc_id + {TAPE_OFF} AS doc_id,
+               'tape ' || text AS text
+        FROM {{docs}}
+        WHERE doc_id % {TAPE_ADD_MOD} = {TAPE_ADD_REM}
+"""
+
 
 def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     """DuckDB twin of `bm25_search`'s five-part retrieval row.
@@ -1330,6 +1353,10 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     bmtape_body = bm25.bm25_oracle_sql(
         sf_dir, k=k, corpus_sql=_TAPE_CORPUS
     )
+    # r13 'ttdv' twin: fresh scan-scorer over the mid-tape fold point
+    bmmid_body = bm25.bm25_oracle_sql(
+        sf_dir, k=k, corpus_sql=_TAPE_MID_CORPUS
+    )
     return f"""
     WITH bm AS (
         SELECT doc_id, score,
@@ -1360,6 +1387,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
                row_number() OVER (ORDER BY score DESC, doc_id ASC)
                    AS rank
         FROM ({bmtape_body})
+    ),
+    bmmid AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                   AS rank
+        FROM ({bmmid_body})
     ),
     v AS (
         SELECT vec_id,
@@ -1487,6 +1520,12 @@ def _hybrid_oracle_sql(sf_dir: str, k: int = 20) -> str:
     -- final corpus
     SELECT 'tape' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
     FROM bmtape
+    UNION ALL
+    -- time travel ACROSS live deletion vectors: the mid-tape
+    -- generation queried after the walk completed — its snapshot's
+    -- unmaterialized vectors (and only those) must re-apply
+    SELECT 'ttdv' AS part, doc_id, CAST(rank AS BIGINT) AS rank, score
+    FROM bmmid
     ORDER BY part, rank
     """
 
@@ -1520,7 +1559,11 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete → second reindex upserting over first-reindex rows →
     point delete of additions) whose final index must hash-equal a
     fresh scan-scorer build over the SQL-folded final corpus
-    (_TAPE_CORPUS) — ten parts, one hash.
+    (_TAPE_CORPUS), and the r13 'ttdv' part: time travel back to the
+    MID-tape generation — a snapshot carrying live unmaterialized
+    deletion vectors with more mutations committed past it — whose
+    oracle rescans that fold point (_TAPE_MID_CORPUS) — eleven
+    parts, one hash.
 
     Scale shape: the BM25 leg is one bounded stats aggregate then a
     shuffle-free row-local scoring scan (TakeOrderedAndProject heap);
@@ -1666,6 +1709,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         idx.delete_docs(spark, del2_ids)
+        # pin the mid-tape generation: its snapshot carries the live
+        # (unmaterialized) deletion vectors of 'del' AND the step-2
+        # overlap-delete; steps 3-4 mutate past it.  Queried at the
+        # END of the walk (part 'ttdv') so time travel must select
+        # exactly the vectors live at THIS version.
+        v_mid = idx.version()
         changed2 = corpus.filter(
             (F.col("doc_id") % TAPE_RX_MOD == TAPE_RX_REM)
             & (F.col("doc_id") % DEL_MOD != 0)
@@ -1689,6 +1738,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rank", "score")
             .localCheckpoint(eager=True)
         )
+        ttdv_part = (
+            idx.query(spark, bm25.QUERY_TERMS, k=k, version=v_mid)
+            .withColumn("rank", F.row_number().over(w_bm).cast("long"))
+            .select("doc_id", "rank", "score")
+            .localCheckpoint(eager=True)
+        )
 
     part = lambda df, p: df.select(  # noqa: E731
         F.lit(p).alias("part"), "doc_id", "rank", "score"
@@ -1704,5 +1759,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(part(reidx_part, "reidx"))
         .unionByName(part(del_part, "del"))
         .unionByName(part(tape_part, "tape"))
+        .unionByName(part(ttdv_part, "ttdv"))
         .orderBy("part", "rank")
     )

@@ -374,6 +374,18 @@ class PersistentBM25:
                 )
             txn.overwrite(stats_frame, self.schema, self.stats)
 
+    def version(self) -> int:
+        """Current index generation — the lockstep commit version of
+        the postings/doclen/stats tables (every build/add/reindex/
+        delete is one atomic txn over all three, so any one table's
+        latest version identifies the coherent snapshot).  Pass it to
+        `query(version=...)` later to reproduce THIS state, including
+        states whose snapshot carries live (unmaterialized) deletion
+        vectors."""
+        return self.lake.snapshots(self.schema, self.stats)[-1][
+            "version"
+        ]
+
     def optimize(self, spark: SparkSession) -> dict:
         """Materialize accumulated deletion vectors and re-cluster
         postings/doclen into one file per bucket (the `PersistentIVF.
