@@ -1451,3 +1451,116 @@ def test_bronze_e2e_over_http(spark, tmp_path, loopback_http):
     assert dict(df.dtypes)["viajes"] == "string"
     assert all(r["source_url"] == url for r in rows)
     assert all(r["filename"].endswith("trips.csv.gz") for r in rows)
+
+
+def test_migrate_null_token_null_form(spark, tmp_path):
+    """r13: a legacy table whose 'None' token holds TRUE-NULL rows
+    migrates in one versioned commit; afterwards a NULL-delete touches
+    only the true-NULL partition and a literal 'None' value is a
+    DISTINCT partition that can coexist."""
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
+        HistoryUnavailableError,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    _make_legacy(lake, "silver", "t")
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, None), (2, "a"), (3, None)], "id long, k string"
+        ),
+        "silver", "t", partition_col="k",
+    )
+    res = lake.migrate_null_token(spark, "silver", "t")
+    assert res["migrated"] and NULL_SENTINEL in res["rewritten_partitions"]
+    assert lake.null_token("silver", "t") == NULL_SENTINEL
+    # contents unchanged
+    assert sorted(
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    ) == [(1, None), (2, "a"), (3, None)]
+    # a literal 'None' string is now a distinct identity (v2 rules)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(9, "None")], "id long, k string"),
+        "silver", "t", partition_col="k",
+    )
+    # NULL-delete touches only the true-NULL partition
+    assert lake.delete_where(
+        spark, "silver", "t", F.col("k").isNull(), partition_col="k"
+    )
+    assert sorted(
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t").collect()
+    ) == [(2, "a"), (9, "None")]
+    # time travel below the migration commit surfaces the ambiguity
+    import pytest as _pytest
+
+    with _pytest.raises(HistoryUnavailableError, match="migration"):
+        lake.read(spark, "silver", "t", version=0)
+    # idempotent: a second call is a no-op
+    assert lake.migrate_null_token(spark, "silver", "t") == {
+        "migrated": False, "reason": "already_v2",
+    }
+
+
+def test_migrate_null_token_literal_form_and_refusals(spark, tmp_path):
+    """Literal-'None' legacy tables migrate keeping their token; a
+    genuinely mixed HISTORY refuses; an empty legacy table just flips
+    the scheme."""
+    import pytest as _pytest
+
+    from urban_mobility_data_lakehouse_spark.sources.lakehouse import (
+        NULL_SENTINEL,
+        Lakehouse,
+    )
+
+    lake = Lakehouse(str(tmp_path / "lake"))
+    lake.create_schemas("silver")
+    for t in ("t_lit", "t_mixed", "t_empty"):
+        _make_legacy(lake, "silver", t)
+    # literal form
+    lake.overwrite_partitions(
+        spark.createDataFrame(
+            [(1, "None"), (2, "b")], "id long, k string"
+        ),
+        "silver", "t_lit", partition_col="k",
+    )
+    res = lake.migrate_null_token(spark, "silver", "t_lit")
+    assert res["migrated"] and res["rewritten_partitions"] == ["None"]
+    assert sorted(
+        (r["id"], r["k"])
+        for r in lake.read(spark, "silver", "t_lit").collect()
+    ) == [(1, "None"), (2, "b")]
+    # NULL rows can now join as a distinct partition
+    lake.overwrite_partitions(
+        spark.createDataFrame([(5, None)], "id long, k string"),
+        "silver", "t_lit", partition_col="k",
+    )
+    assert lake.read(spark, "silver", "t_lit").count() == 3
+    # mixed HISTORY refuses even when the live state is single-form:
+    # literal 'None' written, deleted, then NULLs written (the live
+    # guard allowed it — the 'None' partition was empty)
+    lake.overwrite_partitions(
+        spark.createDataFrame([(1, "None")], "id long, k string"),
+        "silver", "t_mixed", partition_col="k",
+    )
+    lake.delete_where(
+        spark, "silver", "t_mixed", F.col("k") == "None",
+        partition_col="k",
+    )
+    lake.overwrite_partitions(
+        spark.createDataFrame([(2, None)], "id long, k string"),
+        "silver", "t_mixed", partition_col="k",
+    )
+    with _pytest.raises(ValueError, match="BOTH"):
+        lake.migrate_null_token(spark, "silver", "t_mixed")
+    # empty table: pure metadata flip
+    res = lake.migrate_null_token(spark, "silver", "t_empty")
+    assert res == {
+        "migrated": True,
+        "rewritten_partitions": [],
+        "history_guard_version": None,
+    }
+    assert lake.null_token("silver", "t_empty") == NULL_SENTINEL

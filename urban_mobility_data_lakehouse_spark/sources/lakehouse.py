@@ -318,6 +318,133 @@ class Lakehouse:
                 return json.load(f).get("null_token", "None")
         return "None"
 
+    def migrate_null_token(
+        self, spark: SparkSession, schema: str, name: str
+    ) -> dict:
+        """Upgrade a LEGACY table (NULL token 'None') to format v2 in
+        ONE versioned commit (r13, VERDICT #4).
+
+        Under the legacy scheme a NULL partition key and a literal
+        string 'None' SHARE the token 'None' — physically
+        distinguishable (sentinel dir vs `pcol=None` dir) but one
+        identity to every delete/rewrite.  Migration:
+
+        * no commits yet → stamp `_format.json` with the sentinel,
+          done;
+        * the table's HISTORY (every version directory, raw dir names
+          only — no data read) holds BOTH physical forms → REFUSE:
+          under the shared identity which rows each historical commit
+          meant is ambiguous, and guessing would silently rewrite one
+          form as the other;
+        * otherwise the live 'None'-token rows are rewritten under the
+          new identity — NULL rows re-land in the sentinel dir with
+          the sentinel as their CANONICAL token, superseding the
+          legacy 'None' entry in the same commit — and `_format.json`
+          is stamped with the sentinel plus `migrated_at_version`.
+
+        Time travel / CDC / RESTORE below `migrated_at_version` raise
+        `HistoryUnavailableError` whenever the legacy token ever held
+        data: the old log lines speak the old identity, and re-reading
+        them under the new scheme would silently drop (or double) the
+        NULL partition — surfaced, not guessed."""
+        path = self._table_dir(schema, name)
+        if self.null_token(schema, name) != "None":
+            return {"migrated": False, "reason": "already_v2"}
+
+        def _stamp(guard: int | None) -> None:
+            payload: dict = {"null_token": NULL_SENTINEL}
+            if guard is not None:
+                payload["migrated_at_version"] = guard
+            tmp = os.path.join(path, self.FORMAT_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(payload, f)
+            os.replace(tmp, os.path.join(path, self.FORMAT_FILE))
+
+        entries = self.snapshots(schema, name)
+        if not entries:
+            os.makedirs(path, exist_ok=True)
+            _stamp(None)
+            return {
+                "migrated": True,
+                "rewritten_partitions": [],
+                "history_guard_version": None,
+            }
+        # history-wide physical-form census: directory NAMES across
+        # every version dir (live and superseded) — metadata-scale,
+        # no data read
+        hist: dict[str, set[str]] = {}
+        for _root, dirs, _files in os.walk(path):
+            for d in dirs:
+                if "=" not in d:
+                    continue
+                pc, tok = d.split("=", 1)
+                if tok in ("None", NULL_SENTINEL):
+                    hist.setdefault(pc, set()).add(tok)
+        mixed = sorted(p for p, fm in hist.items() if len(fm) == 2)
+        if mixed:
+            raise ValueError(
+                f"{schema}.{name}: cannot migrate null token — history "
+                "holds BOTH NULL-keyed (sentinel) and literal-'None' "
+                f"directories for partition column(s) {mixed}. Under "
+                "the legacy scheme the two shared one identity, so "
+                "which rows each historical commit meant is ambiguous; "
+                "rename or drop one form first instead of letting the "
+                "migration guess."
+            )
+        part_map, _extra, _dvs = self._manifest(schema, name)
+        live_none = part_map.get("None")
+        if live_none is None:
+            # nothing live under the legacy token; the scheme flip is
+            # pure metadata.  Historical data may still have carried
+            # it → guard every pre-flip version.
+            guard = (
+                entries[-1]["version"] + 1
+                if any(hist.values())
+                else None
+            )
+            _stamp(guard)
+            return {
+                "migrated": True,
+                "rewritten_partitions": [],
+                "history_guard_version": guard,
+            }
+        pcol = live_none[1]
+        live_forms = {
+            t
+            for t in self._live_raw_tokens(schema, name, pcol)
+            if t in ("None", NULL_SENTINEL)
+        }
+        # build the read plan BEFORE stamping (it bakes legacy-token
+        # path resolution and filters); the rewrite commit itself is
+        # token-explicit, so the scheme flip lands after the commit
+        cur = self.read(spark, schema, name)
+        if live_forms == {NULL_SENTINEL}:
+            rows = cur.filter(F.col(pcol).isNull())
+            parts = ["None", NULL_SENTINEL]
+        else:
+            rows = cur.filter(F.col(pcol) == "None")
+            parts = ["None"]
+        self.overwrite_partitions(
+            rows, schema, name, pcol, partitions=parts,
+            extra_meta={"migration": "null_token_v2"},
+        )
+        guard = self.snapshots(schema, name)[-1]["version"]
+        _stamp(guard)
+        return {
+            "migrated": True,
+            "rewritten_partitions": parts,
+            "history_guard_version": guard,
+        }
+
+    def _migration_guard_version(
+        self, schema: str, name: str
+    ) -> int | None:
+        p = os.path.join(self._table_dir(schema, name), self.FORMAT_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f).get("migrated_at_version")
+
     def _ensure_format(self, schema: str, name: str) -> None:
         """Stamp the format file on a genuinely NEW table (no commits,
         no format file yet) — called from every write entry point
@@ -2356,6 +2483,16 @@ class Lakehouse:
         filesystem listing, no Spark job.  Seeds from the newest
         checkpoint ≤ `version` when one exists, replaying only the log
         suffix after it."""
+        if version is not None:
+            mg = self._migration_guard_version(schema, name)
+            if mg is not None and version < mg:
+                raise HistoryUnavailableError(
+                    f"{schema}.{name}: version {version} predates the "
+                    f"null-token migration (commit {mg}); its log "
+                    "lines speak the legacy 'None' identity and cannot "
+                    "be re-read under the v2 scheme without guessing "
+                    "which physical form they meant"
+                )
         entries = self.snapshots(schema, name)
         path = self._table_dir(schema, name)
         cp = self._load_checkpoint(path, version)
