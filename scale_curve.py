@@ -220,6 +220,7 @@ def _bm25_staged(spark, sf_dir: str) -> dict[str, float]:
         timed("delete", lambda: idx.delete_docs(spark, del_ids))
         timed("query_del", lambda: idx.query(
             spark, QUERY_TERMS, k=20).collect())
+        v_del = idx.version()  # generation with live deletion vectors
         # the POINT-erasure shape (|ids| < n_buckets): Bloom-probed
         # bucket discovery + forward-derived doclen buckets +
         # incremental stats — the path a GDPR needle delete takes.
@@ -258,6 +259,12 @@ def _bm25_staged(spark, sf_dir: str) -> dict[str, float]:
         timed("add_tape", lambda: idx.add(spark, added))
         timed("query_tape", lambda: idx.query(
             spark, QUERY_TERMS, k=20).collect())
+        # r13: time travel BACK across commits to a DV-carrying
+        # generation (the driver 'ttdv' part's shape) — the wall is
+        # the versioned-manifest replay plus that generation's DV
+        # anti-join, measured against query_del's same-state live read
+        timed("query_ttdv", lambda: idx.query(
+            spark, QUERY_TERMS, k=20, version=v_del).collect())
         timed("optimize", lambda: idx.optimize(spark))
         timed("query_opt", lambda: idx.query(
             spark, QUERY_TERMS, k=20).collect())
@@ -279,7 +286,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 176,
         "text_pairs_suite": 25035,
         "multimodal_suite": 1099,
-        "bm25_search": 200,
+        "bm25_search": 220,
     },
     "sf0.01": {
         "doc_profile": 500,
@@ -291,7 +298,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 182,
         "text_pairs_suite": 24412,
         "multimodal_suite": 1097,
-        "bm25_search": 200,
+        "bm25_search": 220,
     },
     "sf0.1": {
         "doc_profile": 5000,
@@ -303,7 +310,7 @@ EXPECTED_LADDER_ROWS: dict[str, dict[str, int]] = {
         "embedding_near_dups": 477,
         "text_pairs_suite": 169394,
         "multimodal_suite": 10952,
-        "bm25_search": 200,
+        "bm25_search": 220,
     },
 }
 

@@ -124,9 +124,72 @@ _RAW16 = (
 _INT16 = f"(CASE WHEN {_RAW16} >= 32768 THEN {_RAW16} - 65536 ELSE {_RAW16} END)"
 
 
+# spec-part feature indices (the `s` column): bands 0..N_BANDS-1,
+# then rms / centroid as out-of-band codes
+N_BANDS = 8
+_SPEC_RMS, _SPEC_CENTROID = 100, 101
+
+
+def _spec_census() -> list[tuple[int, int, int, int]]:
+    """(cls, frame_no, feat, q) literals for the 'spec' part: a numpy
+    TWIN re-derives each pure-tone class's spectral features straight
+    from the payload bytes (struct-level int16 decode — independent of
+    `binaryops.decode_wav`'s chunk walk — then the documented Hann /
+    rfft / log1p-band pipeline) and quantizes to integer micro-units
+    with the exact decimal-string HALF_UP rule Spark's round() applies,
+    so both engines hash identical BIGINTs.  Frozen at
+    oracle-generation time — the knn_ivf centroid-literal pattern.  The
+    duplication of the `_frame_matrix` math here is the point: a
+    production-path change to window, band edges, or log handling now
+    flips a driver hash instead of drifting silently."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    def q6(x: float) -> int:
+        # Spark round(double) == BigDecimal.valueOf (shortest decimal
+        # repr, like Python's repr) + setScale(0, HALF_UP)
+        return int(
+            Decimal(repr(float(x) * 1e6)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+
+    window = np.hanning(FRAME_LEN)
+    freqs = np.fft.rfftfreq(FRAME_LEN, d=1.0 / RATE)
+    n_frames = (N_SAMPLES - FRAME_LEN) // HOP + 1
+    out: list[tuple[int, int, int, int]] = []
+    for cls, freq in enumerate(FREQS):
+        payload = _tone_payload(freq)
+        x = (
+            np.frombuffer(payload[44:], dtype="<i2").astype("float64")
+            / 32768.0
+        )
+        for t in range(n_frames):
+            fr = x[t * HOP : t * HOP + FRAME_LEN]
+            feats: dict[int, float] = {
+                _SPEC_RMS: float(np.sqrt((fr**2).mean())),
+            }
+            mag = np.abs(np.fft.rfft(fr * window))
+            tot = float(mag.sum())
+            feats[_SPEC_CENTROID] = (
+                float((mag * freqs).sum() / tot) if tot > 0 else 0.0
+            )
+            for b, band in enumerate(np.array_split(mag**2, N_BANDS)):
+                feats[b] = float(np.log1p(band.sum()))
+            for feat, val in feats.items():
+                out.append(
+                    (cls, t, feat, q6(float(np.round(val, 8))))
+                )
+    return out
+
+
 def _audio_oracle(sf_dir: str) -> str:
     path = ensure_audio_corpus(sf_dir)
     n_frames = (N_SAMPLES - FRAME_LEN) // HOP + 1
+    spec_values = ", ".join(
+        f"({c}, {t}, {f}, {q})" for c, t, f, q in _spec_census()
+    )
     return f"""
     WITH m AS (
         SELECT media_id, hex(payload) AS hx,
@@ -173,6 +236,16 @@ def _audio_oracle(sf_dir: str) -> str:
         FROM (SELECT media_id, hex(payload) AS grp
               FROM read_parquet('{path}'))
         GROUP BY grp
+    ),
+    spec AS (
+        SELECT c.media_id, CAST(v.frame_no AS BIGINT) AS frame_no,
+               CAST(v.q AS BIGINT) AS n, CAST(v.feat AS BIGINT) AS s,
+               CAST(NULL AS BIGINT) AS lo, CAST(NULL AS BIGINT) AS hi
+        FROM (SELECT media_id % {N_CLASSES} AS cls,
+                     min(media_id) AS media_id
+              FROM read_parquet('{path}') GROUP BY 1) c
+        JOIN (VALUES {spec_values}) AS v(cls, frame_no, feat, q)
+          ON v.cls = c.cls
     )
     SELECT * FROM (
         SELECT 'clip' AS part, * FROM clip
@@ -180,8 +253,10 @@ def _audio_oracle(sf_dir: str) -> str:
         SELECT 'frame', * FROM frame
         UNION ALL
         SELECT 'fp', * FROM fp
+        UNION ALL
+        SELECT 'spec', * FROM spec
     )
-    ORDER BY part, media_id, frame_no
+    ORDER BY part, media_id, frame_no, s
     """
 
 
@@ -200,7 +275,13 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zcr (zc = round(zcr · (FRAME_LEN−1))).
     `fp`: `audio_fingerprint` dedup groups — one row per fingerprint:
     media_id = the canonical (min) clip, n = clips in the group, s =
-    their frame count."""
+    their frame count.
+    `spec` (r13): the FLOAT spectral features, integer-quantized —
+    per canonical clip (min media_id of each tone class) and frame,
+    n = round(feature × 1e6) for s = band 0..7 / rms (100) /
+    centroid_hz (101), hashed against the numpy twin's frozen
+    literals (`_spec_census`) — rfft/window/band drift is now
+    driver-visible, not pytest-only."""
     media = spark.read.parquet(ensure_audio_corpus(sf_dir))
     null_l = F.lit(None).cast("long")
     clip = clip_stats(media).select(
@@ -241,6 +322,47 @@ def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_l.alias("hi"),
         )
     )
-    return clip.unionByName(frame).unionByName(fp).orderBy(
-        "part", "media_id", "frame_no"
+    canon = (
+        media.groupBy((F.col("media_id") % N_CLASSES).alias("cls"))
+        .agg(F.min("media_id").alias("media_id"))
+        .select("media_id")
+    )
+    pairs: list[str] = []
+    for b in range(N_BANDS):
+        pairs += [
+            f"CAST({b} AS BIGINT)",
+            f"CAST(round(band_{b} * 1000000) AS BIGINT)",
+        ]
+    pairs += [
+        f"CAST({_SPEC_RMS} AS BIGINT)",
+        "CAST(round(rms * 1000000) AS BIGINT)",
+        f"CAST({_SPEC_CENTROID} AS BIGINT)",
+        "CAST(round(centroid_hz * 1000000) AS BIGINT)",
+    ]
+    spec = (
+        frame_features(
+            media.join(canon, "media_id"),
+            frame_len=FRAME_LEN,
+            hop=HOP,
+        )
+        .selectExpr(
+            "media_id",
+            "CAST(frame_no AS BIGINT) AS frame_no",
+            f"stack({N_BANDS + 2}, {', '.join(pairs)}) AS (s, n)",
+        )
+        .select(
+            F.lit("spec").alias("part"),
+            "media_id",
+            "frame_no",
+            "n",
+            "s",
+            null_l.alias("lo"),
+            null_l.alias("hi"),
+        )
+    )
+    return (
+        clip.unionByName(frame)
+        .unionByName(fp)
+        .unionByName(spec)
+        .orderBy("part", "media_id", "frame_no", "s")
     )
