@@ -175,37 +175,43 @@ def deterministic_kmeans_assignments(
     return assignments.select("event_date", "cluster_id", "n_days")
 
 
-def deterministic_kmeans(
-    events: DataFrame, k: int = 3, iters: int = 5
-) -> DataFrame:
-    """U3 the oracle-checkable way: Lloyd's k-means with a FIXED
-    deterministic initialization (the k earliest dates' profiles) and a
-    fixed number of unrolled iterations, every arithmetic step chosen
-    to be bit-identical across engines:
+def deterministic_kmeans_suite(
+    events: DataFrame,
+    k: int = 3,
+    iters: int = 5,
+    hourly: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(gold profile, relabeled assignments) over ONE shared replay.
 
-      - profile values quantized to 6 decimals (round before use)
-      - centroid means via DECIMAL(25,6) sums (order-independent)
-      - distance folds in fixed h0→h23 order; ties → lowest cluster
-
-    This makes the assignment a pure function of the data — DuckDB can
-    recompute it from generated SQL (see queries/clustering_oracle.py),
-    which upgrades the clustering gold table from rows-only to a full
-    value-hash driver check.  The seeded best-of-n-init variant
-    (_kmeans_driver, sklearn parity) remains the pipeline default.
-
-    Returns gold rows: (cluster_id, hour, avg_trips,
-    total_trips_sample, n_days), relabeled by size desc / earliest
-    date.  Fully distributed: iterations are chained DataFrame aggs
-    with the (1 × k·24) centroid row broadcast — no driver-side
-    clustering loop over data.
+    `typical_day_clusters` needs both the gold rows and the per-day
+    assignments (for the polygon consultation); calling
+    `deterministic_kmeans` and `deterministic_kmeans_assignments`
+    separately ran the WHOLE pipeline twice — two events scans, two
+    pivot+collect rounds, two driver Lloyd's loops (r13 measured the
+    query at ~2× its r12 wall from exactly this).  This entry point
+    computes `_kmeans_hourly_assignments` once and derives both
+    outputs from it.  Pass `hourly` to reuse an
+    already-materialized (event_date, hour, total_trips) frame —
+    values must equal `hourly_totals_exact(events)` bit-for-bit.
     """
-    hourly, assignments = _kmeans_hourly_assignments(events, k, iters)
+    hourly, assignments = _kmeans_hourly_assignments(
+        events, k, iters, hourly=hourly
+    )
+    return (
+        _kmeans_gold(hourly, assignments),
+        assignments.select("event_date", "cluster_id", "n_days"),
+    )
 
-    # Final 2-dp rounding happens in exact integer micro-units: double
-    # round() diverges between engines on boundary-adjacent values
-    # (342.03/6 = 57.005 → Spark 57.00, DuckDB 57.01), but
-    # floor((200·S + 10⁶·n) / (2·10⁶·n)) is pure BIGINT math — i.e.
-    # round-half-up of the exact rational — identical everywhere.
+
+def _kmeans_gold(hourly: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Gold rows (cluster_id, hour, avg_trips, total_trips_sample,
+    n_days) from the shared hourly totals + relabeled assignments.
+
+    Final 2-dp rounding happens in exact integer micro-units: double
+    round() diverges between engines on boundary-adjacent values
+    (342.03/6 = 57.005 → Spark 57.00, DuckDB 57.01), but
+    floor((200·S + 10⁶·n) / (2·10⁶·n)) is pure BIGINT math — i.e.
+    round-half-up of the exact rational — identical everywhere."""
     su = F.sum(
         F.round(F.col("total_trips") * 1000000, 0).cast("long")
     ).alias("su")
@@ -236,12 +242,46 @@ def deterministic_kmeans(
     )
 
 
+def deterministic_kmeans(
+    events: DataFrame, k: int = 3, iters: int = 5
+) -> DataFrame:
+    """U3 the oracle-checkable way: Lloyd's k-means with a FIXED
+    deterministic initialization (the k earliest dates' profiles) and a
+    fixed number of unrolled iterations, every arithmetic step chosen
+    to be bit-identical across engines:
+
+      - profile values quantized to 6 decimals (round before use)
+      - centroid means via DECIMAL(25,6) sums (order-independent)
+      - distance folds in fixed h0→h23 order; ties → lowest cluster
+
+    This makes the assignment a pure function of the data — DuckDB can
+    recompute it from generated SQL (see queries/clustering_oracle.py),
+    which upgrades the clustering gold table from rows-only to a full
+    value-hash driver check.  The seeded best-of-n-init variant
+    (_kmeans_driver, sklearn parity) remains the pipeline default.
+
+    Returns gold rows: (cluster_id, hour, avg_trips,
+    total_trips_sample, n_days), relabeled by size desc / earliest
+    date.  Fully distributed: iterations are chained DataFrame aggs
+    with the (1 × k·24) centroid row broadcast — no driver-side
+    clustering loop over data.
+    """
+    hourly, assignments = _kmeans_hourly_assignments(events, k, iters)
+    return _kmeans_gold(hourly, assignments)
+
+
 def _kmeans_hourly_assignments(
-    events: DataFrame, k: int, iters: int
+    events: DataFrame,
+    k: int,
+    iters: int,
+    hourly: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(hourly totals, relabeled per-day assignments) — the shared body
-    of the deterministic-Lloyd's replay."""
-    hourly = hourly_totals_exact(events).localCheckpoint(eager=False)
+    of the deterministic-Lloyd's replay.  `hourly` overrides the
+    events scan with a caller-materialized (event_date, hour,
+    total_trips) frame (see deterministic_kmeans_suite)."""
+    if hourly is None:
+        hourly = hourly_totals_exact(events).localCheckpoint(eager=False)
 
     # pivot + normalize, quantized
     wide = (

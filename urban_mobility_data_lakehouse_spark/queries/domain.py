@@ -566,19 +566,41 @@ def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-aggregated to avg trips per (cluster, hour) with the exact
     integer-micro-unit rounding the gold part uses.  avg divides by the
     group's ACTIVE distinct days, as the reference does."""
-    from ..ml.clustering import (
-        deterministic_kmeans,
-        deterministic_kmeans_assignments,
-    )
+    from ..ml.clustering import deterministic_kmeans_suite
 
     events = load_table(spark, sf_dir, "events")
-    gold = deterministic_kmeans(events, k=3, iters=5).select(
+    # ONE events pass serves gold, the Lloyd's replay AND the consult:
+    # pre-aggregate to (event_date, hour, zone_key) — |dates|·24·25
+    # rows — in exact integer micro-units (value is a 6-dp decimal, so
+    # sum(value)·10⁶ is an exact BIGINT; / 1e6 back to double is the
+    # identical correctly-rounded value the DECIMAL(25,6)→DOUBLE cast
+    # yields).  The former shape scanned events THREE times (gold
+    # hourly, a second full kmeans replay for the assignments, the
+    # consult activity) and ran the driver Lloyd's loop twice.
+    zone_base = (
+        events.groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.hour("ts").alias("hour"),
+            (F.col("user_id") % 25).alias("zone_key"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast("decimal(25,6)")) * 1000000)
+            .cast("long")
+            .alias("vi")
+        )
+        .localCheckpoint(eager=False)
+    )
+    hourly = zone_base.groupBy("event_date", "hour").agg(
+        (F.sum("vi").cast("double") / 1e6).alias("total_trips")
+    )
+    gold_rows, assignments_nd = deterministic_kmeans_suite(
+        events, k=3, iters=5, hourly=hourly
+    )
+    gold = gold_rows.select(
         F.lit("gold").alias("part"), "cluster_id", "hour",
         "avg_trips", "total_trips_sample", "n_days",
     )
-    assignments = deterministic_kmeans_assignments(
-        events, k=3, iters=5
-    ).select("event_date", "cluster_id")
+    assignments = assignments_nd.select("event_date", "cluster_id")
     zkey = F.col("id").cast("int")
     zones_in = (
         spark.range(25)
@@ -591,20 +613,15 @@ def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").cast("long").alias("zone_key"))
     )
-    activity = events.filter(
-        F.to_date("ts").between(_CONSULT_START, _CONSULT_END)
-    ).select(
-        F.to_date("ts").alias("event_date"),
-        F.hour("ts").cast("long").alias("hour"),
-        F.col("value").cast("decimal(25,6)").alias("v"),
-        (F.col("user_id") % 25).alias("zone_key"),
-    )
     consult = (
-        activity.join(broadcast(zones_in), "zone_key")
+        zone_base.filter(
+            F.col("event_date").between(_CONSULT_START, _CONSULT_END)
+        )
+        .join(broadcast(zones_in), "zone_key")
         .join(broadcast(assignments), "event_date")
-        .groupBy("cluster_id", "hour")
+        .groupBy("cluster_id", F.col("hour").cast("long").alias("hour"))
         .agg(
-            (F.sum("v") * 1000000).cast("long").alias("su"),
+            F.sum("vi").alias("su"),
             F.countDistinct("event_date").alias("nd"),
         )
         .select(
