@@ -275,3 +275,18 @@ def test_lloyd_dead_cells_reseed_to_distinct_points():
     assert lloyd(x, n_cells=6, seed=0, n_iter=2) == lloyd(
         x, n_cells=6, seed=0, n_iter=2
     )
+
+
+def test_knn_lsh_single_pass_matches_joined(spark, sf_dir):
+    """The single-pass `knn_lsh` (r13: sign+bucket+score in one Arrow
+    crossing) must reproduce the join-based twin exactly — identical
+    signature fold, identical bucket ints, identical cosine fold and
+    rank tie-breaks — at two SFs (the knn_ivf discipline).  This is
+    what keeps the DuckDB oracle's lsh replay exact."""
+    from urban_mobility_data_lakehouse_spark.similarity import knn
+
+    for d in (sf_dir, "/root/testdata/sf0.01"):
+        emb = load_table(spark, d, "embeddings")
+        single = knn.knn_lsh(emb, n_queries=10, k=3).collect()
+        joined = knn.knn_lsh_joined(emb, n_queries=10, k=3).collect()
+        assert single == joined and len(single) > 0

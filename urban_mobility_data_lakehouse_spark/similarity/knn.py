@@ -68,8 +68,30 @@ def knn_bruteforce_hof(
     return _rank_cosine(scored, k)
 
 
+def collect_queries(
+    embeddings: DataFrame, n_queries: int
+) -> list[tuple[int, list[float]]]:
+    """Bounded collect of the first `n_queries` (vec_id, emb-as-double)
+    rows, sorted by id — the shared query panel every ANN strategy
+    scores against.  Collect ONCE per registry build and pass the rows
+    to each strategy (`q_rows=`): the suite used to run this same scan
+    job three times, once inside each part."""
+    return sorted(
+        (r["query_id"], [float(v) for v in r["emb_q"]])
+        for r in embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double(F.col("embedding")).alias("emb_q"),
+        )
+        .collect()
+    )
+
+
 def knn_bruteforce(
-    embeddings: DataFrame, n_queries: int = 10, k: int = 3
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    q_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first `n_queries` vectors,
     scored as an Arrow `mapInPandas` batch.
@@ -81,19 +103,13 @@ def knn_bruteforce(
     driver-side with the same loop, and the denominator multiplies
     norm_q·norm_b (rounding is symmetric, so operand order is free).
     Bit-identity vs `knn_bruteforce_hof` is test-locked, which keeps
-    the DuckDB oracle replay exact.  Queries are a bounded collect;
-    the corpus never leaves executors."""
+    the DuckDB oracle replay exact.  Queries are a bounded collect
+    (pass `q_rows` from `collect_queries` to share one collect across
+    strategies); the corpus never leaves executors."""
     import numpy as np
 
-    q_rows = sorted(
-        (r["query_id"], [float(v) for v in r["emb_q"]])
-        for r in embeddings.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            _as_double(F.col("embedding")).alias("emb_q"),
-        )
-        .collect()
-    )
+    if q_rows is None:
+        q_rows = collect_queries(embeddings, n_queries)
     qids = np.array([q for q, _e in q_rows], dtype=np.int64)
     qx = np.array([e for _q, e in q_rows], dtype=np.float64)
     dim = qx.shape[1] if len(q_rows) else 0
@@ -308,9 +324,98 @@ def knn_lsh(
     k: int = 3,
     n_planes: int = 16,
     seed: int = 42,
+    q_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket (or differ in
-    the last bit-band), then exact cosine re-rank within candidates."""
+    """Approximate top-k: candidates share an LSH bucket, then exact
+    cosine re-rank within candidates — as ONE `mapInPandas` pass.
+
+    The joined twin (`knn_lsh_joined`, the original form) runs a
+    signature `mapInPandas`, joins it back to the corpus, broadcast-
+    joins the query panel and window-ranks — 2 Python crossings plus a
+    join for 1 arithmetic pass of work.  This form signs AND scores
+    each corpus batch in the same Arrow crossing: batch signatures use
+    the identical accumulation loop as `lsh_signatures`, the query
+    panel's signatures are computed driver-side with the same numpy
+    ops over the same collected doubles, the bucket filter compares
+    the identical int64s, and scoring reuses the exact
+    `knn_bruteforce` fold (dot/norm accumulated per feature index from
+    0.0, cos = dot/(norm_q·norm_b)) — so results are bit-identical
+    (locked by test_ann.py::test_knn_lsh_single_pass_matches_joined)
+    and the DuckDB oracle replay stays exact."""
+    import numpy as np
+
+    if q_rows is None:
+        q_rows = collect_queries(embeddings, n_queries)
+    P = np.asarray(hyperplanes(64, n_planes, seed), dtype=np.float64)
+
+    def _sigs(x: "np.ndarray") -> "np.ndarray":
+        # identical IEEE op order to lsh_signatures' batch loop
+        acc = np.zeros((len(x), len(P)), dtype=np.float64)
+        for j in range(P.shape[1]):
+            acc += x[:, j, None] * P[None, :, j]
+        bits = acc >= 0.0
+        sig = np.zeros(len(x), dtype=np.int64)
+        for i in range(P.shape[0]):
+            sig = (sig << 1) | bits[:, i].astype(np.int64)
+        return sig
+
+    qids = np.array([q for q, _e in q_rows], dtype=np.int64)
+    qx = np.array([e for _q, e in q_rows], dtype=np.float64)
+    dim = qx.shape[1] if len(q_rows) else 0
+    q_bucket = _sigs(qx) >> (n_planes // 2) if len(q_rows) else qids
+    q_norm = np.zeros(len(q_rows), dtype=np.float64)
+    for j in range(dim):
+        q_norm += qx[:, j] * qx[:, j]
+    q_norm = np.sqrt(q_norm)
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_rows) == 0:
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nbr = pdf["vec_id"].to_numpy()
+            bucket = _sigs(x) >> (n_planes // 2)
+            n = x.shape[0]
+            dot = np.zeros((n, len(q_rows)), dtype=np.float64)
+            b_norm = np.zeros(n, dtype=np.float64)
+            for j in range(dim):
+                xj = x[:, j]
+                dot += xj[:, None] * qx[:, j][None, :]
+                b_norm += xj * xj
+            b_norm = np.sqrt(b_norm)
+            cos = dot / (q_norm[None, :] * b_norm[:, None])
+            frames = []
+            for qi in range(len(q_rows)):
+                keep = (bucket == q_bucket[qi]) & (nbr != qids[qi])
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": nbr[keep],
+                            "cos": cos[keep, qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double"
+    )
+    return _rank_cosine(scored, k)
+
+
+def knn_lsh_joined(
+    embeddings: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Join-based twin of `knn_lsh` (the original form), kept as the
+    reference implementation the bit-identity test pins the single-pass
+    path against."""
     sigs = lsh_signatures(embeddings, n_planes, seed)
     with_sig = embeddings.join(sigs, "vec_id")
     # coarse bucket: top 8 of 16 sign bits → 256 buckets

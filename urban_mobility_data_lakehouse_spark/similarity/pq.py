@@ -284,6 +284,7 @@ def knn_pq(
     seed: int = 42,
     shortlist: int = SHORTLIST,
     codebooks: list[list[list[float]]] | None = None,
+    q_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """ADC-shortlist + exact-re-rank top-k (the IVFADC deployment
     shape): the compressed-code scan picks `shortlist` candidates per
@@ -298,9 +299,6 @@ def knn_pq(
     )
     dsub = len(codebooks[0][0])
 
-    corpus = encode_pq(embeddings, codebooks, m=m, ksub=ksub).select(
-        F.col("vec_id").alias("neighbor_id"), "codes"
-    )
     queries = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("emb_q"),
@@ -316,10 +314,10 @@ def knn_pq(
     # oracle replay stays exact.
     import numpy as np
 
-    q_rows = sorted(
-        (r["query_id"], [float(v) for v in r["emb_q"]])
-        for r in queries.collect()
-    )
+    if q_rows is None:
+        from .knn import collect_queries
+
+        q_rows = collect_queries(embeddings, n_queries)
     tables = {}
     for qid, qe in q_rows:
         t = np.zeros((m, ksub), dtype=np.float64)
@@ -331,17 +329,35 @@ def knn_pq(
                 t[j] += diff * diff
         tables[qid] = t
 
-    def _adc(batches):
+    # Fused encode+ADC: the corpus used to cross the Python boundary
+    # twice (encode_pq's mapInPandas emitting codes, then a second
+    # mapInPandas re-reading them for ADC).  One Arrow crossing now
+    # encodes the batch (identical numpy body to encode_pq — locked
+    # bit-identical to the HOF twin) and immediately scores it; the
+    # codes never round-trip through Arrow (int32 vs int64 dtype is
+    # index-only, distances are table lookups either way).
+    cw = [np.array(book, dtype=np.float64) for book in codebooks]
+
+    def _enc_adc(batches):
         import pandas as pd
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            nbr = pdf["neighbor_id"].to_numpy()
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nrows = x.shape[0]
+            codes = np.empty((nrows, m), dtype=np.int64)
+            for j in range(m):
+                sub = x[:, j * dsub : (j + 1) * dsub]
+                acc = np.zeros((nrows, ksub), dtype=np.float64)
+                for d in range(dsub):
+                    diff = sub[:, d][:, None] - cw[j][None, :, d]
+                    acc += diff * diff
+                codes[:, j] = acc.argmin(axis=1)  # first min → lowest c
+            nbr = pdf["vec_id"].to_numpy()
             frames = []
             for qid, _qe in q_rows:
-                acc = np.zeros(len(pdf), dtype=np.float64)
+                acc = np.zeros(nrows, dtype=np.float64)
                 t = tables[qid]
                 for j in range(m):
                     acc = acc + t[j][codes[:, j]]
@@ -357,8 +373,8 @@ def knn_pq(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    scored = corpus.mapInPandas(
-        _adc, schema="query_id long, neighbor_id long, adc double"
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(
+        _enc_adc, schema="query_id long, neighbor_id long, adc double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
