@@ -42,10 +42,9 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.lakehouse import Lakehouse
 from .banded_index import BATCH_COL, BandedDupIndex
 from .minhash import (
-    P31,
-    SEEDS,
     band_keys,
     doc_shingle_arrays,
+    signature_columns,
 )
 
 __all__ = ["BATCH_COL", "NearDupIndex"]
@@ -81,15 +80,7 @@ class NearDupIndex(BandedDupIndex):
         its explode → groupBy → join-back shuffles.  Signing a batch
         is therefore a single pass over the batch's rows."""
         hs = doc_shingle_arrays(batch_docs)
-
-        def perm(a: int, b: int):
-            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31)
-
-        sig_cols = [
-            F.array_min(F.transform("hs", perm(a, b))).alias(f"m{k}")
-            for k, (a, b) in enumerate(SEEDS)
-        ]
-        return hs.select("doc_id", "hs", *sig_cols)
+        return hs.select("doc_id", "hs", *signature_columns())
 
     def _band(self, signed: DataFrame, id_alias: str) -> DataFrame:
         sig_cols = [c for c in signed.columns if c.startswith("m")]

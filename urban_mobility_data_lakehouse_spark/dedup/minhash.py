@@ -147,6 +147,37 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     return signatures_from_hashes(doc_shingle_hashes(documents))
 
 
+def signature_columns(
+    seeds: list[tuple[int, int]] | None = None, hs_col: str = "hs"
+) -> list[Column]:
+    """The K minhash columns computed ROW-LOCALLY from a doc's hashed-
+    shingle array: min((a*h+b) % P) over the doc's own set is
+    `array_min` over `transform` — no explode, no shuffle, no
+    aggregation.  Bit-identical to `signatures_from_hashes` over the
+    exploded frame (same exact int64 congruence over the same distinct
+    set; integer min is order-free), which is what keeps the DuckDB
+    oracle's grouped-MIN replay exact."""
+    seeds = SEEDS if seeds is None else seeds
+    return [
+        F.expr(
+            f"array_min(transform({hs_col}, "
+            f"h -> ({a} * h + {b}) % {P31})) AS m{k}"
+        )
+        for k, (a, b) in enumerate(seeds)
+    ]
+
+
+def signatures_from_arrays(
+    hashed: DataFrame, seeds: list[tuple[int, int]] | None = None
+) -> DataFrame:
+    """doc_id + m0..m{K-1} from a `doc_shingle_arrays` frame, one
+    row-local projection (see `signature_columns`).  This is the batch
+    twin of `incremental.NearDupIndex._sign`: the exploded→groupBy
+    signature pass cost one Generate + two HashAggregates + an
+    Exchange per consumer; this costs zero of each."""
+    return hashed.select("doc_id", *signature_columns(seeds))
+
+
 def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """Unpivot signatures into (doc_id, band_id, band_key)."""
     n = len([c for c in sig.columns if c.startswith("m")])
@@ -167,21 +198,24 @@ def band_keys(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
 def candidate_pairs(
     documents: DataFrame | None = None,
     exploded: DataFrame | None = None,
+    hashed: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
-    Pass EITHER raw documents OR a cached exploded (doc_id, h) frame
-    (to avoid re-shingling) — never both: the exploded frame alone
-    defines the corpus, so accepting a second frame would silently
-    invite a mismatched pair of inputs."""
-    if (documents is None) == (exploded is None):
+    Pass EXACTLY ONE of raw `documents`, a cached exploded (doc_id, h)
+    frame, or a `doc_shingle_arrays` frame as `hashed` (the cheapest:
+    signatures come out row-local, no explode/shuffle) — the chosen
+    frame alone defines the corpus, so accepting a second frame would
+    silently invite a mismatched pair of inputs."""
+    if sum(x is not None for x in (documents, exploded, hashed)) != 1:
         raise ValueError(
-            "pass exactly one of documents / exploded"
+            "pass exactly one of documents / exploded / hashed"
         )
-    sig = (
-        signatures_from_hashes(exploded)
-        if exploded is not None
-        else minhash_signatures(documents)
-    )
+    if hashed is not None:
+        sig = signatures_from_arrays(hashed)
+    elif exploded is not None:
+        sig = signatures_from_hashes(exploded)
+    else:
+        sig = minhash_signatures(documents)
     bands = band_keys(sig)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
@@ -221,9 +255,7 @@ def near_duplicates(
         if hashed is not None
         else doc_shingle_arrays(documents).localCheckpoint(eager=False)
     )
-    exploded = hs.select("doc_id", F.explode("hs").alias("h"))
-
-    cand = candidate_pairs(exploded=exploded)
+    cand = candidate_pairs(hashed=hs)
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b").select(

@@ -195,9 +195,12 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("doc_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    sig = minhash.signatures_from_hashes(
-        hs.select("doc_id", F.explode("hs").alias("h"))
-    )
+    # row-local signatures from the checkpointed arrays (r13): the
+    # former exploded→groupBy pass cost a Generate + two
+    # HashAggregates + an Exchange, and ran TWICE (once here, once
+    # inside candidate_pairs) — array_min(transform(...)) computes the
+    # identical min-congruence per doc with zero shuffles
+    sig = minhash.signatures_from_arrays(hs)
     digest = F.conv(
         F.substring(
             F.md5(
