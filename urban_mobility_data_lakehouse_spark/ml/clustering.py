@@ -354,23 +354,31 @@ def _kmeans_hourly_assignments(
                 ]
         asg = assign_all(cents)
 
+    # Deterministic relabel (biggest cluster → 0, ties by earliest
+    # date) computed HERE, in the driver loop that already owns
+    # dates/asg: the former Spark form (createDataFrame → groupBy
+    # sizes → Window row_number → broadcast join) spent 4 extra jobs'
+    # scheduling latency re-deriving integer counts of a ≤|dates|-row
+    # list the driver was holding.  Pure int/date arithmetic — no
+    # float path — so the labels are bit-identical to the Window form
+    # (row_number over n_days DESC, first_date ASC; min-date ties are
+    # impossible: a date belongs to exactly one cluster).
+    n_days: dict[int, int] = {}
+    first_date: dict[int, object] = {}
+    for d, a in zip(dates, asg):
+        n_days[a] = n_days.get(a, 0) + 1
+        if a not in first_date or d < first_date[a]:
+            first_date[a] = d
+    order = sorted(n_days, key=lambda j: (-n_days[j], first_date[j]))
+    label = {j: i for i, j in enumerate(order)}
     spark = events.sparkSession
-    final = spark.createDataFrame(
-        [(d, int(a)) for d, a in zip(dates, asg)],
-        "event_date date, asg int",
+    assignments = spark.createDataFrame(
+        [
+            (d, label[a], n_days[a])
+            for d, a in zip(dates, asg)
+        ],
+        "event_date date, cluster_id long, n_days long",
     )
-
-    sizes = final.groupBy("asg").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.min("event_date").alias("first_date"),
-    )
-    order = Window.orderBy(F.col("n_days").desc(), F.col("first_date").asc())
-    relabel = sizes.select(
-        "asg",
-        (F.row_number().over(order) - 1).cast("long").alias("cluster_id"),
-        "n_days",
-    )
-    assignments = final.join(F.broadcast(relabel), "asg")
     return hourly, assignments
 
 
