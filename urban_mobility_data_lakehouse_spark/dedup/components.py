@@ -125,10 +125,16 @@ def _driver_components_rows(pairs, node_type, spark) -> DataFrame:
     out = [(n, comp_min[find(n)]) for n in parent]
     from pyspark.sql.types import StructField, StructType
 
+    from ..sources.localrel import values_df
+
     schema = StructType(
         [StructField("node", node_type), StructField("component", node_type)]
     )
-    return spark.createDataFrame(out, schema)
+    # values_df: the |dup-population|-bounded result feeds a union that
+    # would otherwise drag a 32-slice Python-RDD scan into every
+    # consumer's stage (sources/localrel.py; falls back to
+    # createDataFrame past 50k rows)
+    return values_df(spark, out, schema)
 
 
 def connected_components(

@@ -91,7 +91,10 @@ def _kmeans_driver(
         inertia = d2.min(axis=1).sum()
         if inertia < best_inertia - 1e-12:
             best_inertia, best_assign = inertia, assign
-    return spark.createDataFrame(
+    from ..sources.localrel import values_df
+
+    return values_df(
+        spark,
         [(r["event_date"], int(c)) for r, c in zip(rows, best_assign)],
         "event_date date, raw_cluster int",
     )
@@ -371,8 +374,15 @@ def _kmeans_hourly_assignments(
             first_date[a] = d
     order = sorted(n_days, key=lambda j: (-n_days[j], first_date[j]))
     label = {j: i for i, j in enumerate(order)}
+    from ..sources.localrel import values_df
+
     spark = events.sparkSession
-    assignments = spark.createDataFrame(
+    # values_df, not createDataFrame: this ≤|dates|-row table is
+    # broadcast TWICE (gold + consult joins); the pickled-RDD form
+    # launched 32 Python workers per broadcast (~20 s task time per
+    # bench run of typical_day_clusters)
+    assignments = values_df(
+        spark,
         [
             (d, label[a], n_days[a])
             for d, a in zip(dates, asg)

@@ -338,7 +338,10 @@ class MobilityPipeline:
             # log record, or vice versa
             from ..sources.lakehouse import QUALITY_LOG_SCHEMA
 
-            audit_row = s.createDataFrame(
+            from ..sources.localrel import values_df
+
+            audit_row = values_df(
+                s,
                 [(None, "silver.fact_mobility", "batch_days_committed",
                   float(len(dates)), ",".join(sorted(dates)))],
                 QUALITY_LOG_SCHEMA,

@@ -405,9 +405,9 @@ def spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     with distance_km."""
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
-    zones = spark.createDataFrame(
-        _ZONE_WKTS, "zone_key int, wkt string"
-    )
+    from ..sources.localrel import values_df
+
+    zones = values_df(spark, _ZONE_WKTS, "zone_key int, wkt string")
     key = F.col("zone_key")
     flags = zones.select(
         key.cast("long").alias("zone_id"),

@@ -483,7 +483,10 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec_after = lake.recommend_compaction(
         "silver", "t", small_file_bytes=thr, min_small_files=4
     )
-    adv_rows = spark.createDataFrame(
+    from ..sources.localrel import values_df
+
+    adv_rows = values_df(
+        spark,
         [("adv", None, p, None, "pre", None) for p in rec["partitions"]]
         + [
             (
@@ -491,7 +494,7 @@ def lakehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(rec_after["partitions"]),
             )
         ],
-        "part string, id long, p string, v2 double, flag string, n long",
+        schema="part string, id long, p string, v2 double, flag string, n long",
     )
     # part 'ckpt': the Delta-checkpoint analog, proven non-vacuously.
     # A COLD Lakehouse instance (no caches) must reconstruct the table

@@ -11,6 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..similarity import knn
+from ..sources.localrel import values_df
 from ..sources.testdata import load_table
 from . import register
 
@@ -1055,8 +1056,8 @@ def _persistent_ivf_move(
     )
     cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
     plan = _mover_plan(sf_dir)
-    pairs = spark.createDataFrame(
-        [(m, d) for m, d, _ in plan], "mid long, donor long"
+    pairs = values_df(
+        spark, [(m, d) for m, d, _ in plan], "mid long, donor long"
     )
     redelivered = pairs.join(emb, pairs.donor == emb.vec_id).select(
         F.col("mid").alias("vec_id"), "embedding"
@@ -1101,7 +1102,8 @@ def _persistent_ivf_move(
                 )
                 .collect()[0]  # three scalars
             )
-            audits = spark.createDataFrame(
+            audits = values_df(
+                spark,
                 [
                     (-1, int(audit["n"]), float(audit["nd"])),
                     (-2, int(audit["ok"]), float(len(plan))),
@@ -1236,8 +1238,8 @@ def _persistent_ivf_tape(
     )
     cents = ivf.train_centroids_from_parquet(sf_dir, n_cells=16)
     plan = _mover_plan(sf_dir)
-    pairs = spark.createDataFrame(
-        [(m, d) for m, d, _ in plan], "mid long, donor long"
+    pairs = values_df(
+        spark, [(m, d) for m, d, _ in plan], "mid long, donor long"
     )
     redelivered = pairs.join(emb, pairs.donor == emb.vec_id).select(
         F.col("mid").alias("vec_id"), "embedding"
@@ -1287,7 +1289,8 @@ def _persistent_ivf_tape(
             )
             .collect()[0]  # two scalars
         )
-        audits = spark.createDataFrame(
+        audits = values_df(
+            spark,
             [(-1, int(audit["n"]), float(audit["nd"]))],
             "query_id long, neighbor_id long, cosine_sim double",
         )

@@ -101,7 +101,10 @@ def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast range (band) join: events bucketed by value tier
     through a non-equi predicate against a broadcast 3-row dim."""
     events = load_table(spark, sf_dir, "events")
-    tiers = spark.createDataFrame(
+    from ..sources.localrel import values_df
+
+    tiers = values_df(
+        spark,
         [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
         "tier string, lo double, hi double",
     )

@@ -174,7 +174,10 @@ def _train_centroids_cached(
 def centroid_table(
     spark: SparkSession, centroids: list[list[float]]
 ) -> DataFrame:
-    return spark.createDataFrame(
+    from ..sources.localrel import values_df
+
+    return values_df(
+        spark,
         [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     )
@@ -363,8 +366,14 @@ def knn_ivf(
     )
     if query_rows is not None:
         # pre-ranked query batch (see query_probes_from_parquet):
-        # a local relation, broadcast for free — no scan, no HOF plan
-        queries = embeddings.sparkSession.createDataFrame(
+        # a true LocalRelation (values_df), broadcast for free — no
+        # scan, no HOF plan, and no 32-slice Python-RDD tasks (the
+        # former createDataFrame(list) form cost ~8 s of Python-worker
+        # task time per broadcast — sources/localrel.py)
+        from ..sources.localrel import values_df
+
+        queries = values_df(
+            embeddings.sparkSession,
             query_rows,
             "query_id long, emb_q array<double>, probe array<int>",
         )

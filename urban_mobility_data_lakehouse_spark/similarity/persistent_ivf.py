@@ -457,8 +457,11 @@ class PersistentIVFPQ:
             self.schema,
             f"{self.name}_centroids",
         )
+        from ..sources.localrel import values_df
+
         self.lake.overwrite(
-            spark.createDataFrame(
+            values_df(
+                spark,
                 [
                     (j, c, [float(v) for v in cw])
                     for j, book in enumerate(books)

@@ -149,9 +149,9 @@ def _flat_codebook_row(
     flat = [
         [float(v) for v in cw] for book in codebooks for cw in book
     ]
-    return spark.createDataFrame(
-        [(flat,)], "cbs array<array<double>>"
-    )
+    from ..sources.localrel import values_df
+
+    return values_df(spark, [(flat,)], "cbs array<array<double>>")
 
 
 def _sub_l2(a_slice: Column, cw: Column) -> Column:

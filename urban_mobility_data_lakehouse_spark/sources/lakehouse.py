@@ -3514,7 +3514,10 @@ class Lakehouse:
             )
             for e in reversed(self.snapshots(schema, name))
         ]
-        return spark.createDataFrame(
+        from .localrel import values_df
+
+        return values_df(
+            spark,
             rows,
             "version long, timestamp string, operation string, "
             "partition_col string, n_partitions int, txn_id string, "
@@ -4457,7 +4460,10 @@ def log_metric(
 ) -> None:
     """Append one audit metric row (silver.data_quality_log,
     mobility_ingestion_pipeline.py:76-80,362-369)."""
-    row = spark.createDataFrame(
+    from .localrel import values_df
+
+    row = values_df(
+        spark,
         [(None, table_name, metric_name, float(metric_value), notes)],
         QUALITY_LOG_SCHEMA,
     ).withColumn("check_timestamp", F.current_timestamp())

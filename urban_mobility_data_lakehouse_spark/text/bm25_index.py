@@ -293,8 +293,10 @@ class PersistentBM25:
         )
         n = int(cur["n_docs"]) - int(gone["n"]) + d_docs
         s = (int(cur["sum_dl"] or 0) - int(gone["s"] or 0) + d_dl)
-        return spark.createDataFrame(
-            [(n, s if n else None)], "n_docs bigint, sum_dl bigint"
+        from ..sources.localrel import values_df
+
+        return values_df(
+            spark, [(n, s if n else None)], "n_docs bigint, sum_dl bigint"
         )
 
     def delete_docs(
@@ -470,8 +472,10 @@ class PersistentBM25:
         # the query schema instead of dividing by the empty corpus
         srow = self._stat_values(spark, version)
         if not srow["n_docs"]:
-            return spark.createDataFrame(
-                [], "doc_id long, dl bigint, score double"
+            from ..sources.localrel import values_df
+
+            return values_df(
+                spark, [], "doc_id long, dl bigint, score double"
             )
         dfrow = (
             pruned.groupBy()

@@ -144,9 +144,11 @@ def mark_contaminated(
     if len(eval_grams) > max_array_grams:
         return mark_contaminated_via_join(docs, eval_docs, n, id_col)
     spark = docs.sparkSession
+    from ..sources.localrel import values_df
+
     dict_row = F.broadcast(
-        spark.createDataFrame(
-            [([int(h) for h in eval_grams],)], "eval_grams array<bigint>"
+        values_df(
+            spark, [([int(h) for h in eval_grams],)], "eval_grams array<bigint>"
         )
     )
     return _array_plan(docs, dict_row, n)

@@ -400,11 +400,11 @@ def micro_lm_scores(
     BIGINT partials).  xent_uni = uni_u / (n_tokens·1e9), same for bi.
     """
     spark = docs.sparkSession
-    uni_df = spark.createDataFrame(
-        model["uni"], "cur string, u long, fb long"
-    )
-    bi_df = spark.createDataFrame(
-        model["bi"], "prev string, cur string, ub long"
+    from ..sources.localrel import values_df
+
+    uni_df = values_df(spark, model["uni"], "cur string, u long, fb long")
+    bi_df = values_df(
+        spark, model["bi"], "prev string, cur string, ub long"
     )
     events = _bigram_events(docs, id_col, text_col)
     oov_u = F.lit(int(model["oov_u"]))
