@@ -19,6 +19,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..operators.relational import micro_to_double, micro_units
+
 HOURS = list(range(24))
 
 
@@ -399,9 +401,7 @@ def hourly_totals_exact(events: DataFrame) -> DataFrame:
         F.to_date("ts").alias("event_date"),
         F.hour("ts").alias("hour"),
     ).agg(
-        F.sum(F.col("value").cast("decimal(25,6)"))
-        .cast("double")
-        .alias("total_trips")
+        micro_to_double(F.sum(micro_units("value"))).alias("total_trips")
     )
 
 

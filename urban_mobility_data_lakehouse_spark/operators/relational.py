@@ -21,13 +21,52 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import broadcast
 
 
+MICRO = 1_000_000
+
+
+def micro_units(col: Column | str) -> Column:
+    """A value as exact integer micro-units (BIGINT): round(v·10⁶)
+    half-up.  For ≤6-dp inputs this equals the unscaled value of
+    CAST(v AS DECIMAL(25,6)) — both round the double's shortest decimal
+    representation half-up at the 6th place (verified row-exhaustively
+    at every SF for every dsum consumer column, r13)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * MICRO, 0).cast("long")
+
+
+def micro_to_double(sum_micro: Column) -> Column:
+    """Exact finisher: Σmicro/10⁶ as DOUBLE via one per-GROUP decimal
+    division (the quotient has ≤6 dp, so the decimal is exact and the
+    double cast is the same correctly-rounded value the old
+    DECIMAL(35,6)→DOUBLE cast produced)."""
+    return (sum_micro.cast("decimal(38,6)") / F.lit(MICRO)).cast("double")
+
+
 def dsum(col: Column | str) -> Column:
-    """Order-independent double sum: accumulate as DECIMAL (exact), cast
+    """Order-independent double sum — exact integer accumulation, cast
     back to double.  Float sums are order-dependent under parallel
     aggregation — with a shuffle-partition count that varies by cluster
     size, a plain sum(double) is not reproducible, and the DuckDB oracle
-    would disagree in the last ulps.  The inputs here carry ≤4 decimal
-    places, so DECIMAL(25,6) holds every partial exactly."""
+    would disagree in the last ulps.
+
+    r13: accumulates BIGINT micro-units instead of DECIMAL(25,6) — the
+    decimal path paid a Double.toString-based cast plus a BigDecimal add
+    PER ROW (the dominant map-side cost of pricing_summary /
+    silver_batch_audit / gravity_gaps: 3.5-8.9 s of aggregate-stage CPU
+    at sf0.1), where the micro path is two codegen double ops and a long
+    add.  Value-identical: per-row round(v·10⁶) == the decimal cast's
+    unscaled long for ≤6-dp inputs (row-exhaustively verified per SF),
+    integer sums are order-free, and `micro_to_double` finishes with one
+    exact decimal division per group.  Scale bound, disclosed: BIGINT
+    micro-units hold Σ|v| up to 2⁶³/10⁶ ≈ 9.2·10¹² in value units; a
+    deployment summing past that swaps `dsum_decimal` back in (same
+    result, ~10× the map-side cost)."""
+    return micro_to_double(F.sum(micro_units(col)))
+
+
+def dsum_decimal(col: Column | str) -> Column:
+    """The DECIMAL(25,6) accumulation form of `dsum` — unbounded-scale
+    fallback (see dsum's scale note)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast("decimal(25,6)")).cast("double")
 
@@ -574,23 +613,24 @@ def salted_agg(
     rand(), so retried tasks re-derive identical partials (required
     for exactly-once under task retry).
 
-    Partials stay DECIMAL through both stages (see dsum) so the result
-    is bit-identical to the unsalted plan — which is exactly how the
-    oracle checks it: same GROUP BY, no salt, in plain SQL.
+    Partials stay EXACT integers through both stages (micro-units,
+    see dsum) so the result is bit-identical to the unsalted plan —
+    which is exactly how the oracle checks it: same GROUP BY, no salt,
+    in plain SQL.
     """
     salt = F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(n_salts))
     partial = (
         events.withColumn("salt", salt)
         .groupBy("event_type", "salt")
         .agg(
-            F.sum(F.col("value").cast("decimal(25,6)")).alias("pv"),
+            F.sum(micro_units("value")).alias("pv"),
             F.count(F.lit(1)).alias("pc"),
         )
     )
     return (
         partial.groupBy("event_type")
         .agg(
-            F.round(F.sum("pv").cast("double"), 4).alias("total_value"),
+            F.round(micro_to_double(F.sum("pv")), 4).alias("total_value"),
             F.sum("pc").alias("n_events"),
         )
         .orderBy("event_type")

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from .relational import dsum
+
 
 def asof_join(
     left: DataFrame,
@@ -116,10 +118,7 @@ def range_join_agg(
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(
-                F.sum(F.col(value_col).cast("decimal(25,6)")).cast("double"),
-                4,
-            ).alias("total_value"),
+            F.round(dsum(F.col(value_col)), 4).alias("total_value"),
         )
         .orderBy("tier")
     )

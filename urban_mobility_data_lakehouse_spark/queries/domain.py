@@ -27,6 +27,7 @@ from ..functions.spatial import (
     synthetic_centroid_sql,
     wkt_coords_sql,
 )
+from ..operators.relational import micro_to_double, micro_units
 from ..sources.testdata import load_table
 from . import register
 
@@ -102,9 +103,10 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ensure_bucketed_facts — the same layout bucketed_fact_join
     # proves zero-exchange), so the join needs NO shuffle and the OD
     # pre-agg's groupBy ships only map-side partials.  Column pruning
-    # keeps each scan at exactly the columns used here.  DECIMAL
-    # accumulation keeps the sum order-independent, so physical layout
-    # cannot move the oracle hash.
+    # keeps each scan at exactly the columns used here.  Exact integer
+    # micro-unit accumulation (operators/relational.micro_units) keeps
+    # the sum order-independent, so physical layout cannot move the
+    # oracle hash.
     from .functions_suite import attach_bucketed_facts
 
     names = attach_bucketed_facts(spark, sf_dir)
@@ -131,8 +133,7 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("dest_zone_id"),
         )
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
-            .cast("double")
+            micro_to_double(F.sum(micro_units("l_quantity")))
             .alias("total_actual_trips")
         )
     )
@@ -141,7 +142,7 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("population"),
         (
-            F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double")
+            micro_to_double(F.sum(micro_units("c_acctbal")))
             / F.count("c_acctbal")
         ).alias("rent"),
     )
@@ -583,11 +584,7 @@ def typical_day_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").alias("hour"),
             (F.col("user_id") % 25).alias("zone_key"),
         )
-        .agg(
-            (F.sum(F.col("value").cast("decimal(25,6)")) * 1000000)
-            .cast("long")
-            .alias("vi")
-        )
+        .agg(F.sum(micro_units("value")).alias("vi"))
         .localCheckpoint(eager=False)
     )
     hourly = zone_base.groupBy("event_date", "hour").agg(

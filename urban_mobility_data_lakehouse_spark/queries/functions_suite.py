@@ -343,9 +343,11 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(dsum("l_quantity"), 2).alias("total_qty"),
-            F.countDistinct(
-                F.date_format("l_shipdate", "yyyy-MM-dd")
-            ).alias("n_days"),
+            # to_date, not date_format: counting distinct DATES equals
+            # counting distinct date STRINGS (bijection), and the
+            # per-row timestamp→string format was measurable CPU in
+            # this query's one big aggregate stage (guide §1.2 step 2)
+            F.countDistinct(F.to_date("l_shipdate")).alias("n_days"),
             F.countDistinct("p_brand").alias("n_brands"),
             F.countDistinct("s_nationkey").alias("n_supp_nations"),
         )

@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.relational import dsum
 from ..operators.temporal import asof_join, range_join_agg
 from ..sources.testdata import load_table
 from . import register
@@ -185,10 +186,7 @@ def grouping_sets_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"),
-                4,
-            ).alias("total_value"),
+            F.round(dsum("value"), 4).alias("total_value"),
         )
         .select(
             F.lit("cube").alias("part"),
