@@ -199,18 +199,25 @@ def candidate_pairs(
     documents: DataFrame | None = None,
     exploded: DataFrame | None = None,
     hashed: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one LSH band.
     Pass EXACTLY ONE of raw `documents`, a cached exploded (doc_id, h)
-    frame, or a `doc_shingle_arrays` frame as `hashed` (the cheapest:
-    signatures come out row-local, no explode/shuffle) — the chosen
-    frame alone defines the corpus, so accepting a second frame would
-    silently invite a mismatched pair of inputs."""
-    if sum(x is not None for x in (documents, exploded, hashed)) != 1:
+    frame, a `doc_shingle_arrays` frame as `hashed` (signatures come
+    out row-local, no explode/shuffle), or a pre-materialized
+    `signatures_from_arrays` frame as `sig` (the cheapest when the
+    caller also consumes the signatures, e.g. the sig-digest part:
+    both band-join sides then derive from ONE signature pass instead
+    of recomputing the 16 array_min(transform) congruences per side)
+    — the chosen frame alone defines the corpus, so accepting a second
+    frame would silently invite a mismatched pair of inputs."""
+    if sum(x is not None for x in (documents, exploded, hashed, sig)) != 1:
         raise ValueError(
-            "pass exactly one of documents / exploded / hashed"
+            "pass exactly one of documents / exploded / hashed / sig"
         )
-    if hashed is not None:
+    if sig is not None:
+        pass
+    elif hashed is not None:
         sig = signatures_from_arrays(hashed)
     elif exploded is not None:
         sig = signatures_from_hashes(exploded)
@@ -235,6 +242,7 @@ def near_duplicates(
     documents: DataFrame | None = None,
     threshold: float = 0.5,
     hashed: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact hashed-shingle-set Jaccard
     ≥ threshold, computed row-locally via array_intersect.  Pass
@@ -244,9 +252,13 @@ def near_duplicates(
     shingling is the corpus pass, so sharing it halves the map work).
     Never both: the hashed frame alone defines the corpus, and a
     mismatched (documents, hashed) pair would silently produce pairs
-    for a corpus the caller never named."""
+    for a corpus the caller never named.  With `hashed`, optionally
+    pass a pre-materialized `sig` over the SAME frame so the band join
+    derives from one signature pass (see candidate_pairs)."""
     if (documents is None) == (hashed is None):
         raise ValueError("pass exactly one of documents / hashed")
+    if sig is not None and hashed is None:
+        raise ValueError("sig requires hashed (same corpus frame)")
     # localCheckpoint, not .cache(): consumed three times below, and
     # checkpoint blocks are ContextCleaner-freed once the result frame
     # is GC'd, while CacheManager entries leak for the session
@@ -255,7 +267,11 @@ def near_duplicates(
         if hashed is not None
         else doc_shingle_arrays(documents).localCheckpoint(eager=False)
     )
-    cand = candidate_pairs(hashed=hs)
+    cand = (
+        candidate_pairs(sig=sig)
+        if sig is not None
+        else candidate_pairs(hashed=hs)
+    )
     a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
     b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     joined = cand.join(a, "doc_a").join(b, "doc_b").select(

@@ -322,11 +322,25 @@ def sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def roleplay_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out the fact: five broadcast-join probes + DECIMAL partials
-    # are row-local map work (see pricing_summary note)
+    # r13: the lineitem×orders orderkey join is FACT×FACT — ride the
+    # same write-time bucketed layout gravity_gaps and
+    # bucketed_fact_join use (ensure_bucketed_facts), so the join needs
+    # NO exchange on either side; the four dims stay broadcast.  The
+    # former shape fan_out-shuffled the full lineitem projection
+    # (~11 MB at sf0.1) into a shuffle join on every run.  Unprepared
+    # sessions fall back to the fan_out plan — same rows, one shuffle.
+    from .functions_suite import attach_bucketed_facts
+
+    names = attach_bucketed_facts(spark, sf_dir)
+    if names is not None:
+        lineitem, orders = (spark.table(n) for n in names)
+        lineitem = lineitem.hint("MERGE")
+    else:
+        lineitem = fan_out(_t(spark, sf_dir, "lineitem"))
+        orders = _t(spark, sf_dir, "orders")
     return R.roleplay_nations(
-        fan_out(_t(spark, sf_dir, "lineitem")),
-        _t(spark, sf_dir, "orders"),
+        lineitem,
+        orders,
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),

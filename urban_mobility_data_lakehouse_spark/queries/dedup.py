@@ -180,7 +180,13 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     # ONE shingling pass serves both the LSH pipeline and the sig part
     hs = minhash.doc_shingle_arrays(docs).localCheckpoint(eager=False)
-    pairs = minhash.near_duplicates(hashed=hs).localCheckpoint(
+    # ONE signature pass serves both band-join sides AND the sig-digest
+    # part (r13): un-checkpointed, each side of the band self-join and
+    # the digest re-ran the 16 array_min(transform) congruences over
+    # every doc's shingle array — 3× the signature work (measured
+    # ~1.8 → ~1.5 s warm at sf0.1)
+    sig = minhash.signatures_from_arrays(hs).localCheckpoint(eager=False)
+    pairs = minhash.near_duplicates(hashed=hs, sig=sig).localCheckpoint(
         eager=False
     )
     clusters = components.duplicate_clusters(
@@ -199,8 +205,8 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former exploded→groupBy pass cost a Generate + two
     # HashAggregates + an Exchange, and ran TWICE (once here, once
     # inside candidate_pairs) — array_min(transform(...)) computes the
-    # identical min-congruence per doc with zero shuffles
-    sig = minhash.signatures_from_arrays(hs)
+    # identical min-congruence per doc with zero shuffles, and the
+    # checkpointed `sig` above shares that one pass with the band join
     digest = F.conv(
         F.substring(
             F.md5(
