@@ -59,13 +59,14 @@ def hourly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: DECIMAL(25,6) partial aggregation is the map-side cost
-    # here (BigDecimal path — the accumulation type exceeds the
-    # compact-long 18-digit bound), and the single-row-group local
-    # file would run it in ONE task.  Order-independent by design, so
-    # the round-robin split cannot perturb the sums; the shipdate
-    # filter still pushes through the repartition to the scan.
-    return R.pricing_summary(fan_out(_t(spark, sf_dir, "lineitem")))
+    # r13: fan_out REMOVED.  It existed to parallelize the DECIMAL
+    # partial aggregation past the single-row-group local scan; with
+    # dsum's BIGINT micro-unit accumulation the per-row agg cost is a
+    # few codegen ops, and the fan_out exchange (a serial scan task
+    # writing ~9 MB of shuffle) cost more than it saved (A/B at sf0.1:
+    # 1.37 s → 1.03 s min-of-3 direct).  On production multi-split
+    # layouts fan_out was a no-op, so the 100 TB plan is unchanged.
+    return R.pricing_summary(_t(spark, sf_dir, "lineitem"))
 
 
 @register(
@@ -293,10 +294,11 @@ def summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def sales_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out the fact: broadcast-join probes + DECIMAL partials are
-    # row-local map work (see pricing_summary note)
+    # r13: fan_out removed — see pricing_summary (micro-unit partials
+    # made the broadcast probes + agg cheaper than the fan_out
+    # exchange; A/B at sf0.1: 0.59 s → 0.39 s direct)
     return R.sales_by_nation(
-        fan_out(_t(spark, sf_dir, "orders")),
+        _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from ..operators.relational import dsum
-from ..sources.testdata import fan_out, load_table
+from ..sources.testdata import load_table
 from . import register
 
 
@@ -318,11 +318,10 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BASELINE.md's day-equivalent batch shape: full fact scan + typed
     cast cleaning + two broadcast dim joins + batch audit — the workload
     whose per-day latency must stay flat as the table grows."""
-    # fan_out the fact: two broadcast-join probes + the DECIMAL(25,6)
-    # partial aggregate are row-local map work that the single-row-
-    # group local file would otherwise run in ONE task; the typed-cast
-    # filter still pushes through the repartition to the scan.  No-op
-    # on production multi-split layouts (sources/testdata.fan_out).
+    # r13: fan_out removed — with micro-unit partials (see dsum) the
+    # probes + Expand + agg cost less than the fan_out exchange did
+    # (A/B at sf0.1: 1.11 s → 0.90 s direct); production multi-split
+    # layouts never fanned out anyway.
     #
     # Deliberately the FLAT three-COUNT(DISTINCT) form: the Expand it
     # plans (row per distinct clause) happens BEFORE the map-side
@@ -331,7 +330,7 @@ def silver_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restructure measured the flat form FASTER at sf0.1 (1.58 s vs
     # 1.83 s min-of-3: the extra shuffle stage + per-group DECIMAL
     # partials cost more than the Expand saves).
-    lineitem = fan_out(load_table(spark, sf_dir, "lineitem"))
+    lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
