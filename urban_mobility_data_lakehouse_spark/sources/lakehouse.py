@@ -2844,11 +2844,9 @@ class Lakehouse:
                 ]
                 if not paths:
                     return None
-            return (
-                spark.read.option("basePath", d)
-                .parquet(*paths)
-                .filter(self._pvalue_match(F.col(pcol), values, nt))
-            )
+            return _read_commit_dir(
+                spark, d, paths, base_path=True
+            ).filter(self._pvalue_match(F.col(pcol), values, nt))
 
         frames = [
             f
@@ -2862,7 +2860,7 @@ class Lakehouse:
             if _count_data_files(d) == 0:
                 continue
             f = self._exclusion_filter(
-                spark.read.parquet(d), extra[d], schema, name
+                _read_commit_dir(spark, d), extra[d], schema, name
             )
             if wanted is not None and pcol_any is not None:
                 f = f.filter(
@@ -3041,9 +3039,9 @@ class Lakehouse:
                     )
                 ]
             src = (
-                spark.read.option("basePath", d).parquet(d)
+                _read_commit_dir(spark, d, base_path=True)
                 if keep is None
-                else spark.read.option("basePath", d).parquet(*keep)
+                else _read_commit_dir(spark, d, keep, base_path=True)
                 if keep
                 else None
             )
@@ -3099,8 +3097,9 @@ class Lakehouse:
                 if keep:
                     frames.append(
                         self._exclusion_filter(
-                            spark.read.option("basePath", d)
-                            .parquet(*keep),
+                            _read_commit_dir(
+                                spark, d, keep, base_path=True
+                            ),
                             extra[d], schema, name,
                         )
                     )
@@ -3108,13 +3107,14 @@ class Lakehouse:
             if keep is None:
                 frames.append(
                     self._exclusion_filter(
-                        spark.read.parquet(d), extra[d], schema, name
+                        _read_commit_dir(spark, d), extra[d], schema, name
                     )
                 )
             elif keep:
                 frames.append(
                     self._exclusion_filter(
-                        spark.read.parquet(*keep), extra[d], schema, name
+                        _read_commit_dir(spark, d, keep),
+                        extra[d], schema, name,
                     )
                 )
         if not frames:
@@ -3423,8 +3423,7 @@ class Lakehouse:
                 and _count_data_files(d) > 0
             ]
             frames = [
-                spark.read.option("basePath", d)
-                .parquet(d)
+                _read_commit_dir(spark, d, base_path=True)
                 .filter(
                     self._pvalue_match(
                         F.col(pcol), values,
@@ -3434,7 +3433,7 @@ class Lakehouse:
                 for d, (pcol, values) in sorted(by_dir.items())
             ] + [
                 self._exclusion_filter(
-                    spark.read.parquet(d), side_extra[d], schema, name
+                    _read_commit_dir(spark, d), side_extra[d], schema, name
                 )
                 for d in sorted(dirs)
             ]
@@ -4606,6 +4605,43 @@ def attach_bucketed(
         f"LOCATION '{loc}'"
     )
     return True
+
+
+
+# per-(session, commit-dir) parquet schema memo: commit directories are
+# immutable once a manifest references them (every mutation commits a
+# NEW version directory; type widening is metadata-only and casts after
+# the scan), so the schema inferred on first contact can be re-supplied
+# to every later scan of the same dir.  Skipping per-read footer/schema
+# inference measurably cuts the driver cost of the lifecycle suites
+# (~56 ms of plan time per read; bm25_search alone issues ~80 commit-dir
+# reads per run).  Keyed weakly by session; the `kind` key separates the
+# basePath-anchored shape (partition columns discovered relative to the
+# commit dir) from the bare-subset shape (no partition columns).
+_DIR_SCHEMAS: "weakref.WeakKeyDictionary" = None  # lazy init
+
+
+def _read_commit_dir(spark, d, paths=None, base_path=False):
+    global _DIR_SCHEMAS
+    import weakref
+
+    if _DIR_SCHEMAS is None:
+        _DIR_SCHEMAS = weakref.WeakKeyDictionary()
+    try:
+        per = _DIR_SCHEMAS.setdefault(spark, {})
+    except TypeError:  # session not weakref-able (mock/stub)
+        per = {}
+    kind = "base" if base_path else ("full" if paths is None else "sub")
+    reader = spark.read
+    if base_path:
+        reader = reader.option("basePath", d)
+    sch = per.get((d, kind))
+    if sch is not None:
+        reader = reader.schema(sch)
+    df = reader.parquet(*(paths or [d]))
+    if sch is None:
+        per[(d, kind)] = df.schema
+    return df
 
 
 def _count_data_files(path: str) -> int:
