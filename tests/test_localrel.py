@@ -81,3 +81,24 @@ def test_values_df_exact_doubles_roundtrip(spark):
     }
     for i, v in enumerate(vals):
         assert st.pack("<d", got[i]) == st.pack("<d", v)
+
+
+def test_values_df_rejects_coercion_via_fallback(spark):
+    import pytest as _pt
+
+    with _pt.raises(TypeError):  # falls back to createDataFrame, which raises
+        values_df(spark, [(2.9,)], "a long").collect()
+    # int-in-string: createDataFrame ACCEPTS it, so the fallback must
+    # reproduce that legacy behavior rather than raise
+    a = values_df(spark, [(1,)], "a string").collect()
+    b = spark.createDataFrame([(1,)], "a string").collect()
+    assert a == b
+
+
+def test_values_df_timestamp_takes_fallback(spark):
+    # non-null timestamps must go through createDataFrame (OS-tz
+    # semantics), not a session-tz TIMESTAMP literal
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    a = values_df(spark, [(ts,)], "t timestamp").collect()
+    b = spark.createDataFrame([(ts,)], "t timestamp").collect()
+    assert a == b

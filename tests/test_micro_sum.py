@@ -62,3 +62,17 @@ def test_dsum_empty_and_all_null(spark):
     assert all(r["s"] is None for r in rows)
     empty = spark.range(0).select(F.col("id").cast("double").alias("v"))
     assert empty.agg(dsum("v").alias("s")).collect()[0]["s"] is None
+
+
+def test_dsum_nan_inf_match_decimal_semantics(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    rows = [(0, 1.5), (0, float("nan")), (1, float("inf")),
+            (1, 2.0), (2, float("nan"))]
+    df = spark.createDataFrame(rows, "g int, v double")
+    a = {r["g"]: r["s"] for r in df.groupBy("g").agg(dsum("v").alias("s")).collect()}
+    b = {r["g"]: r["s"] for r in df.groupBy("g").agg(dsum_decimal("v").alias("s")).collect()}
+    assert a == b  # NaN/Inf → NULL on both paths; all-NaN group → NULL
+    assert a[0] == 1.5 and a[1] == 2.0 and a[2] is None

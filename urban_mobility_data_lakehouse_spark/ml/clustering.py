@@ -19,7 +19,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..operators.relational import micro_to_double, micro_units
 
 HOURS = list(range(24))
 
@@ -395,14 +394,15 @@ def _kmeans_hourly_assignments(
 
 
 def hourly_totals_exact(events: DataFrame) -> DataFrame:
-    """Per (date, hour) totals with an order-independent DECIMAL sum —
-    the deterministic twin of hourly_totals for oracle-checked paths."""
+    """Per (date, hour) totals with an order-independent EXACT sum
+    (dsum's BIGINT micro-unit accumulation) — the deterministic twin
+    of hourly_totals for oracle-checked paths."""
+    from ..operators.relational import dsum
+
     return events.groupBy(
         F.to_date("ts").alias("event_date"),
         F.hour("ts").alias("hour"),
-    ).agg(
-        micro_to_double(F.sum(micro_units("value"))).alias("total_trips")
-    )
+    ).agg(dsum("value").alias("total_trips"))
 
 
 def cluster_calendar_contingency(

@@ -26,12 +26,19 @@ MICRO = 1_000_000
 
 def micro_units(col: Column | str) -> Column:
     """A value as exact integer micro-units (BIGINT): round(v·10⁶)
-    half-up.  For ≤6-dp inputs this equals the unscaled value of
-    CAST(v AS DECIMAL(25,6)) — both round the double's shortest decimal
-    representation half-up at the 6th place (verified row-exhaustively
-    at every SF for every dsum consumer column, r13)."""
+    half-up.  For ≤6-dp inputs with |v| < 2⁵³/10⁶ ≈ 9.0·10⁹ this equals
+    the unscaled value of CAST(v AS DECIMAL(25,6)) — both round the
+    double's shortest decimal representation half-up at the 6th place
+    (verified row-exhaustively at every SF for every dsum consumer
+    column, r13).  NaN/±Infinity map to NULL exactly as the decimal
+    cast did, so a poisoned row is ignored by SUM rather than summed
+    as 0 / Long.MAX."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * MICRO, 0).cast("long")
+    d = c.cast("double")
+    return F.when(
+        ~F.isnan(d) & (F.abs(d) != float("inf")),
+        F.round(d * MICRO, 0).cast("long"),
+    )
 
 
 def micro_to_double(sum_micro: Column) -> Column:
@@ -57,10 +64,15 @@ def dsum(col: Column | str) -> Column:
     add.  Value-identical: per-row round(v·10⁶) == the decimal cast's
     unscaled long for ≤6-dp inputs (row-exhaustively verified per SF),
     integer sums are order-free, and `micro_to_double` finishes with one
-    exact decimal division per group.  Scale bound, disclosed: BIGINT
-    micro-units hold Σ|v| up to 2⁶³/10⁶ ≈ 9.2·10¹² in value units; a
-    deployment summing past that swaps `dsum_decimal` back in (same
-    result, ~10× the map-side cost)."""
+    exact decimal division per group.  Scale bounds, disclosed: the
+    per-ROW micro/decimal equivalence needs |v| < 2⁵³/10⁶ ≈ 9.0·10⁹
+    (beyond it the long diverges by ulps from the decimal cast), and
+    the BIGINT accumulator holds Σ|v| up to 2⁶³/10⁶ ≈ 9.2·10¹² in
+    value units — past THAT a non-ANSI sum(long) silently wraps where
+    the decimal sum went NULL, so a deployment anywhere near either
+    bound swaps `dsum_decimal` back in (same result for in-bound data,
+    ~10× the map-side cost).  Non-finite inputs are NULL on both
+    paths (see micro_units)."""
     return micro_to_double(F.sum(micro_units(col)))
 
 

@@ -27,7 +27,7 @@ from ..functions.spatial import (
     synthetic_centroid_sql,
     wkt_coords_sql,
 )
-from ..operators.relational import micro_to_double, micro_units
+from ..operators.relational import davg, dsum, micro_units
 from ..sources.testdata import load_table
 from . import register
 
@@ -132,19 +132,13 @@ def _gravity_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("org_zone_id"),
             F.col("s_nationkey").alias("dest_zone_id"),
         )
-        .agg(
-            micro_to_double(F.sum(micro_units("l_quantity")))
-            .alias("total_actual_trips")
-        )
+        .agg(dsum("l_quantity").alias("total_actual_trips"))
     )
     zone_metrics = customer.groupBy(
         F.col("c_nationkey").alias("zone_id")
     ).agg(
         F.count(F.lit(1)).alias("population"),
-        (
-            micro_to_double(F.sum(micro_units("c_acctbal")))
-            / F.count("c_acctbal")
-        ).alias("rent"),
+        davg("c_acctbal").alias("rent"),
     )
     mo = zone_metrics.select(
         F.col("zone_id").alias("mo_zone"),

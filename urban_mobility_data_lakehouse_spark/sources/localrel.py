@@ -16,7 +16,7 @@ broadcast (BroadcastExchange collects a LocalRelation driver-side).
 Values are rendered exactly — `repr()` round-trips doubles and Spark's
 literal parser is correctly rounded, so the resulting rows are
 bit-identical to the createDataFrame path (locked by
-tests/test_runtime_optimizations.py).
+tests/test_localrel.py).
 
 Rows beyond `max_rows` fall back to `createDataFrame` unchanged: a
 VALUES string is a driver-side parse whose cost grows with row count,
@@ -51,31 +51,54 @@ def _sql_double(v: float) -> str:
     return repr(float(v)) + "D"
 
 
+def _ck(v, py, dt) -> None:
+    # strict type gate (bools are ints in Python — exclude them): a
+    # mismatched value must raise, so values_df FALLS BACK to
+    # createDataFrame, which raises the same loud TypeError the caller
+    # would have gotten before this module existed — never a silently
+    # coerced row (int(2.9) → 2, str(1) → '1')
+    if not isinstance(v, py) or isinstance(v, bool) and py is not bool:
+        raise TypeError(f"values_df: {v!r} is not {dt.simpleString()}")
+
+
 def _lit(v, dt: T.DataType) -> str:
     if v is None:
         return f"CAST(NULL AS {dt.simpleString()})"
     if isinstance(dt, T.LongType):
+        _ck(v, int, dt)
         return f"{int(v)}L"
     if isinstance(dt, T.IntegerType):
+        _ck(v, int, dt)
         return str(int(v))
     if isinstance(dt, (T.ShortType, T.ByteType)):
+        _ck(v, int, dt)
         return f"CAST({int(v)} AS {dt.simpleString()})"
     if isinstance(dt, T.DoubleType):
+        _ck(v, float, dt)
         return _sql_double(v)
     if isinstance(dt, T.FloatType):
         # python float → float32 storage rounds; CAST does the same
         # correctly-rounded narrowing
+        _ck(v, float, dt)
         return f"CAST({_sql_double(v)} AS FLOAT)"
     if isinstance(dt, T.StringType):
-        return _sql_str(str(v))
+        _ck(v, str, dt)
+        return _sql_str(v)
     if isinstance(dt, T.BooleanType):
+        _ck(v, bool, dt)
         return "TRUE" if v else "FALSE"
     if isinstance(dt, T.DateType):
         if isinstance(v, datetime.datetime):
             v = v.date()
+        _ck(v, datetime.date, dt)
         return f"DATE '{v.isoformat()}'"
     if isinstance(dt, T.TimestampType):
-        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        # a TIMESTAMP literal is parsed in the SESSION timezone while
+        # createDataFrame interprets naive datetimes in the OS
+        # timezone — not a drop-in; raise so values_df falls back to
+        # createDataFrame and keeps the exact legacy semantics
+        raise TypeError("values_df: non-null timestamps take the "
+                        "createDataFrame fallback (tz semantics)")
     if isinstance(dt, T.DecimalType):
         return f"CAST('{v}' AS {dt.simpleString()})"
     if isinstance(dt, T.BinaryType):
